@@ -1,0 +1,181 @@
+"""Compute base classes and the dependency-sorted ComputeGroup.
+
+Re-design of reference TensorOperatorBase / ComputeGroup
+(reference: include/tensor_computes/TensorOperatorBase.h:27-168,
+src/tensor_computes/ComputeGroup.C:39-169).
+
+A compute is an object configured from a deck block that exposes
+``apply(state, ctx) -> {buffer: array}`` as a *pure function* of the state
+pytree.  Groups dependency-sort members by requested/supplied buffer names and
+compose them into one function; ``jax.jit`` of the enclosing step subsumes the
+reference's TracedComputeSequence/JITExecutor machinery (trace caching,
+fusion, CSE).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from ..params import ParamError, Params
+
+
+class ComputeError(Exception):
+    pass
+
+
+class TensorCompute:
+    """Base class for all computes.
+
+    Subclasses set ``self.outputs`` (supplied buffer names) and
+    ``self.inputs`` (requested buffer names) during __init__, and implement
+    ``apply``.
+    """
+
+    #: class-level hint mirroring reference supportsJIT() opt-outs
+    #: (include/tensor_computes/TensorOperatorBase.h:60-67).  In this design
+    #: everything is traceable; non-traceable computes (e.g. RandomTensor with
+    #: torch-CPU RNG) are executed eagerly at IC time only.
+    jittable = True
+
+    def __init__(self, name: str, params: Params, problem):
+        self.name = name
+        self.params = params
+        self.problem = problem
+        self.domain = problem.domain
+        # default output buffer: the `buffer` param (may be a vector)
+        self.outputs: List[str] = params.get_str_vector("buffer", default=[])
+        self.inputs: List[str] = []
+
+    # convenience ---------------------------------------------------------
+    @property
+    def out(self) -> str:
+        if len(self.outputs) != 1:
+            raise ComputeError(f"Compute '{self.name}' has outputs {self.outputs}")
+        return self.outputs[0]
+
+    def input_buffer(self, key: str = "input", required: bool = True) -> Optional[str]:
+        name = self.params.get_str(key, required=required)
+        if name is not None and name not in self.inputs:
+            self.inputs.append(name)
+        return name
+
+    def input_buffers(self, key: str = "inputs") -> List[str]:
+        names = self.params.get_str_vector(key)
+        for n in names:
+            if n not in self.inputs:
+                self.inputs.append(n)
+        return names
+
+    def constant(self, key: str, default=None, required: bool = False) -> float:
+        """Fetch a scalar param that may name a problem-level constant
+        (reference MarlinConstantInterface / TensorProblem::getConstant,
+        include/problems/TensorProblem.h:358-437)."""
+        raw = self.params.get_str(key, required=required)
+        if raw is None:
+            return default
+        try:
+            return float(raw)
+        except ValueError:
+            return self.problem.get_constant(raw)
+
+    # interface -----------------------------------------------------------
+    def check(self):
+        """Validation hook run after the full problem is built."""
+
+    def apply(self, state: Dict, ctx: Dict) -> Dict:
+        raise NotImplementedError
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self.name}: {self.inputs} -> {self.outputs})"
+
+
+class ComputeGroup(TensorCompute):
+    """Nested DAG of computes, dependency-sorted at build time
+    (reference: src/tensor_computes/ComputeGroup.C:102-158)."""
+
+    def __init__(self, name: str, params: Params, problem, members: Sequence[TensorCompute]):
+        super().__init__(name, params, problem)
+        self.members = list(members)
+        self.sorted_members: List[TensorCompute] = []
+        self._update_io()
+
+    def _update_io(self):
+        supplied = set()
+        requested = set()
+        for m in self.members:
+            supplied.update(m.outputs)
+            requested.update(m.inputs)
+        self.outputs = sorted(supplied)
+        # group inputs = requested but not supplied internally (reference
+        # TracedComputeSequence.C:34-64 external-inputs rule)
+        self.inputs = sorted(requested - supplied)
+
+    def sort(self):
+        """Topological sort by buffer dataflow; error on cycles."""
+        producers: Dict[str, TensorCompute] = {}
+        for m in self.members:
+            for out in m.outputs:
+                if out in producers:
+                    raise ComputeError(
+                        f"Buffer '{out}' is supplied by multiple computes in "
+                        f"group '{self.name}': '{producers[out].name}' and '{m.name}'"
+                    )
+                producers[out] = m
+
+        # edges: producer -> consumer
+        indeg = {id(m): 0 for m in self.members}
+        edges: Dict[int, List[TensorCompute]] = {id(m): [] for m in self.members}
+        for m in self.members:
+            for inp in m.inputs:
+                p = producers.get(inp)
+                if p is not None and p is not m:
+                    edges[id(p)].append(m)
+                    indeg[id(m)] += 1
+
+        # Kahn, stable by original order
+        ready = [m for m in self.members if indeg[id(m)] == 0]
+        order: List[TensorCompute] = []
+        while ready:
+            m = ready.pop(0)
+            order.append(m)
+            for succ in edges[id(m)]:
+                indeg[id(succ)] -= 1
+                if indeg[id(succ)] == 0:
+                    ready.append(succ)
+        if len(order) != len(self.members):
+            stuck = [m.name for m in self.members if m not in order]
+            raise ComputeError(
+                f"Cyclic dependency in compute group '{self.name}' among: {stuck}. "
+                "Use the solver's forward_buffer parameter to break cycles."
+            )
+        self.sorted_members = order
+        for m in order:
+            if isinstance(m, ComputeGroup):
+                m.sort()
+        return self
+
+    def check(self):
+        for m in self.members:
+            m.check()
+
+    def apply(self, state: Dict, ctx: Dict) -> Dict:
+        members = self.sorted_members or self.members
+        buffers = dict(state)
+        updates: Dict[str, object] = {}
+        for m in members:
+            out = m.apply(buffers, ctx)
+            buffers.update(out)
+            updates.update(out)
+        return updates
+
+    def execution_order(self) -> List[str]:
+        out = []
+        for m in self.sorted_members or self.members:
+            if isinstance(m, ComputeGroup):
+                out.extend(m.execution_order())
+            else:
+                out.append(m.name)
+        return out
+
+    def __repr__(self):
+        return f"ComputeGroup({self.name}: {[m.name for m in self.members]})"

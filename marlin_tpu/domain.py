@@ -1,0 +1,276 @@
+"""Domain: grid geometry, real/reciprocal axes, FFT dispatch, device mesh.
+
+TPU-native re-design of the reference DomainAction
+(reference: src/actions/DomainAction.C — axes :226-338, fft/ifft :833-1078,
+partitioners :340-742).  Key semantic choices preserved:
+
+- real-space axes are cell-centered: linspace(min+h/2, max-h/2, n)
+  (reference :246-252)
+- reciprocal axes are ``(r)fftfreq(n, h) * 2*pi`` with an rfft (half-spectrum)
+  axis along the LAST dimension in serial mode (reference :268-291); the
+  Nyquist frequency is NOT zeroed (reference :289-291 is commented out)
+- axes are broadcast-aligned: axis d has extent n_d along dim d and singleton
+  elsewhere (reference ``align``, :1406-1434)
+- ``fft`` is an unnormalized forward real FFT; ``ifft`` carries the 1/N
+  (torch/numpy "backward" norm — matches jnp.fft defaults)
+
+Parallel modes map the reference's MPI decompositions onto a
+``jax.sharding.Mesh``: FFT_SLAB/FFT_PENCIL shard the grid and perform the
+transform with all_to_all transposes under ``shard_map``; REAL_SPACE shards
+with halo exchange via ``ppermute`` (see marlin_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from enum import Enum
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ParallelMode(Enum):
+    NONE = "NONE"
+    REAL_SPACE = "REAL_SPACE"
+    FFT_SLAB = "FFT_SLAB"
+    FFT_PENCIL = "FFT_PENCIL"
+
+
+class Precision(Enum):
+    DEVICE_DEFAULT = "DEVICE_DEFAULT"
+    SINGLE = "SINGLE"
+    DOUBLE = "DOUBLE"
+
+
+def _default_float_dtype(precision: Precision):
+    """Mirror the reference's device-default precision rule
+    (reference: src/utils/MarlinUtils.C:38-42 — double where supported)."""
+    platform = jax.default_backend()
+    x64 = jax.config.read("jax_enable_x64")
+    if precision == Precision.SINGLE:
+        return jnp.float32
+    if precision == Precision.DOUBLE:
+        if not x64:
+            raise RuntimeError(
+                "DOUBLE precision requires jax_enable_x64 "
+                "(set JAX_ENABLE_X64=1 or jax.config.update('jax_enable_x64', True))"
+            )
+        return jnp.float64
+    # DEVICE_DEFAULT: double where cheap (CPU), single on TPU/GPU
+    if platform == "cpu" and x64:
+        return jnp.float64
+    return jnp.float32
+
+
+_COMPLEX_FOR = {jnp.float32: jnp.complex64, jnp.float64: jnp.complex128}
+
+
+class Domain:
+    """Uniform periodic grid with spectral transforms.
+
+    Parameters mirror the reference ``[Domain]`` block
+    (reference: src/actions/DomainAction.C:29-92).
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        n: Sequence[int],
+        mins: Sequence[float] = (0.0, 0.0, 0.0),
+        maxs: Sequence[float] = (1.0, 1.0, 1.0),
+        parallel_mode: ParallelMode = ParallelMode.NONE,
+        floating_precision: Precision = Precision.DEVICE_DEFAULT,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        periodic: Tuple[bool, bool, bool] = (True, True, True),
+    ):
+        if dim not in (1, 2, 3):
+            raise ValueError(f"Unsupported dimension {dim}")
+        self.dim = dim
+        self.n_global = tuple(int(x) for x in n[:dim])
+        self.mins = tuple(float(x) for x in mins[:dim])
+        self.maxs = tuple(float(x) for x in maxs[:dim])
+        self.parallel_mode = parallel_mode
+        self.periodic = periodic
+        self.mesh = mesh
+
+        for d in range(dim):
+            if self.maxs[d] <= self.mins[d]:
+                raise ValueError(
+                    "Max coordinate must be larger than the min coordinate "
+                    "in every dimension"
+                )
+
+        self.dtype = _default_float_dtype(floating_precision)
+        self.cdtype = _COMPLEX_FOR[self.dtype]
+
+        # grid spacing & volume (reference :240-254)
+        self.grid_spacing = tuple(
+            (self.maxs[d] - self.mins[d]) / self.n_global[d] for d in range(dim)
+        )
+        self.volume_global = math.prod(
+            self.maxs[d] - self.mins[d] for d in range(dim)
+        )
+        self.n_cells_global = math.prod(self.n_global)
+
+        self._build_axes()
+        self._k_square = None
+        self._x_grid = None
+        self._k_grid = None
+
+    # -- axes -------------------------------------------------------------
+    def _use_rfft(self, d: int) -> bool:
+        """Which axis carries the half-spectrum (reference :268-284)."""
+        if self.parallel_mode == ParallelMode.NONE:
+            return d == self.dim - 1
+        if self.parallel_mode == ParallelMode.FFT_PENCIL:
+            return d == 0
+        return False  # REAL_SPACE (no fft), FFT_SLAB (full complex)
+
+    def align(self, t: jnp.ndarray, d: int) -> jnp.ndarray:
+        """Broadcast-align a 1-D axis tensor along dimension d
+        (reference align :1406-1434)."""
+        shape = [1] * self.dim
+        shape[d] = t.shape[0]
+        return t.reshape(shape)
+
+    def _build_axes(self):
+        dim = self.dim
+        self.axes = []  # real-space, aligned
+        self.reciprocal_axes = []  # aligned
+        self.n_reciprocal_global = []
+        self.max_k = []
+        for d in range(dim):
+            h = self.grid_spacing[d]
+            n = self.n_global[d]
+            ax = np.linspace(self.mins[d] + h / 2.0, self.maxs[d] - h / 2.0, n)
+            self.axes.append(self.align(jnp.asarray(ax, dtype=self.dtype), d))
+            if self.parallel_mode == ParallelMode.REAL_SPACE:
+                freq = np.zeros((0,))
+            elif self._use_rfft(d):
+                freq = np.fft.rfftfreq(n, d=h)
+            else:
+                freq = np.fft.fftfreq(n, d=h)
+            k = freq * 2.0 * math.pi
+            self.reciprocal_axes.append(
+                self.align(jnp.asarray(k, dtype=self.dtype), d)
+            )
+            self.n_reciprocal_global.append(k.shape[0])
+            self.max_k.append(math.pi / h)
+
+    # -- shapes -----------------------------------------------------------
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        """Global real-space shape (serial == local; see parallel module)."""
+        return self.n_global
+
+    @property
+    def reciprocal_shape(self) -> Tuple[int, ...]:
+        return tuple(self.n_reciprocal_global)
+
+    def value_shape(self, extra_dims: Sequence[int] = ()) -> Tuple[int, ...]:
+        return self.shape + tuple(extra_dims)
+
+    def reciprocal_value_shape(self, extra_dims: Sequence[int] = ()) -> Tuple[int, ...]:
+        return self.reciprocal_shape + tuple(extra_dims)
+
+    # -- derived grids ----------------------------------------------------
+    @property
+    def k_square(self) -> jnp.ndarray:
+        """|k|² broadcast over the reciprocal grid (reference :1503-1510)."""
+        if self._k_square is None:
+            ks = self.reciprocal_axes[0] * self.reciprocal_axes[0]
+            for d in range(1, self.dim):
+                ks = ks + self.reciprocal_axes[d] * self.reciprocal_axes[d]
+            self._k_square = jnp.broadcast_to(ks, self.reciprocal_shape)
+        return self._k_square
+
+    @property
+    def x_grid(self) -> jnp.ndarray:
+        """Stacked coordinate grid, shape (*shape, dim) for dim>1
+        (reference :1457-1477)."""
+        if self._x_grid is None:
+            if self.dim == 1:
+                self._x_grid = self.axes[0]
+            else:
+                self._x_grid = jnp.stack(
+                    [jnp.broadcast_to(a, self.shape) for a in self.axes], axis=-1
+                )
+        return self._x_grid
+
+    @property
+    def k_grid(self) -> jnp.ndarray:
+        if self._k_grid is None:
+            if self.dim == 1:
+                self._k_grid = self.reciprocal_axes[0]
+            else:
+                self._k_grid = jnp.stack(
+                    [
+                        jnp.broadcast_to(a, self.reciprocal_shape)
+                        for a in self.reciprocal_axes
+                    ],
+                    axis=-1,
+                )
+        return self._k_grid
+
+    def axis(self, d: int) -> jnp.ndarray:
+        return self.axes[d]
+
+    def reciprocal_axis(self, d: int) -> jnp.ndarray:
+        if d < self.dim:
+            return self.reciprocal_axes[d]
+        return jnp.zeros([1] * self.dim, dtype=self.dtype)
+
+    # -- transforms --------------------------------------------------------
+    def fft(self, t: jnp.ndarray) -> jnp.ndarray:
+        """Forward real FFT over the spatial axes (trailing value dims pass
+        through).  Serial path (reference fftSerial :853-867); distributed
+        paths live in marlin_tpu.parallel and are wired in by the problem
+        builder when a mesh is configured."""
+        if self.parallel_mode == ParallelMode.REAL_SPACE:
+            raise RuntimeError("FFT is not available in REAL_SPACE parallel mode.")
+        if self.parallel_mode == ParallelMode.NONE or self.mesh is None:
+            spatial = tuple(range(self.dim))
+            if jnp.iscomplexobj(t):
+                # complex input: full fft on leading dims + rfft-compatible
+                # half spectrum is not defined; use full fftn then slice is
+                # not needed — the reference only ffts real buffers
+                return jnp.fft.fftn(t, axes=spatial).astype(self.cdtype)
+            return jnp.fft.rfftn(t, axes=spatial).astype(self.cdtype)
+        from . import parallel
+
+        return parallel.fft(self, t)
+
+    def ifft(self, t: jnp.ndarray) -> jnp.ndarray:
+        if self.parallel_mode == ParallelMode.REAL_SPACE:
+            raise RuntimeError("IFFT is not available in REAL_SPACE parallel mode.")
+        if self.parallel_mode == ParallelMode.NONE or self.mesh is None:
+            spatial = tuple(range(self.dim))
+            return jnp.fft.irfftn(
+                t, s=self.shape, axes=spatial
+            ).astype(self.dtype)
+        from . import parallel
+
+        return parallel.ifft(self, t)
+
+    # -- reductions --------------------------------------------------------
+    def sum(self, t: jnp.ndarray) -> jnp.ndarray:
+        """Global sum over the spatial axes.  Unlike the reference (serial-only
+        TODO at src/actions/DomainAction.C:1558-1568) this is
+        decomposition-safe: XLA inserts the psum when sharded."""
+        return jnp.sum(t, axis=tuple(range(self.dim)))
+
+    def average(self, t: jnp.ndarray) -> jnp.ndarray:
+        return self.sum(t) / self.n_cells_global
+
+    def cell_volume(self) -> float:
+        return math.prod(self.grid_spacing)
+
+    def __repr__(self):
+        return (
+            f"Domain(dim={self.dim}, n={self.n_global}, "
+            f"box={list(zip(self.mins, self.maxs))}, mode={self.parallel_mode.name})"
+        )

@@ -1,0 +1,128 @@
+"""Typed parameter access over parsed HIT blocks.
+
+Plays the role of MOOSE's InputParameters/validParams machinery for object
+construction (reference objects declare params in ``validParams()``; here each
+object reads them through this accessor with defaults).  Includes GlobalParams
+fallback, the MOOSE convention used by reference decks
+(e.g. test/tests/solvers/diagonal.i `[GlobalParams]`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from .hit import HitNode
+
+
+class ParamError(Exception):
+    pass
+
+
+_BOOL_TRUE = {"true", "1", "yes", "on"}
+_BOOL_FALSE = {"false", "0", "no", "off"}
+
+
+class Params:
+    def __init__(self, node: Optional[HitNode], global_params: Optional[Dict[str, str]] = None):
+        self.node = node
+        self.global_params = global_params or {}
+        self.name = node.name if node is not None else ""
+
+    def _raw(self, key: str) -> Optional[str]:
+        if self.node is not None and key in self.node.params:
+            return self.node.params[key]
+        if key in self.global_params:
+            return self.global_params[key]
+        return None
+
+    def has(self, key: str) -> bool:
+        return self._raw(key) is not None
+
+    def error(self, key: str, msg: str):
+        where = self.node.path() if self.node is not None else "<none>"
+        raise ParamError(f"[{where}] parameter '{key}': {msg}")
+
+    # -- scalar getters ----------------------------------------------------
+    def get_str(self, key: str, default: Optional[str] = None, required: bool = False) -> str:
+        v = self._raw(key)
+        if v is None:
+            if required:
+                self.error(key, "is required")
+            return default
+        return v
+
+    def get_float(self, key: str, default: Optional[float] = None, required: bool = False) -> float:
+        v = self._raw(key)
+        if v is None:
+            if required:
+                self.error(key, "is required")
+            return default
+        try:
+            return float(v)
+        except ValueError:
+            self.error(key, f"cannot parse '{v}' as a number")
+
+    def get_int(self, key: str, default: Optional[int] = None, required: bool = False) -> int:
+        v = self._raw(key)
+        if v is None:
+            if required:
+                self.error(key, "is required")
+            return default
+        try:
+            return int(float(v))
+        except ValueError:
+            self.error(key, f"cannot parse '{v}' as an integer")
+
+    def get_bool(self, key: str, default: bool = False) -> bool:
+        v = self._raw(key)
+        if v is None:
+            return default
+        lv = v.strip().lower()
+        if lv in _BOOL_TRUE:
+            return True
+        if lv in _BOOL_FALSE:
+            return False
+        self.error(key, f"cannot parse '{v}' as a boolean")
+
+    def get_enum(self, key: str, options: Sequence[str], default: Optional[str] = None) -> str:
+        v = self._raw(key)
+        if v is None:
+            return default
+        vu = v.strip()
+        for opt in options:
+            if vu.upper() == opt.upper():
+                return opt
+        self.error(key, f"'{v}' is not one of {list(options)}")
+
+    # -- vector getters ----------------------------------------------------
+    def get_str_vector(self, key: str, default: Optional[List[str]] = None, required: bool = False) -> List[str]:
+        v = self._raw(key)
+        if v is None:
+            if required:
+                self.error(key, "is required")
+            return list(default) if default is not None else []
+        return v.split()
+
+    def get_float_vector(self, key: str, default: Optional[List[float]] = None, required: bool = False) -> List[float]:
+        return [
+            self._parse_float(key, x)
+            for x in self.get_str_vector(
+                key,
+                default=None if default is None else [str(d) for d in default],
+                required=required,
+            )
+        ]
+
+    def get_int_vector(self, key: str, default: Optional[List[int]] = None, required: bool = False) -> List[int]:
+        return [int(x) for x in self.get_float_vector(
+            key, default=None if default is None else [float(d) for d in default], required=required
+        )]
+
+    def _parse_float(self, key, x):
+        try:
+            return float(x)
+        except ValueError:
+            self.error(key, f"cannot parse '{x}' as a number")
+
+    def blocks(self) -> List[HitNode]:
+        return self.node.blocks() if self.node is not None else []
