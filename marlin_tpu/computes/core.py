@@ -1,0 +1,494 @@
+"""Core spectral / phase-field / utility computes.
+
+Pure-function re-designs of the reference compute classes in
+src/tensor_computes/ (see each class docstring for the exact counterpart).
+All heavy lifting is jnp; the enclosing solver step is jax.jit'ed, so XLA
+fuses these pointwise chains (the role of the reference's torch JIT executor).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..expression import CompiledExpression, fparse
+from ..params import Params
+from ..registry import computes
+from .base import ComputeError, TensorCompute
+
+
+@computes.register("ParsedCompute")
+class ParsedCompute(TensorCompute):
+    """Runtime expression over named buffers
+    (reference: src/tensor_computes/ParsedCompute.C:20-271).
+
+    Supports `inputs`, symbolic `derivatives=`, `constant_names/expressions`
+    (evaluated sequentially, earlier constants usable in later expressions),
+    `extra_symbols` (i, x, y, z, kx, ky, kz, k2, t, pi, e),
+    `expand=REAL|RECIPROCAL`, and `is_integer`.
+    """
+
+    RESERVED = ["i", "x", "kx", "y", "ky", "z", "kz", "k2", "t", "pi", "e"]
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.extra_symbols = params.get_bool("extra_symbols", False)
+        self.expand = params.get_enum("expand", ["REAL", "RECIPROCAL", "NONE"], "NONE")
+        self.is_integer = params.get_bool("is_integer", False)
+
+        names = self.input_buffers("inputs")
+        if len(set(names)) != len(names):
+            params.error("inputs", "Duplicate buffer name.")
+
+        constant_names = params.get_str_vector("constant_names")
+        constant_exprs = params.get_str_vector("constant_expressions")
+        if len(set(constant_names)) != len(constant_names):
+            params.error("constant_names", "Duplicate constant name.")
+        if len(constant_names) != len(constant_exprs):
+            params.error(
+                "constant_names",
+                f"constant_names (size {len(constant_names)}) and "
+                f"constant_expressions (size {len(constant_exprs)}) must have "
+                "equal length.",
+            )
+        if self.extra_symbols:
+            for n in list(constant_names) + list(names):
+                if n in self.RESERVED:
+                    params.error(
+                        "constant_names", f"Cannot use reserved name '{n}'."
+                    )
+
+        # constants may be expressions referencing earlier constants and
+        # problem-level constants (reference ParsedCompute.C:104-126)
+        const_env: Dict[str, float] = dict(problem.constants)
+        constants: Dict[str, object] = {}
+        for cname, cexpr in zip(constant_names, constant_exprs):
+            value = fparse(cexpr, const_env)
+            const_env[cname] = value
+            constants[cname] = value
+
+        variables = list(names)
+        if self.extra_symbols:
+            constants["pi"] = math.pi
+            constants["e"] = math.e
+            constants["i"] = 1j
+            variables += ["x", "kx", "y", "ky", "z", "kz", "k2", "t"]
+
+        self.expr = CompiledExpression(
+            params.get_str("expression", required=True),
+            variables,
+            constants=constants,
+            simplify=params.get_bool("enable_fpoptimizer", True),
+        )
+        for d in params.get_str_vector("derivatives"):
+            if d not in names:
+                params.error(
+                    "derivatives",
+                    f"Derivative w.r.t `{d}` was requested, but it is not "
+                    "listed in `inputs`.",
+                )
+            self.expr.differentiate(d)
+        self.expr.compile()
+
+    def apply(self, state, ctx):
+        dom = self.domain
+        env = {n: state[n] for n in self.inputs}
+        if self.extra_symbols:
+            zero = jnp.zeros([1] * dom.dim, dtype=dom.dtype)
+            env["x"] = dom.axis(0)
+            env["y"] = dom.axis(1) if dom.dim > 1 else zero
+            env["z"] = dom.axis(2) if dom.dim > 2 else zero
+            env["kx"] = dom.reciprocal_axis(0)
+            env["ky"] = dom.reciprocal_axis(1)
+            env["kz"] = dom.reciprocal_axis(2)
+            env["k2"] = dom.k_square
+            env["t"] = ctx["t"]
+        u = self.expr(env)
+        if self.is_integer:
+            u = jnp.asarray(u).astype(jnp.int64)
+        else:
+            u = jnp.asarray(u)
+        if self.expand == "REAL":
+            u = jnp.broadcast_to(u, dom.shape)
+        elif self.expand == "RECIPROCAL":
+            u = jnp.broadcast_to(u, dom.reciprocal_shape)
+        return {self.out: u}
+
+
+@computes.register("ConstantTensor")
+class ConstantTensor(TensorCompute):
+    """Constant real-space tensor
+    (reference: src/tensor_computes/ConstantTensor.C)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.real = self.constant("real", 0.0)
+        self.full = params.get_bool("full", False)
+
+    def apply(self, state, ctx):
+        dom = self.domain
+        return {self.out: jnp.full(dom.shape, self.real, dtype=dom.dtype)}
+
+
+@computes.register("ConstantReciprocalTensor")
+class ConstantReciprocalTensor(TensorCompute):
+    """Constant reciprocal-space tensor (complex)
+    (reference: src/tensor_computes/ConstantTensor.C, reciprocal variant)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.real = self.constant("real", 0.0)
+        self.imaginary = self.constant("imaginary", 0.0)
+
+    def apply(self, state, ctx):
+        dom = self.domain
+        value = complex(self.real, self.imaginary)
+        return {self.out: jnp.full(dom.reciprocal_shape, value, dtype=dom.cdtype)}
+
+
+@computes.register("RandomTensor")
+class RandomTensor(TensorCompute):
+    """Uniform random IC between min and max
+    (reference: src/tensor_computes/RandomTensor.C:17-55).
+
+    The reference generates on the CPU with torch's RNG for device
+    reproducibility; we do exactly the same (torch CPU, same seed semantics)
+    so seeded ICs — and therefore the reference gold files — match bit-for-bit
+    at f64.  Not traceable; IC computes run eagerly, so this is fine
+    (reference marks it supportsJIT()=false too).
+    """
+
+    jittable = False
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.min = params.get_float("min", required=True)
+        self.max = params.get_float("max", required=True)
+        self.seed = params.get_int("seed") if params.has("seed") else None
+        self.generate_on_cpu = params.get_bool("generate_on_cpu", True)
+
+    def apply(self, state, ctx):
+        import torch
+
+        if self.seed is not None:
+            torch.manual_seed(self.seed)
+        shape = self.problem.local_tensor_shape()
+        t = torch.rand(
+            list(shape),
+            dtype=torch.float64 if self.domain.dtype == jnp.float64 else torch.float32,
+        )
+        u = jnp.asarray(np.asarray(t.numpy()), dtype=self.domain.dtype)
+        return {self.out: u * (self.max - self.min) + self.min}
+
+
+@computes.register("ForwardFFT")
+class ForwardFFT(TensorCompute):
+    """ū = fft(u) (reference: src/tensor_computes/PerformFFT.C, forward)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.input = self.input_buffer("input")
+
+    def apply(self, state, ctx):
+        return {self.out: self.domain.fft(state[self.input])}
+
+
+@computes.register("InverseFFT")
+class InverseFFT(TensorCompute):
+    """u = ifft(ū) (reference: src/tensor_computes/PerformFFT.C, inverse)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.input = self.input_buffer("input")
+
+    def apply(self, state, ctx):
+        return {self.out: self.domain.ifft(state[self.input])}
+
+
+@computes.register("ReciprocalLaplacianFactor")
+class ReciprocalLaplacianFactor(TensorCompute):
+    """-k² · factor (reference: src/tensor_computes/ReciprocalLaplacianFactor.C:28-31)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.factor = self.constant("factor", 1.0)
+
+    def apply(self, state, ctx):
+        return {self.out: -self.domain.k_square * self.factor}
+
+
+@computes.register("ReciprocalLaplacianSquareFactor")
+class ReciprocalLaplacianSquareFactor(TensorCompute):
+    """k⁴ · factor — sign convention per reference
+    (src/tensor_computes/ReciprocalLaplacianSquareFactor.C: 'ignore the minus
+    which would drop in the next step anyways')."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.factor = self.constant("factor", 1.0)
+
+    def apply(self, state, ctx):
+        k2 = self.domain.k_square
+        return {self.out: k2 * k2 * self.factor}
+
+
+@computes.register("SwiftHohenbergLinear")
+class SwiftHohenbergLinear(TensorCompute):
+    """r − α²(1−k²)² (reference: src/tensor_computes/SwiftHohenbergLinear.C:31-36)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.r = self.constant("r", -0.5)
+        self.alpha = self.constant("alpha", 1.0)
+
+    def apply(self, state, ctx):
+        k2 = self.domain.k_square
+        return {self.out: self.r - self.alpha * self.alpha * (1.0 - k2) * (1.0 - k2)}
+
+
+@computes.register("FFTGradient")
+class FFTGradient(TensorCompute):
+    """∂u/∂x_d = ifft(i·k_d·ū) (reference: src/tensor_computes/FFTGradient.C:26-40)."""
+
+    DIRS = {"X": 0, "Y": 1, "Z": 2}
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.input = self.input_buffer("input")
+        self.input_is_reciprocal = params.get_bool("input_is_reciprocal", False)
+        self.direction = self.DIRS[params.get_enum("direction", ["X", "Y", "Z"], "X")]
+
+    def apply(self, state, ctx):
+        dom = self.domain
+        r = state[self.input] if self.input_is_reciprocal else dom.fft(state[self.input])
+        return {self.out: dom.ifft(r * dom.reciprocal_axis(self.direction) * 1j)}
+
+
+@computes.register("FFTGradientSquare")
+class FFTGradientSquare(TensorCompute):
+    """factor · Σ_d (∂u/∂x_d)²
+    (reference: src/tensor_computes/FFTGradientSquare.C)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.input = self.input_buffer("input")
+        self.input_is_reciprocal = params.get_bool("input_is_reciprocal", False)
+        self.factor = self.constant("factor", 1.0)
+
+    def apply(self, state, ctx):
+        dom = self.domain
+        r = state[self.input] if self.input_is_reciprocal else dom.fft(state[self.input])
+        u = None
+        for d in range(dom.dim):
+            g = dom.ifft(r * dom.reciprocal_axis(d) * 1j)
+            u = g * g if u is None else u + g * g
+        if self.factor != 1.0:
+            u = u * self.factor
+        return {self.out: u}
+
+
+@computes.register("DeAliasingTensor")
+class DeAliasingTensor(TensorCompute):
+    """De-aliasing filter: SHARP 2/3 rule or Hou-Li exponential
+    (reference: src/tensor_computes/DeAliasingTensor.C:31-56)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.method = params.get_enum("method", ["SHARP", "HOULI"], None)
+        if self.method is None:
+            params.error("method", "is required")
+        self.p = params.get_float("p", 16.0)
+        self.alpha = params.get_float("alpha", 36.0)
+
+    def apply(self, state, ctx):
+        dom = self.domain
+        axes = [jnp.abs(dom.reciprocal_axis(d)) for d in range(3)]
+        maxima = [float(jnp.max(a)) if a.size else 0.0 for a in axes]
+        if self.method == "SHARP":
+            mask = None
+            for a, m in zip(axes, maxima):
+                cond = a > 2.0 * m / 3.0
+                mask = cond if mask is None else mask | cond
+            u = jnp.where(mask, 0.0, 1.0).astype(dom.dtype)
+        else:
+            acc = None
+            for a, m in zip(axes, maxima):
+                term = jnp.power(a / (m if m else 1.0), self.p)
+                acc = term if acc is None else acc + term
+            u = jnp.exp(-self.alpha * acc).astype(dom.dtype)
+        return {self.out: jnp.broadcast_to(u, dom.reciprocal_shape)}
+
+
+@computes.register("ReciprocalAllenCahn")
+class ReciprocalAllenCahn(TensorCompute):
+    """fft of −L·dF/dη masked by ψ>0 (smoothed-boundary no-flux)
+    (reference: src/tensor_computes/ReciprocalAllenCahn.C:38-50)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.dF = self.input_buffer("dF_chem_deta")
+        self.L = self.input_buffer("L")
+        self.psi = self.input_buffer("psi")
+        self.always_update_psi = params.get_bool("always_update_psi", False)
+
+    def apply(self, state, ctx):
+        psi_thresh = state[self.psi] > 0.0
+        rate = jnp.where(psi_thresh, -1.0 * state[self.L] * state[self.dF], 0.0)
+        return {self.out: self.domain.fft(rate)}
+
+
+@computes.register("ReciprocalMatDiffusion")
+class ReciprocalMatDiffusion(TensorCompute):
+    """Variable-mobility div(M∇µ) in k-space with smoothed-boundary no-flux
+    (reference: src/tensor_computes/ReciprocalMatDiffusion.C:37-66)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.chem_pot = self.input_buffer("chemical_potential")
+        self.M = self.input_buffer("mobility")
+        self.psi = self.input_buffer("psi", required=False)
+        self.always_update_psi = params.get_bool("always_update_psi", False)
+
+    def apply(self, state, ctx):
+        dom = self.domain
+        k = [dom.reciprocal_axis(d) for d in range(3)]
+        mu = state[self.chem_pot]
+        M = state[self.M]
+        if self.psi is not None:
+            psi = state[self.psi]
+            psi_thresh = psi > 0.0
+            psibar = dom.fft(psi)
+            grad_psi_by_psi = [
+                jnp.where(psi_thresh, dom.ifft(k[d] * psibar * 1j) / psi, 0.0)
+                for d in range(3)
+            ]
+            psi_M = M * psi_thresh
+        else:
+            grad_psi_by_psi = None
+            psi_M = M
+        mubar = dom.fft(mu)
+        J = [psi_M * dom.ifft(k[d] * mubar * 1j) for d in range(3)]
+        div_J_hat = 1j * (
+            k[0] * dom.fft(J[0]) + k[1] * dom.fft(J[1]) + k[2] * dom.fft(J[2])
+        )
+        if grad_psi_by_psi is not None:
+            no_flux_hat = dom.fft(
+                grad_psi_by_psi[0] * J[0]
+                + grad_psi_by_psi[1] * J[1]
+                + grad_psi_by_psi[2] * J[2]
+            )
+            return {self.out: div_J_hat + no_flux_hat}
+        return {self.out: div_J_hat}
+
+
+@computes.register("SmoothRectangleCompute")
+class SmoothRectangleCompute(TensorCompute):
+    """Smoothed rectangle indicator IC
+    (reference: src/tensor_computes/SmoothRectangleCompute.C)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.x1 = params.get_float("x1", required=True)
+        self.x2 = params.get_float("x2", required=True)
+        self.y1 = params.get_float("y1", required=True)
+        self.y2 = params.get_float("y2", required=True)
+        self.z1 = params.get_float("z1", 0.0)
+        self.z2 = params.get_float("z2", 0.0)
+        self.interpolation = params.get_enum("interpolation_function", ["COS", "TANH"], "COS")
+        self.int_width = params.get_float("int_width", 0.0)
+        self.inside = params.get_float("inside", 1.0)
+        self.outside = params.get_float("outside", 0.0)
+
+    def _profile(self, coord, lo, hi):
+        jnp_ = jnp
+        w = self.int_width
+        if w <= 0.0:
+            return ((coord >= lo) & (coord <= hi)).astype(self.domain.dtype)
+        if self.interpolation == "TANH":
+            return 0.5 * (
+                jnp_.tanh(2.0 * (coord - lo) / w) - jnp_.tanh(2.0 * (coord - hi) / w)
+            )
+        # COS interpolation ramps over int_width at each edge
+        ramp_up = jnp_.clip((coord - (lo - w / 2)) / w, 0.0, 1.0)
+        ramp_dn = jnp_.clip(((hi + w / 2) - coord) / w, 0.0, 1.0)
+        smooth = lambda s: 0.5 - 0.5 * jnp_.cos(s * math.pi)  # noqa: E731
+        return smooth(ramp_up) * smooth(ramp_dn)
+
+    def apply(self, state, ctx):
+        dom = self.domain
+        f = self._profile(dom.axis(0), self.x1, self.x2)
+        if dom.dim > 1:
+            f = f * self._profile(dom.axis(1), self.y1, self.y2)
+        if dom.dim > 2:
+            f = f * self._profile(dom.axis(2), self.z1, self.z2)
+        u = self.outside + (self.inside - self.outside) * f
+        return {self.out: jnp.broadcast_to(u, dom.shape).astype(dom.dtype)}
+
+
+@computes.register("FiniteDifferenceLaplacian")
+class FiniteDifferenceLaplacian(TensorCompute):
+    """3/5-point finite-difference Laplacian on the periodic grid
+    (reference: src/tensor_computes/FiniteDifferenceLaplacian.C:19-110).
+
+    Implemented with jnp.roll over spatial axes (periodic wrap), which XLA
+    fuses; in REAL_SPACE parallel mode the halo exchange supplies ghosts."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.input = self.input_buffer("input")
+        self.factor = params.get_float("factor", 1.0)
+        self.stencil = int(params.get_enum("stencil", ["3", "5"], "3"))
+        ghost = 1 if self.stencil == 3 else 2
+        problem.request_ghost_layers(ghost)
+
+    def apply(self, state, ctx):
+        dom = self.domain
+        u = state[self.input]
+        out = jnp.zeros_like(u)
+        for d in range(dom.dim):
+            h2 = dom.grid_spacing[d] ** 2
+            if self.stencil == 3:
+                out = out + (
+                    jnp.roll(u, 1, axis=d) - 2.0 * u + jnp.roll(u, -1, axis=d)
+                ) / h2
+            else:
+                out = out + (
+                    -jnp.roll(u, 2, axis=d)
+                    + 16.0 * jnp.roll(u, 1, axis=d)
+                    - 30.0 * u
+                    + 16.0 * jnp.roll(u, -1, axis=d)
+                    - jnp.roll(u, -2, axis=d)
+                ) / (12.0 * h2)
+        return {self.out: out * self.factor}
+
+
+@computes.register("MooseFunctionTensor")
+class MooseFunctionTensor(TensorCompute):
+    """Sample a deck-defined function onto the grid.
+
+    The reference samples an arbitrary MOOSE Function
+    (src/tensor_computes/MooseFunctionTensor.C); here the deck's [Functions]
+    blocks are parsed-expression functions of (x, y, z, t), which covers the
+    shipped decks without importing MOOSE."""
+
+    jittable = False
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        fname = params.get_str("function", required=True)
+        self.function = problem.get_function(fname)
+
+    def apply(self, state, ctx):
+        dom = self.domain
+        zero = jnp.zeros([1] * dom.dim, dtype=dom.dtype)
+        env = {
+            "x": dom.axis(0),
+            "y": dom.axis(1) if dom.dim > 1 else zero,
+            "z": dom.axis(2) if dom.dim > 2 else zero,
+            "t": ctx["t"],
+        }
+        u = self.function(env)
+        return {self.out: jnp.broadcast_to(u, dom.shape).astype(dom.dtype)}

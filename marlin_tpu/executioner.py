@@ -1,0 +1,258 @@
+"""Transient executioner, time steppers, Terminator, CSV output.
+
+Plays the role MOOSE's Transient executioner + Outputs system play for the
+reference: the outer (host-side) time loop around the jitted step function.
+Only scalar postprocessor values cross the device boundary each step; field
+outputs fetch buffers on their own cadence.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, List, Optional
+
+from .expression import fparse
+from .hit import HitNode
+from .params import Params
+from .problem import TensorProblem
+
+
+class TimeStepper:
+    def __init__(self, params: Params):
+        self.dt0 = params.get_float("dt", 1.0)
+
+    def dt(self, step: int, dt_old: float, solver_info: Optional[dict]) -> float:
+        return self.dt0
+
+
+class IterationAdaptiveDT(TimeStepper):
+    """MOOSE IterationAdaptiveDT subset: grow dt by growth_factor each
+    converged step; cut back by cutback_factor on non-convergence.  With
+    `optimal_iterations` set, grow/shrink based on solver iteration count
+    (used by the reference with iterative tensor solvers via
+    TensorSolveIterationAdaptiveDT, src/timesteppers/
+    TensorSolveIterationAdaptiveDT.C:12-100)."""
+
+    def __init__(self, params: Params):
+        super().__init__(params)
+        self.growth_factor = params.get_float("growth_factor", 2.0)
+        self.cutback_factor = params.get_float("cutback_factor", 0.5)
+        self.optimal_iterations = params.get_int("optimal_iterations", None)
+        self.iteration_window = params.get_int(
+            "iteration_window",
+            int(self.optimal_iterations / 5) if self.optimal_iterations else 0,
+        )
+
+    def dt(self, step, dt_old, solver_info):
+        if step <= 1:
+            return self.dt0
+        if solver_info is not None and not solver_info.get("converged", True):
+            return dt_old * self.cutback_factor
+        if self.optimal_iterations is not None and solver_info is not None:
+            its = solver_info.get("iterations", 0)
+            if its > self.optimal_iterations + self.iteration_window:
+                return dt_old * self.cutback_factor
+            if its < self.optimal_iterations - self.iteration_window:
+                return dt_old * self.growth_factor
+            return dt_old
+        return dt_old * self.growth_factor
+
+
+def build_stepper(exec_node: Optional[HitNode], global_params) -> TimeStepper:
+    if exec_node is not None:
+        ts = exec_node.children.get("TimeStepper") or exec_node.children.get(
+            "TimeSteppers"
+        )
+        if ts is not None:
+            p = Params(ts, global_params)
+            t = p.get_str("type", "ConstantDT")
+            if t in ("IterationAdaptiveDT", "TensorSolveIterationAdaptiveDT"):
+                return IterationAdaptiveDT(p)
+            return TimeStepper(p)
+    return TimeStepper(Params(exec_node, global_params))
+
+
+class Terminator:
+    """[UserObjects] Terminator: stop the run when an expression over
+    postprocessor values becomes true (used by reference
+    benchmarks/01_spinodal_decomposition/1a.i:107-111)."""
+
+    def __init__(self, params: Params):
+        self.expression = params.get_str("expression", required=True)
+        self.fail_mode = params.get_str("fail_mode", "HARD")
+
+    def check(self, pp_values: Dict[str, float]) -> bool:
+        try:
+            return fparse(self.expression, pp_values) != 0.0
+        except Exception:
+            return False
+
+
+class CSVWriter:
+    """MOOSE-compatible CSV output: `time` column + ASCII-sorted
+    postprocessor columns, 14 significant digits."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.rows: List[Dict[str, float]] = []
+        self.columns: List[str] = []
+
+    def add_row(self, time: float, values: Dict[str, float]):
+        row = {"time": time}
+        row.update(values)
+        for k in values:
+            if k not in self.columns:
+                self.columns.append(k)
+        self.rows.append(row)
+
+    @staticmethod
+    def _fmt(x: float) -> str:
+        if x == 0:
+            return "0"
+        return f"{x:.14g}"
+
+    def write(self):
+        cols = ["time"] + sorted(self.columns)
+        with open(self.path, "w") as f:
+            f.write(",".join(cols) + "\n")
+            for row in self.rows:
+                f.write(
+                    ",".join(self._fmt(row.get(c, 0.0)) for c in cols) + "\n"
+                )
+
+
+class Transient:
+    """The time loop: dt scheduling, solver stepping, postprocessor and
+    output execution, terminator checks."""
+
+    def __init__(
+        self,
+        problem: TensorProblem,
+        exec_node: Optional[HitNode] = None,
+        outputs_node: Optional[HitNode] = None,
+        user_objects_node: Optional[HitNode] = None,
+        file_base: Optional[str] = None,
+        output_dir: str = ".",
+    ):
+        self.problem = problem
+        gp = problem.global_params
+        p = Params(exec_node, gp)
+        self.num_steps = p.get_int("num_steps", 10**9)
+        self.start_time = p.get_float("start_time", 0.0)
+        self.end_time = p.get_float("end_time", 1e30)
+        self.dtmin = p.get_float("dtmin", 1e-12)
+        self.dtmax = p.get_float("dtmax", 1e30)
+        self.stepper = build_stepper(exec_node, gp)
+        if "dt" in (exec_node.params if exec_node is not None else {}):
+            self.stepper.dt0 = p.get_float("dt")
+
+        self.terminators: List[Terminator] = []
+        if user_objects_node is not None:
+            for b in user_objects_node.blocks():
+                bp = Params(b, gp)
+                if bp.get_str("type") == "Terminator":
+                    self.terminators.append(Terminator(bp))
+
+        self.csv = None
+        op = Params(outputs_node, gp)
+        self.file_base = file_base or op.get_str("file_base", "out")
+        if op.get_bool("csv", False):
+            self.csv = CSVWriter(os.path.join(output_dir, self.file_base + ".csv"))
+        self.tensor_outputs = []  # XDMF etc., attached externally
+
+        self.state = None
+        self.time = self.start_time
+        self.step_count = 0
+        self.pp_values: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    def init(self):
+        self.state = self.problem.init_state()
+        self.time = self.start_time
+        # EXEC_INITIAL: run INITIAL postprocessors; CSV row 0 reports 0 for
+        # TIMESTEP_END-only postprocessors (MOOSE semantics, see reference
+        # gold test/tests/solvers/gold/diagonal_10_0_1.csv row 0)
+        initial = self.problem.execute_postprocessors(
+            self.state, "INITIAL", self.time, 0.0
+        )
+        self.pp_values = {pp.name: 0.0 for pp in self.problem.postprocessors}
+        self.pp_values.update(initial)
+        if self.csv is not None:
+            self.csv.add_row(self.time, dict(self.pp_values))
+        for out in self.tensor_outputs:
+            out.output(self.problem, self.state, self.time, initial=True)
+
+    def run(self) -> Dict[str, float]:
+        if self.state is None:
+            self.init()
+        dt_old = 0.0
+        dt = self.stepper.dt0
+        solver_info = None
+        while self.step_count < self.num_steps and self.time < self.end_time - 1e-13:
+            self.step_count += 1
+            dt = self.stepper.dt(self.step_count, dt, solver_info)
+            dt = min(dt, self.dtmax, self.end_time - self.time)
+            dt = max(dt, self.dtmin)
+
+            self.state = self.problem.step(
+                self.state, self.time, dt, dt_old, first_step=(self.step_count == 1)
+            )
+            solver_info = self._solver_info()
+            self.time += dt
+            dt_old = dt
+
+            values = self.problem.execute_postprocessors(
+                self.state, "TIMESTEP_END", self.time, dt
+            )
+            self.pp_values.update(values)
+            if self.csv is not None:
+                self.csv.add_row(self.time, dict(self.pp_values))
+            for out in self.tensor_outputs:
+                out.output(self.problem, self.state, self.time)
+
+            if any(t.check(self.pp_values) for t in self.terminators):
+                break
+
+        if self.csv is not None:
+            self.csv.write()
+        for out in self.tensor_outputs:
+            out.finalize()
+        return self.pp_values
+
+    def _solver_info(self):
+        sstate = self.state.get("solver", {})
+        if "iterations" not in sstate:
+            return None
+        return {
+            "iterations": int(sstate["iterations"]),
+            "converged": bool(sstate["converged"]),
+        }
+
+
+def run_deck(
+    root: HitNode,
+    file_base: Optional[str] = None,
+    output_dir: str = ".",
+    mesh=None,
+) -> Transient:
+    """Build and run a full deck; returns the finished Transient."""
+    problem = TensorProblem(root, mesh=mesh)
+    transient = Transient(
+        problem,
+        exec_node=root.children.get("Executioner"),
+        outputs_node=root.children.get("Outputs"),
+        user_objects_node=root.children.get("UserObjects"),
+        file_base=file_base,
+        output_dir=output_dir,
+    )
+    # [TensorOutputs] — XDMF/HDF5 field outputs
+    tout = root.children.get("TensorOutputs")
+    if tout is not None:
+        from .outputs import build_tensor_outputs
+
+        transient.tensor_outputs = build_tensor_outputs(
+            tout, problem, output_dir=output_dir
+        )
+    transient.run()
+    return transient

@@ -281,6 +281,10 @@ def expand_braces(root: HitNode, variables: Optional[Dict[str, str]] = None):
     def expand_value(node: HitNode, value: str, stack=()) -> str:
         def repl(m):
             inner = m.group(1).strip()
+            if inner.startswith("units"):
+                # `${units 10 s}` — value with unit annotation; MOOSE converts
+                # to base units, shipped decks only use base units already
+                return inner.split()[1]
             if inner.startswith("fparse"):
                 exprsrc = inner[len("fparse") :].strip()
                 # brace expressions may reference deck variables

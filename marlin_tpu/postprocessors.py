@@ -1,0 +1,202 @@
+"""Postprocessors: scalar reductions over tensor buffers, reported to CSV.
+
+Re-design of reference src/postprocessors/ (491 LoC).  Each postprocessor is
+a pure function ``(state, ctx) -> scalar``; all PPs for a timestep evaluate
+inside one jit region, and — unlike the reference, whose ``DomainAction::sum``
+is serial-only (src/actions/DomainAction.C:1558-1568) — the reductions are
+decomposition-safe under sharding (XLA inserts the collectives).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from .params import Params
+from .registry import postprocessors
+
+
+class Postprocessor:
+    default_execute_on = ["TIMESTEP_END"]
+
+    def __init__(self, name: str, params: Params, problem):
+        self.name = name
+        self.params = params
+        self.problem = problem
+        self.domain = problem.domain
+        self.execute_on = set(
+            x.upper()
+            for x in params.get_str_vector("execute_on", default=self.default_execute_on)
+        )
+
+    def history_requests(self):
+        return {}
+
+    def compute(self, state, ctx):
+        raise NotImplementedError
+
+
+class TensorPostprocessor(Postprocessor):
+    """Base for buffer-reading PPs (reference TensorPostprocessor.C:1-26)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.buffer = params.get_str("buffer", required=True)
+
+
+@postprocessors.register("TensorAveragePostprocessor")
+class TensorAveragePostprocessor(TensorPostprocessor):
+    """Mean over the grid (reference TensorAveragePostprocessor.C)."""
+
+    def compute(self, state, ctx):
+        u = state["buffers"][self.buffer]
+        return jnp.sum(u) / u.size
+
+
+@postprocessors.register("TensorIntegralPostprocessor")
+class TensorIntegralPostprocessor(TensorAveragePostprocessor):
+    """Mean · domain volume (reference TensorIntegralPostprocessor.C:29-45)."""
+
+    def compute(self, state, ctx):
+        return super().compute(state, ctx) * self.domain.volume_global
+
+
+@postprocessors.register("TensorIntegralChangePostprocessor")
+class TensorIntegralChangePostprocessor(TensorPostprocessor):
+    """Σ|u − u_old| · Π h_d (reference TensorIntegralChangePostprocessor.C)."""
+
+    def history_requests(self):
+        return {self.buffer: 1}
+
+    def compute(self, state, ctx):
+        u = state["buffers"][self.buffer]
+        n_old = jnp.minimum(state["n_advances"], state["old"][self.buffer].shape[0])
+        u_old = state["old"][self.buffer][0]
+        integral = jnp.where(
+            n_old > 0,
+            jnp.sum(jnp.abs(u - u_old)),
+            jnp.sum(jnp.abs(u)),
+        )
+        return integral * math.prod(self.domain.grid_spacing)
+
+
+@postprocessors.register("TensorExtremeValuePostprocessor")
+class TensorExtremeValuePostprocessor(TensorPostprocessor):
+    """MIN/MAX over the grid (reference TensorExtremeValuePostprocessor.C)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.value_type = params.get_enum("value_type", ["MIN", "MAX"], "MAX")
+
+    def compute(self, state, ctx):
+        u = state["buffers"][self.buffer]
+        return jnp.min(u) if self.value_type == "MIN" else jnp.max(u)
+
+
+@postprocessors.register("ReciprocalIntegral")
+class ReciprocalIntegral(TensorPostprocessor):
+    """k=0 component / N · V (reference ReciprocalIntegral.C)."""
+
+    def compute(self, state, ctx):
+        u = state["buffers"][self.buffer]
+        zero = u[(0,) * self.domain.dim]
+        n = self.domain.n_cells_global
+        return jnp.real(zero) / n * self.domain.volume_global
+
+
+@postprocessors.register("SemiImplicitCriticalTimeStep")
+class SemiImplicitCriticalTimeStep(TensorPostprocessor):
+    """dt_crit = 1/max|L̄| (reference SemiImplicitCriticalTimeStep.C:30-46)."""
+
+    def compute(self, state, ctx):
+        u = state["buffers"][self.buffer]
+        max_norm_k = jnp.sqrt(jnp.max(jnp.real(u * jnp.conj(u))))
+        return jnp.where(max_norm_k > 0.0, 1.0 / max_norm_k, 1e30)
+
+
+@postprocessors.register("TensorInterfaceVelocityPostprocessor")
+class TensorInterfaceVelocityPostprocessor(TensorPostprocessor):
+    """Interface velocity max|du/dt / ∇u|
+    (reference TensorInterfaceVelocityPostprocessor.C)."""
+
+    def history_requests(self):
+        return {self.buffer: 1}
+
+    def compute(self, state, ctx):
+        dom = self.domain
+        u = state["buffers"][self.buffer]
+        n_old = jnp.minimum(state["n_advances"], state["old"][self.buffer].shape[0])
+        u_old = state["old"][self.buffer][0]
+        du = (u - u_old) / ctx["dt"]
+        ubar = dom.fft(u)
+        vsquare = None
+        for d in range(dom.dim):
+            grad = dom.ifft(ubar * dom.reciprocal_axis(d) * 1j)
+            v = jnp.where(jnp.abs(grad) > 1e-3, du / grad, 0.0)
+            vsquare = v * v if vsquare is None else vsquare + v * v
+        vel = jnp.sqrt(jnp.max(vsquare))
+        return jnp.where(n_old > 0, vel, 0.0)
+
+
+@postprocessors.register("ComputeGroupExecutionCount")
+class ComputeGroupExecutionCount(Postprocessor):
+    """Execution count of a compute group (JIT sanity check in the reference,
+    ComputeGroupExecutionCount.C).  In this design groups are traced functions
+    executed exactly once per substep; report substeps·steps equivalent."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.compute_group = params.get_str("compute_group", required=True)
+
+    def compute(self, state, ctx):
+        return ctx.get("compute_count", jnp.zeros(()))
+
+
+@postprocessors.register("ComputeReynoldsNumber")
+class ComputeReynoldsNumber(TensorPostprocessor):
+    """LBM Reynolds number (reference ComputeReynoldsNumber.C)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.tau = problem.get_constant(params.get_str("tau", required=True))
+        self.D = problem.get_constant(params.get_str("diameter", required=True))
+
+    def compute(self, state, ctx):
+        u = state["buffers"][self.buffer]
+        kinematic_viscosity = 1.0 / math.sqrt(3.0) * (self.tau - 0.5)
+        avg_speed = jnp.sum(u) / u.size
+        return avg_speed * self.D / kinematic_viscosity
+
+
+@postprocessors.register("IterationPostprocessor", "TensorSolverIterations")
+class TensorSolverIterations(Postprocessor):
+    """Iteration count of the iterative tensor solver."""
+
+    def compute(self, state, ctx):
+        return state.get("solver", {}).get("iterations", jnp.zeros((), jnp.int32))
+
+
+@postprocessors.register("ParsedPostprocessor")
+class ParsedPostprocessor(Postprocessor):
+    """Expression over other postprocessor values (MOOSE built-in used by
+    reference test/tests/solvers/etdrk4_diffusion.i).  Evaluated host-side
+    after the tensor postprocessors."""
+
+    depends_on_pps = True
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        from .expression import parse as parse_expr
+
+        self.pp_names = params.get_str_vector("pp_names")
+        self.pp_symbols = params.get_str_vector("pp_symbols", default=self.pp_names)
+        self.expression = params.get_str("expression", required=True)
+
+    def compute_host(self, pp_values, t):
+        from .expression import fparse
+
+        env = {"t": t}
+        for sym, name in zip(self.pp_symbols, self.pp_names):
+            env[sym] = pp_values.get(name, 0.0)
+        return fparse(self.expression, env)

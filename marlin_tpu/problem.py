@@ -1,0 +1,455 @@
+"""TensorProblem: owns buffers, computes, solver, postprocessors.
+
+Re-design of reference TensorProblem (src/problems/TensorProblem.C, 850 LoC)
+as a builder that turns a parsed deck into pure jitted step functions over a
+state pytree:
+
+    state = {"buffers": {...}, "old": {...}, "n_advances": i32, "old_dt": f[],
+             "solver": {...}}
+
+One MOOSE timestep (including all solver substeps) is a single jit region —
+the reference's per-substep C++ dispatch (TensorProblem::execute →
+TensorSolver::computeBuffer, :154-197) plus its torch-JIT graph execution
+collapse into one XLA program.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import computes as _computes_pkg  # noqa: F401  (registers compute types)
+from . import solvers as _solvers_pkg  # noqa: F401  (registers solver types)
+from .computes.base import ComputeError, ComputeGroup, TensorCompute
+from .domain import Domain, ParallelMode, Precision
+from .expression import CompiledExpression
+from .hit import HitNode
+from .params import ParamError, Params
+from .postprocessors import Postprocessor
+from .registry import computes as compute_registry
+from .registry import postprocessors as pp_registry
+from .registry import predictors as predictor_registry
+from .registry import solvers as solver_registry
+
+
+class ProblemError(Exception):
+    pass
+
+
+def build_domain(node: Optional[HitNode], mesh=None) -> Domain:
+    if node is None:
+        raise ProblemError("Missing [Domain] block")
+    p = Params(node)
+    dim = p.get_int("dim", required=True)
+    n = [p.get_int("nx", 1), p.get_int("ny", 1), p.get_int("nz", 1)]
+    mins = [p.get_float("xmin", 0.0), p.get_float("ymin", 0.0), p.get_float("zmin", 0.0)]
+    maxs = [p.get_float("xmax", 1.0), p.get_float("ymax", 1.0), p.get_float("zmax", 1.0)]
+    mode = ParallelMode(p.get_enum(
+        "parallel_mode", [m.value for m in ParallelMode], "NONE"))
+    precision = Precision(p.get_enum(
+        "floating_precision", [x.value for x in Precision], "DEVICE_DEFAULT"))
+    return Domain(
+        dim=dim, n=n, mins=mins, maxs=maxs, parallel_mode=mode,
+        floating_precision=precision, mesh=mesh,
+    )
+
+
+class TensorProblem:
+    def __init__(self, root: HitNode, mesh=None):
+        self.root = root
+        gp = root.children.get("GlobalParams")
+        self.global_params = dict(gp.params) if gp is not None else {}
+
+        self.domain = build_domain(root.children.get("Domain"), mesh=mesh)
+        self.max_ghost_layers = 0
+
+        # -- problem-level constants (reference TensorProblem.C:38-39,57-60)
+        self.constants: Dict[str, float] = {}
+        prob = root.children.get("Problem")
+        self.problem_params = Params(prob, self.global_params)
+        names = self.problem_params.get_str_vector("scalar_constant_names")
+        values = self.problem_params.get_float_vector("scalar_constant_values")
+        if len(names) != len(values):
+            raise ProblemError("scalar_constant_names/values length mismatch")
+        self.constants.update(dict(zip(names, values)))
+        self.spectral_solve_substeps = self.problem_params.get_int(
+            "spectral_solve_substeps", 1
+        )
+        self.is_lbm = (
+            self.problem_params.get_str("type", "TensorProblem")
+            == "LatticeBoltzmannProblem"
+        )
+
+        # -- functions ------------------------------------------------------
+        self.functions: Dict[str, CompiledExpression] = {}
+        fns = root.children.get("Functions")
+        if fns is not None:
+            for b in fns.blocks():
+                p = Params(b, self.global_params)
+                expr = p.get_str("expression", p.get_str("value", "0"))
+                self.functions[b.name] = CompiledExpression(
+                    expr, ["x", "y", "z", "t"], constants={"pi": math.pi, "e": math.e}
+                )
+
+        # -- explicit buffers ----------------------------------------------
+        self.buffer_specs: Dict[str, Params] = {}
+        tb = root.children.get("TensorBuffers")
+        if tb is not None:
+            for b in tb.blocks():
+                self.buffer_specs[b.name] = Params(b, self.global_params)
+
+        # -- stencils (LBM) -------------------------------------------------
+        self.stencils = {}
+        st = root.children.get("Stencil")
+        if st is not None:
+            from .registry import stencils as stencil_registry
+
+            for b in st.blocks():
+                p = Params(b, self.global_params)
+                self.stencils[b.name] = stencil_registry.create(
+                    p.get_str("type", required=True), b.name, p, self
+                )
+
+        # -- computes -------------------------------------------------------
+        tc = root.children.get("TensorComputes")
+        ic_nodes = tc.children.get("Initialize") if tc else None
+        solve_nodes = tc.children.get("Solve") if tc else None
+        pp_nodes = tc.children.get("Postprocess") if tc else None
+        bc_nodes = tc.children.get("Boundary") if tc else None
+
+        self.ic_computes = self._build_group("_initialize", ic_nodes)
+        self.solve_computes = (
+            [self._build_compute(b) for b in solve_nodes.blocks()]
+            if solve_nodes is not None
+            else []
+        )
+        self.pp_computes = self._build_group("_postprocess", pp_nodes)
+        self.bc_computes = (
+            [self._build_compute(b) for b in bc_nodes.blocks()]
+            if bc_nodes is not None
+            else []
+        )
+
+        # -- solver ---------------------------------------------------------
+        self.solver = None
+        self._build_solver(root)
+
+        # -- postprocessors --------------------------------------------------
+        self.postprocessors: List[Postprocessor] = []
+        pps = root.children.get("Postprocessors")
+        if pps is not None:
+            for b in pps.blocks():
+                p = Params(b, self.global_params)
+                self.postprocessors.append(
+                    pp_registry.create(p.get_str("type", required=True), b.name, p, self)
+                )
+
+        self._step_fns = {}
+        self._pp_fns = {}
+        self._initialized = False
+
+    # ------------------------------------------------------------------
+    def _build_compute(self, node: HitNode) -> TensorCompute:
+        params = Params(node, self.global_params)
+        tname = params.get_str("type")
+        children = node.blocks()
+        if tname is None or tname == "ComputeGroup":
+            members = [self._build_compute(b) for b in children]
+            return ComputeGroup(node.name, params, self, members)
+        cls = compute_registry.get(tname)
+        return cls(node.name, params, self)
+
+    def _build_group(self, name: str, node: Optional[HitNode]) -> ComputeGroup:
+        members = [self._build_compute(b) for b in node.blocks()] if node is not None else []
+        return ComputeGroup(name, Params(None, self.global_params), self, members)
+
+    def _build_solver(self, root: HitNode):
+        ts = root.children.get("TensorSolver")
+        tti = root.children.get("TensorTimeIntegrators")
+        if ts is not None:
+            params = Params(ts, self.global_params)
+            cls = solver_registry.get(params.get_str("type", required=True))
+            self.solver = cls(ts.name, params, self)
+            root_name = params.get_str("root_compute")
+            # predictors sub-block
+            preds = ts.children.get("Predictors")
+            if preds is not None:
+                for b in preds.blocks():
+                    p = Params(b, self.global_params)
+                    pred = predictor_registry.create(
+                        p.get_str("type", required=True), b.name, p, self
+                    )
+                    getattr(self.solver, "predictors", []).append(pred)
+        elif tti is not None:
+            # legacy [TensorTimeIntegrators] FFTSemiImplicit blocks
+            # (reference benchmarks/01_spinodal_decomposition/1a.i:114-121;
+            # the block maps exactly onto an AdamsBashforthMoulton solver of
+            # predictor order history_size+1 with substeps from the Problem's
+            # spectral_solve_substeps — see src/tensor_timeintegrators/
+            # FFTSemiImplicit.C:42-63 whose order-2 update equals AB2)
+            buffers, rbufs, lins, nonlins = [], [], [], []
+            history = 1
+            for b in tti.blocks():
+                p = Params(b, self.global_params)
+                if p.get_str("type") != "FFTSemiImplicit":
+                    raise ProblemError(
+                        f"Unsupported TensorTimeIntegrator type {p.get_str('type')}"
+                    )
+                buffers.append(p.get_str("buffer", required=True))
+                rbufs.append(p.get_str("reciprocal_buffer", required=True))
+                lins.append(p.get_str("linear_reciprocal", "0"))
+                nonlins.append(p.get_str("nonlinear_reciprocal", required=True))
+                history = max(history, p.get_int("history_size", 1))
+            synth = HitNode("_fft_semi_implicit")
+            synth.set_param("buffer", " ".join(buffers))
+            synth.set_param("reciprocal_buffer", " ".join(rbufs))
+            synth.set_param("linear_reciprocal", " ".join(lins))
+            synth.set_param("nonlinear_reciprocal", " ".join(nonlins))
+            synth.set_param("predictor_order", str(history + 1))
+            synth.set_param("corrector_steps", "0")
+            synth.set_param("substeps", str(self.spectral_solve_substeps))
+            cls = solver_registry.get("AdamsBashforthMoulton")
+            self.solver = cls(synth.name, Params(synth, self.global_params), self)
+            root_name = None
+        else:
+            return
+
+        # resolve root compute (reference CreateTensorSolverAction.C:30-60:
+        # auto ComputeGroup encompassing all solve computes if unspecified)
+        if root_name is not None:
+            named = {c.name: c for c in self.solve_computes}
+            if root_name not in named:
+                raise ProblemError(f"root_compute '{root_name}' not found")
+            root_compute = named[root_name]
+        else:
+            root_compute = ComputeGroup(
+                "_solve_root", Params(None, self.global_params), self, self.solve_computes
+            )
+        root_compute.sort()
+        self.solver.bind(root_compute)
+
+    # -- services used by computes ------------------------------------------
+    def get_constant(self, name: str) -> float:
+        if name not in self.constants:
+            try:
+                return float(name)
+            except ValueError:
+                raise ProblemError(
+                    f"Constant '{name}' was requested but never declared."
+                )
+        return self.constants[name]
+
+    def declare_constant(self, name: str, value: float):
+        self.constants[name] = value
+
+    def get_function(self, name: str) -> CompiledExpression:
+        if name not in self.functions:
+            raise ProblemError(f"Function '{name}' not found")
+        return self.functions[name]
+
+    def get_stencil(self, name: str):
+        if name not in self.stencils:
+            raise ProblemError(f"Stencil '{name}' not found")
+        return self.stencils[name]
+
+    def request_ghost_layers(self, g: int):
+        self.max_ghost_layers = max(self.max_ghost_layers, g)
+
+    def local_tensor_shape(self, extra_dims=()):
+        return self.domain.shape + tuple(extra_dims)
+
+    # ------------------------------------------------------------------
+    def history_requests(self) -> Dict[str, int]:
+        req: Dict[str, int] = {}
+
+        def merge(d):
+            for k, v in d.items():
+                req[k] = max(req.get(k, 0), v)
+
+        if self.solver is not None:
+            merge(self.solver.history_requests())
+            for p in getattr(self.solver, "predictors", []):
+                merge(p.history_requests())
+        for pp in self.postprocessors:
+            merge(pp.history_requests())
+        return req
+
+    def init_state(self) -> Dict:
+        """Build the initial state: zero buffers, run ICs eagerly, infer
+        shapes of derived buffers, allocate history stacks.
+
+        Mirrors reference TensorProblem::init (TensorProblem.C:74-151) +
+        executeTensorInitialConditions (:199-215)."""
+        dom = self.domain
+        buffers: Dict[str, jnp.ndarray] = {}
+
+        # declared buffers: zeros at value shape (reference PlainTensorBuffer
+        # :30-37); `reciprocal = true` buffers get the complex k-shape
+        for name, spec in self.buffer_specs.items():
+            vdims = spec.get_int_vector("value_dimensions", [])
+            if spec.get_bool("reciprocal", False):
+                buffers[name] = jnp.zeros(
+                    dom.reciprocal_value_shape(vdims), dtype=dom.cdtype
+                )
+            else:
+                buffers[name] = jnp.zeros(dom.value_shape(vdims), dtype=dom.dtype)
+
+        state = {
+            "buffers": buffers,
+            "old": {},
+            "n_advances": jnp.zeros((), jnp.int32),
+            "old_dt": jnp.zeros((0,), dom.dtype),
+        }
+
+        # run initial conditions eagerly, in dependency order
+        self.ic_computes.sort()
+        ctx = {"t": jnp.zeros((), dom.dtype)}
+        for c in self.ic_computes.sorted_members:
+            for out, arr in self._apply_with_missing(c, state["buffers"], ctx).items():
+                state["buffers"][out] = arr
+
+        # shape-complete: derived buffers produced by solve/pp/bc computes
+        # start as zeros with the shapes one evaluation would produce
+        # (reference buffers init to zeros and are overwritten on first use)
+        groups = list(self.solve_computes) + [self.pp_computes] + list(self.bc_computes)
+        for g in groups:
+            if isinstance(g, ComputeGroup):
+                g.sort()
+        for g in groups:
+            self._shape_complete(g, state["buffers"], ctx)
+
+        # solver-referenced buffers must exist
+        if self.solver is not None:
+            for b in self.solver.extra_input_buffers() + self.solver.output_buffers():
+                if b not in state["buffers"]:
+                    raise ProblemError(
+                        f"Solver references buffer '{b}' which is never computed "
+                        "or declared."
+                    )
+
+        # history stacks
+        old_max = 0
+        for name, n_states in self.history_requests().items():
+            if name not in state["buffers"]:
+                raise ProblemError(f"History requested for unknown buffer '{name}'")
+            cur = state["buffers"][name]
+            state["old"][name] = jnp.zeros((n_states,) + cur.shape, dtype=cur.dtype)
+            old_max = max(old_max, n_states)
+        state["old_dt"] = jnp.zeros((old_max,), dom.dtype)
+
+        # solver state
+        if self.solver is not None and hasattr(self.solver, "init_solver_state"):
+            state["solver"] = self.solver.init_solver_state()
+        else:
+            state["solver"] = {}
+
+        self._initialized = True
+        return state
+
+    def _apply_with_missing(self, compute, buffers, ctx):
+        members = (
+            compute.sorted_members if isinstance(compute, ComputeGroup) else [compute]
+        )
+        updates = {}
+        scope = dict(buffers)
+        for m in members:
+            if isinstance(m, ComputeGroup):
+                out = self._apply_with_missing(m, scope, ctx)
+            else:
+                out = m.apply(scope, ctx)
+            scope.update(out)
+            updates.update(out)
+        return updates
+
+    def _shape_complete(self, compute, buffers, ctx):
+        """Evaluate a compute chain once to learn output shapes; fill missing
+        buffers with zeros of those shapes (values discarded — EXEC_INITIAL
+        output shows zeros for un-computed buffers, as in the reference)."""
+        members = (
+            compute.sorted_members if isinstance(compute, ComputeGroup) else [compute]
+        )
+        scope = dict(buffers)
+        for m in members:
+            if isinstance(m, ComputeGroup):
+                self._shape_complete(m, scope, ctx)
+                for out in m.outputs:
+                    if out in scope and out not in buffers:
+                        buffers[out] = scope[out]
+                continue
+            missing_inputs = [b for b in m.inputs if b not in scope]
+            if missing_inputs:
+                raise ProblemError(
+                    f"Compute '{m.name}' requires buffer(s) {missing_inputs} "
+                    "which are never supplied."
+                )
+            out = m.apply(scope, ctx)
+            for name, arr in out.items():
+                scope[name] = arr
+                if name not in buffers:
+                    buffers[name] = jnp.zeros_like(arr)
+
+    # ------------------------------------------------------------------
+    def step(self, state, t, dt, dt_old, first_step: bool):
+        """Advance one full timestep (jitted per first_step flag)."""
+        if first_step not in self._step_fns:
+            self._step_fns[first_step] = jax.jit(
+                partial(self._step_impl, first_step=first_step)
+            )
+        return self._step_fns[first_step](state, t, dt, dt_old)
+
+    def _step_impl(self, state, t, dt, dt_old, first_step: bool):
+        from .solvers.base import advance_state
+
+        if not first_step:
+            state = advance_state(state, dt)
+        if self.solver is not None:
+            state = self.solver.step(state, t, dt, dt_old, first_step)
+        else:
+            # no solver: run all solve computes once per step (reference
+            # TensorProblem::execute else-branch, :185-188)
+            buffers = dict(state["buffers"])
+            ctx = {"t": t}
+            for c in self.solve_computes:
+                buffers.update(c.apply(buffers, ctx))
+            state = {**state, "buffers": buffers}
+        return state
+
+    # ------------------------------------------------------------------
+    def execute_postprocessors(self, state, flag: str, t, dt) -> Dict[str, float]:
+        """Run PP computes + postprocessors for an execute flag; returns
+        host floats (one device sync per output point)."""
+        active = [pp for pp in self.postprocessors if flag in pp.execute_on]
+        if not active:
+            return {}
+        tensor_pps = [p for p in active if not getattr(p, "depends_on_pps", False)]
+        host_pps = [p for p in active if getattr(p, "depends_on_pps", False)]
+        result: Dict[str, float] = {}
+        if tensor_pps:
+            key = (flag, tuple(pp.name for pp in tensor_pps))
+            if key not in self._pp_fns:
+
+                def fn(state, t, dt):
+                    ctx = {"t": t, "dt": dt}
+                    buffers = dict(state["buffers"])
+                    buffers.update(self.pp_computes.apply(buffers, ctx))
+                    st = {**state, "buffers": buffers}
+                    return {pp.name: pp.compute(st, ctx) for pp in tensor_pps}
+
+                self._pp_fns[key] = jax.jit(fn)
+            out = self._pp_fns[key](state, t, dt)
+            result.update({k: float(v) for k, v in out.items()})
+        for pp in host_pps:
+            result[pp.name] = float(pp.compute_host(result, float(t)))
+        return result
+
+    def run_postprocess_computes(self, state, t):
+        """Materialize postprocess-group buffers into the state (used before
+        field outputs)."""
+        ctx = {"t": t}
+        buffers = dict(state["buffers"])
+        buffers.update(self.pp_computes.apply(buffers, ctx))
+        return {**state, "buffers": buffers}

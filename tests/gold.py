@@ -1,0 +1,42 @@
+"""Gold-file parity harness: run reference decks with marlin_tpu and compare
+against the reference's shipped gold files (the analog of MOOSE's
+CSVDiff/HDF5Diff testers, reference scripts/TestHarness/testers/HDF5Diff.py)."""
+
+import os
+
+import numpy as np
+
+from marlin_tpu import hit
+from marlin_tpu.executioner import run_deck
+
+REF = "/root/reference"
+
+
+def run_ref_deck(relpath, cli_args=(), tmpdir="/tmp/marlin_tpu_gold"):
+    os.makedirs(tmpdir, exist_ok=True)
+    root = hit.load(os.path.join(REF, relpath), list(cli_args))
+    return run_deck(root, output_dir=tmpdir), tmpdir
+
+
+def csv_diff(gold_relpath, out_csv, rel_tol=5.5e-6, abs_tol=1e-11):
+    """Compare CSVs column-wise (MOOSE CSVDiff defaults: rel 5.5e-6)."""
+    gold = np.genfromtxt(os.path.join(REF, gold_relpath), delimiter=",", names=True)
+    mine = np.genfromtxt(out_csv, delimiter=",", names=True)
+    assert set(gold.dtype.names) == set(mine.dtype.names), (
+        f"column mismatch: {gold.dtype.names} vs {mine.dtype.names}"
+    )
+    g0 = np.atleast_1d(gold)
+    m0 = np.atleast_1d(mine)
+    assert len(g0) == len(m0), f"row count mismatch: {len(g0)} vs {len(m0)}"
+    worst = 0.0
+    for col in gold.dtype.names:
+        g, m = g0[col], m0[col]
+        err = np.abs(g - m)
+        rel = err / np.maximum(np.abs(g), 1e-300)
+        bad = (err > abs_tol) & (rel > rel_tol)
+        assert not bad.any(), (
+            f"column '{col}' differs: max abs {err.max():.3e}, "
+            f"max rel {rel[err > abs_tol].max() if (err > abs_tol).any() else 0:.3e}"
+        )
+        worst = max(worst, float(rel.max()))
+    return worst
