@@ -154,6 +154,7 @@ class Transient:
                 if bp.get_str("type") == "Terminator":
                     self.terminators.append(Terminator(bp))
 
+        os.makedirs(output_dir or ".", exist_ok=True)
         self.csv = None
         op = Params(outputs_node, gp)
         self.file_base = file_base or op.get_str("file_base", "out")
@@ -235,6 +236,7 @@ def run_deck(
     file_base: Optional[str] = None,
     output_dir: str = ".",
     mesh=None,
+    deck_stem: Optional[str] = None,
 ) -> Transient:
     """Build and run a full deck; returns the finished Transient."""
     problem = TensorProblem(root, mesh=mesh)
@@ -252,7 +254,7 @@ def run_deck(
         from .outputs import build_tensor_outputs
 
         transient.tensor_outputs = build_tensor_outputs(
-            tout, problem, output_dir=output_dir
+            tout, problem, output_dir=output_dir, default_file_base=deck_stem
         )
     transient.run()
     return transient

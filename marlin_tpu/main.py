@@ -54,6 +54,7 @@ def main(argv=None):
         root,
         file_base=file_base or stem + "_out",
         output_dir=ns.output_dir or os.path.dirname(os.path.abspath(deck)),
+        deck_stem=stem,
     )
     print(f"Finished after {transient.step_count} steps, t = {transient.time}")
     for k, v in transient.pp_values.items():

@@ -6,7 +6,7 @@ from __future__ import annotations
 from .params import Params
 
 
-def build_tensor_outputs(node, problem, output_dir="."):
+def build_tensor_outputs(node, problem, output_dir=".", default_file_base=None):
     outs = []
     for b in node.blocks():
         p = Params(b, problem.global_params)
@@ -14,6 +14,11 @@ def build_tensor_outputs(node, problem, output_dir="."):
         if t == "XDMFTensorOutput":
             from .xdmf import XDMFTensorOutput
 
-            outs.append(XDMFTensorOutput(b.name, p, problem, output_dir))
+            outs.append(
+                XDMFTensorOutput(
+                    b.name, p, problem, output_dir,
+                    default_file_base=default_file_base,
+                )
+            )
         # unknown output types are skipped for now
     return outs

@@ -308,19 +308,25 @@ class TensorProblem:
         # run initial conditions eagerly, in dependency order
         self.ic_computes.sort()
         ctx = {"t": jnp.zeros((), dom.dtype)}
+        ic_outputs = set()
         for c in self.ic_computes.sorted_members:
             for out, arr in self._apply_with_missing(c, state["buffers"], ctx).items():
                 state["buffers"][out] = arr
+                ic_outputs.add(out)
 
         # shape-complete: derived buffers produced by solve/pp/bc computes
-        # start as zeros with the shapes one evaluation would produce
-        # (reference buffers init to zeros and are overwritten on first use)
+        # start as zeros with the shapes one evaluation would produce.  The
+        # reference zero-inits every declared buffer at the REAL shape and
+        # lets the first write replace it (PlainTensorBuffer.C:30-37); under
+        # jit the state pytree must carry final shapes from the start, so
+        # declared-but-derived buffers are reshaped here (values stay zero).
         groups = list(self.solve_computes) + [self.pp_computes] + list(self.bc_computes)
         for g in groups:
             if isinstance(g, ComputeGroup):
                 g.sort()
+        scope = dict(state["buffers"])
         for g in groups:
-            self._shape_complete(g, state["buffers"], ctx)
+            self._shape_complete(g, state["buffers"], scope, ic_outputs, ctx)
 
         # solver-referenced buffers must exist
         if self.solver is not None:
@@ -365,20 +371,18 @@ class TensorProblem:
             updates.update(out)
         return updates
 
-    def _shape_complete(self, compute, buffers, ctx):
+    def _shape_complete(self, compute, buffers, scope, ic_outputs, ctx):
         """Evaluate a compute chain once to learn output shapes; fill missing
-        buffers with zeros of those shapes (values discarded — EXEC_INITIAL
-        output shows zeros for un-computed buffers, as in the reference)."""
+        or mis-shaped (declared-but-derived) buffers with zeros of those
+        shapes (values discarded — EXEC_INITIAL output shows zeros for
+        un-computed buffers, as in the reference).  ``scope`` carries shapes
+        across the whole solve/postprocess/boundary chain."""
         members = (
             compute.sorted_members if isinstance(compute, ComputeGroup) else [compute]
         )
-        scope = dict(buffers)
         for m in members:
             if isinstance(m, ComputeGroup):
-                self._shape_complete(m, scope, ctx)
-                for out in m.outputs:
-                    if out in scope and out not in buffers:
-                        buffers[out] = scope[out]
+                self._shape_complete(m, buffers, scope, ic_outputs, ctx)
                 continue
             missing_inputs = [b for b in m.inputs if b not in scope]
             if missing_inputs:
@@ -391,6 +395,17 @@ class TensorProblem:
                 scope[name] = arr
                 if name not in buffers:
                     buffers[name] = jnp.zeros_like(arr)
+                elif name not in ic_outputs and (
+                    buffers[name].shape != arr.shape
+                    or buffers[name].dtype != arr.dtype
+                ):
+                    buffers[name] = jnp.zeros_like(arr)
+                elif name in ic_outputs and buffers[name].shape != arr.shape:
+                    raise ProblemError(
+                        f"Compute '{m.name}' produces shape {arr.shape} for "
+                        f"buffer '{name}' but its IC produced "
+                        f"{buffers[name].shape}."
+                    )
 
     # ------------------------------------------------------------------
     def step(self, state, t, dt, dt_old, first_step: bool):

@@ -1,0 +1,225 @@
+"""XDMF + HDF5 field output.
+
+Re-design of reference XDMFTensorOutput (src/tensor_outputs/
+XDMFTensorOutput.C, 760 LoC): time-series XDMF XML with CoRectMesh topology,
+per-frame datasets `{name}.{frame}` in an HDF5 sidecar (or raw .bin files),
+CELL / NODE (periodic extension) / OVERSIZED_NODAL modes, optional transpose
+for Paraview axis order, and per-rank files + global XMF in parallel.
+
+The reference writes from a detached std::thread per frame with join barriers
+(TensorOutput.C:66-84); here the device->host fetch is the only sync and the
+file write happens on a worker thread, giving the same overlap.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .params import Params
+
+
+class XDMFTensorOutput:
+    MODES = ("CELL", "NODE", "OVERSIZED_NODAL")
+
+    def __init__(self, name: str, params: Params, problem, output_dir=".",
+                 default_file_base=None):
+        self.name = name
+        self.problem = problem
+        self.domain = problem.domain
+        self.buffers: List[str] = params.get_str_vector("buffer", required=True)
+        self.enable_hdf5 = params.get_bool("enable_hdf5", False)
+        self.transpose = params.get_bool("transpose", True)
+        modes = [m.upper() for m in params.get_str_vector("output_mode")]
+        if not modes:
+            self.output_mode = {b: "CELL" for b in self.buffers}
+        elif len(modes) != len(self.buffers):
+            params.error("output_mode", "Specify one output mode per buffer.")
+        else:
+            for m in modes:
+                if m not in self.MODES:
+                    params.error("output_mode", f"invalid mode {m}")
+            self.output_mode = dict(zip(self.buffers, modes))
+        # reference: file_base param, else the app output base (= deck stem,
+        # reference TensorOutput.C `_app.getOutputFileBase(true)`)
+        base = params.get_str("file_base", None) or default_file_base or name
+        self.file_base = os.path.join(output_dir, base)
+        self.hdf5_name = self.file_base + ".h5"
+        self.frame = 0
+        self._frames: List[Dict] = []
+        self._h5 = None
+        self._thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------------
+    def _dims(self):
+        dim = self.domain.dim
+        if self.transpose:
+            axes = list(range(dim - 1, -1, -1))
+        else:
+            axes = list(range(dim))
+        n = [self.domain.n_global[a] for a in axes]
+        h = [self.domain.grid_spacing[a] for a in axes]
+        origin = [self.domain.mins[a] for a in axes]
+        return n, h, origin
+
+    def _extend(self, arr: np.ndarray) -> np.ndarray:
+        """Periodic nodal extension (reference extendTensor :530)."""
+        dim = self.domain.dim
+        for d in range(dim):
+            first = np.take(arr, [0], axis=d)
+            arr = np.concatenate([arr, first], axis=d)
+        return arr
+
+    def _component_names(self, buffer_name: str, num_fields: int) -> List[str]:
+        if num_fields <= 1:
+            return [buffer_name]
+        xyz = ["x", "y", "z"]
+        return [
+            buffer_name + "_" + (xyz[i] if num_fields <= 3 else str(i))
+            for i in range(num_fields)
+        ]
+
+    # ------------------------------------------------------------------
+    def output(self, problem, state, time: float, initial: bool = False):
+        self.wait()
+        state = problem.run_postprocess_computes(state, time)
+        dim = self.domain.dim
+        frame_data = {}
+        cell_centers = {}
+        for bname in self.buffers:
+            if bname not in state["buffers"]:
+                continue
+            arr = np.asarray(state["buffers"][bname])
+            mode = self.output_mode[bname]
+            if mode == "NODE":
+                arr = self._extend(arr)
+            if self.transpose:
+                arr = np.swapaxes(arr, 0, dim - 1)
+            ngrid = int(np.prod(arr.shape[:dim]))
+            nfields = int(np.prod(arr.shape[dim:], dtype=int)) if arr.ndim > dim else 1
+            reshaped = arr.reshape(ngrid, nfields)
+            names = self._component_names(bname, nfields)
+            spatial = arr.shape[:dim]
+            for i, cname in enumerate(names):
+                frame_data[f"{cname}.{self.frame}"] = (
+                    reshaped[:, i].reshape(spatial).copy()
+                )
+            cell_centers[bname] = (names, mode, arr.dtype)
+        self._frames.append(
+            {"time": time, "fields": cell_centers, "frame": self.frame}
+        )
+        self.frame += 1
+
+        def write():
+            self._write_h5(frame_data)
+            self._write_xmf()
+
+        self._thread = threading.Thread(target=write)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def finalize(self):
+        self.wait()
+
+    # ------------------------------------------------------------------
+    def _write_h5(self, frame_data: Dict[str, np.ndarray]):
+        if self.enable_hdf5:
+            import h5py
+
+            mode = "a" if os.path.exists(self.hdf5_name) and self.frame > 1 else "w"
+            with h5py.File(self.hdf5_name, mode) as f:
+                for dset, arr in frame_data.items():
+                    if dset in f:
+                        del f[dset]
+                    f.create_dataset(dset, data=arr)
+        else:
+            for dset, arr in frame_data.items():
+                fname = f"{self.file_base}.{dset}.bin"
+                arr.tofile(fname)
+
+    def _write_xmf(self):
+        dim = self.domain.dim
+        n, h, origin = self._dims()
+        node_grid = " ".join(str(x + 1) for x in n)
+        data_grid = {
+            True: " ".join(str(x) for x in n),  # cell
+            False: " ".join(str(x + 1) for x in n),  # node
+        }
+        geometry_type = "ORIGIN_" + "".join("DXYZ"[1 + i] for i in range(dim))
+        # ORIGIN_DX / ORIGIN_DXDY / ORIGIN_DXDYDZ
+        geometry_type = "ORIGIN_" + "".join(["DX", "DY", "DZ"][i] for i in range(dim))
+
+        xdmf = ET.Element("Xdmf")
+        xdmf.set("xmlns:xi", "http://www.w3.org/2003/XInclude")
+        xdmf.set("Version", "2.2")
+        domain = ET.SubElement(xdmf, "Domain")
+        topo = ET.SubElement(domain, "Topology")
+        topo.set("TopologyType", f"{dim}DCoRectMesh")
+        topo.set("Dimensions", node_grid)
+        geom = ET.SubElement(domain, "Geometry")
+        geom.set("Type", geometry_type)
+        d1 = ET.SubElement(geom, "DataItem")
+        d1.set("Format", "XML")
+        d1.set("Dimensions", str(dim))
+        d1.text = " ".join(_fmt(x) for x in origin)
+        d2 = ET.SubElement(geom, "DataItem")
+        d2.set("Format", "XML")
+        d2.set("Dimensions", str(dim))
+        d2.text = " ".join(_fmt(x) for x in h)
+        tgrid = ET.SubElement(domain, "Grid")
+        tgrid.set("Name", "TimeSeries")
+        tgrid.set("GridType", "Collection")
+        tgrid.set("CollectionType", "Temporal")
+
+        for fr in self._frames:
+            grid = ET.SubElement(tgrid, "Grid")
+            grid.set("Name", f"T{fr['frame']}")
+            grid.set("GridType", "Uniform")
+            te = ET.SubElement(grid, "Time")
+            te.set("Value", _fmt(fr["time"]))
+            xi1 = ET.SubElement(grid, "xi:include")
+            xi1.set("xpointer", "xpointer(//Xdmf/Domain/Topology)")
+            xi2 = ET.SubElement(grid, "xi:include")
+            xi2.set("xpointer", "xpointer(//Xdmf/Domain/Geometry)")
+            for bname, (names, mode, dtype) in fr["fields"].items():
+                is_cell = mode == "CELL"
+                for cname in names:
+                    attr = ET.SubElement(grid, "Attribute")
+                    attr.set("Name", cname)
+                    attr.set("Center", "Cell" if is_cell else "Node")
+                    data = ET.SubElement(attr, "DataItem")
+                    dtype_str = "Int" if np.issubdtype(dtype, np.integer) else "Float"
+                    data.set("DataType", dtype_str)
+                    data.set("Dimensions", data_grid[is_cell])
+                    dataset = f"{cname}.{fr['frame']}"
+                    if self.enable_hdf5:
+                        data.set("Format", "HDF")
+                        data.text = f"{os.path.basename(self.hdf5_name)}:/{dataset}"
+                    else:
+                        data.set("Format", "Binary")
+                        data.set("Endian", "Little")
+                        precision = (
+                            "8" if dtype in (np.float64, np.int64) else "4"
+                        )
+                        data.set("Precision", precision)
+                        data.text = os.path.basename(
+                            f"{self.file_base}.{dataset}.bin"
+                        )
+
+        ET.indent(xdmf, space=" ")
+        tree = ET.ElementTree(xdmf)
+        tree.write(self.file_base + ".xmf", xml_declaration=False)
+
+
+def _fmt(x: float) -> str:
+    if float(x) == int(x):
+        return str(int(x))
+    return repr(float(x))

@@ -15,7 +15,8 @@ REF = "/root/reference"
 def run_ref_deck(relpath, cli_args=(), tmpdir="/tmp/marlin_tpu_gold"):
     os.makedirs(tmpdir, exist_ok=True)
     root = hit.load(os.path.join(REF, relpath), list(cli_args))
-    return run_deck(root, output_dir=tmpdir), tmpdir
+    stem = os.path.splitext(os.path.basename(relpath))[0]
+    return run_deck(root, output_dir=tmpdir, deck_stem=stem), tmpdir
 
 
 def csv_diff(gold_relpath, out_csv, rel_tol=5.5e-6, abs_tol=1e-11):
@@ -40,3 +41,18 @@ def csv_diff(gold_relpath, out_csv, rel_tol=5.5e-6, abs_tol=1e-11):
         )
         worst = max(worst, float(rel.max()))
     return worst
+
+
+def h5_diff(gold_relpath, out_h5, abs_tol=1e-13):
+    """Compare every dataset in two HDF5 files (the reference's custom
+    HDF5Diff tester, scripts/TestHarness/testers/HDF5Diff.py:15-100)."""
+    import h5py
+
+    with h5py.File(os.path.join(REF, gold_relpath)) as g, h5py.File(out_h5) as m:
+        gk, mk = set(g.keys()), set(m.keys())
+        assert gk == mk, f"dataset mismatch: only-gold={gk-mk} only-mine={mk-gk}"
+        for k in gk:
+            ga, ma = g[k][...], m[k][...]
+            assert ga.shape == ma.shape, f"{k}: shape {ga.shape} vs {ma.shape}"
+            d = np.abs(ga - ma).max()
+            assert d <= abs_tol, f"dataset '{k}' differs by {d:.3e} (tol {abs_tol})"
