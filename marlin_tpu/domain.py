@@ -139,14 +139,20 @@ class Domain:
 
     def _build_axes(self):
         dim = self.dim
+        npdtype = np.float64 if self.dtype == jnp.float64 else np.float32
         self.axes = []  # real-space, aligned
         self.reciprocal_axes = []  # aligned
+        self._np_axes = []  # unaligned 1-D numpy (for trace-safe cache builds)
+        self._np_raxes = []
         self.n_reciprocal_global = []
         self.max_k = []
         for d in range(dim):
             h = self.grid_spacing[d]
             n = self.n_global[d]
-            ax = np.linspace(self.mins[d] + h / 2.0, self.maxs[d] - h / 2.0, n)
+            ax = np.linspace(
+                self.mins[d] + h / 2.0, self.maxs[d] - h / 2.0, n
+            ).astype(npdtype)
+            self._np_axes.append(ax)
             self.axes.append(self.align(jnp.asarray(ax, dtype=self.dtype), d))
             if self.parallel_mode == ParallelMode.REAL_SPACE:
                 freq = np.zeros((0,))
@@ -154,12 +160,18 @@ class Domain:
                 freq = np.fft.rfftfreq(n, d=h)
             else:
                 freq = np.fft.fftfreq(n, d=h)
-            k = freq * 2.0 * math.pi
+            k = (freq * 2.0 * math.pi).astype(npdtype)
+            self._np_raxes.append(k)
             self.reciprocal_axes.append(
                 self.align(jnp.asarray(k, dtype=self.dtype), d)
             )
             self.n_reciprocal_global.append(k.shape[0])
             self.max_k.append(math.pi / h)
+
+    def _np_align(self, a: np.ndarray, d: int) -> np.ndarray:
+        shape = [1] * self.dim
+        shape[d] = a.shape[0]
+        return a.reshape(shape)
 
     # -- shapes -----------------------------------------------------------
     @property
@@ -180,12 +192,19 @@ class Domain:
     # -- derived grids ----------------------------------------------------
     @property
     def k_square(self) -> jnp.ndarray:
-        """|k|² broadcast over the reciprocal grid (reference :1503-1510)."""
+        """|k|² broadcast over the reciprocal grid (reference :1503-1510).
+        Built host-side with numpy so lazy construction inside a jax trace
+        cannot capture tracers."""
         if self._k_square is None:
-            ks = self.reciprocal_axes[0] * self.reciprocal_axes[0]
+            ks = self._np_align(self._np_raxes[0] ** 2, 0)
             for d in range(1, self.dim):
-                ks = ks + self.reciprocal_axes[d] * self.reciprocal_axes[d]
-            self._k_square = jnp.broadcast_to(ks, self.reciprocal_shape)
+                ks = ks + self._np_align(self._np_raxes[d] ** 2, d)
+            # cached as numpy: jnp constants created inside an active jax
+            # trace would leak tracers out of the cache (omnistaging stages
+            # every jnp op); numpy operands lift to constants at each use
+            self._k_square = np.ascontiguousarray(
+                np.broadcast_to(ks, self.reciprocal_shape)
+            )
         return self._k_square
 
     @property
@@ -194,10 +213,14 @@ class Domain:
         (reference :1457-1477)."""
         if self._x_grid is None:
             if self.dim == 1:
-                self._x_grid = self.axes[0]
+                self._x_grid = self._np_axes[0]
             else:
-                self._x_grid = jnp.stack(
-                    [jnp.broadcast_to(a, self.shape) for a in self.axes], axis=-1
+                self._x_grid = np.stack(
+                    [
+                        np.broadcast_to(self._np_align(a, d), self.shape)
+                        for d, a in enumerate(self._np_axes)
+                    ],
+                    axis=-1,
                 )
         return self._x_grid
 
@@ -205,12 +228,12 @@ class Domain:
     def k_grid(self) -> jnp.ndarray:
         if self._k_grid is None:
             if self.dim == 1:
-                self._k_grid = self.reciprocal_axes[0]
+                self._k_grid = self._np_raxes[0]
             else:
-                self._k_grid = jnp.stack(
+                self._k_grid = np.stack(
                     [
-                        jnp.broadcast_to(a, self.reciprocal_shape)
-                        for a in self.reciprocal_axes
+                        np.broadcast_to(self._np_align(a, d), self.reciprocal_shape)
+                        for d, a in enumerate(self._np_raxes)
                     ],
                     axis=-1,
                 )

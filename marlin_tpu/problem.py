@@ -233,6 +233,30 @@ class TensorProblem:
         self.solver.bind(root_compute)
 
     # -- services used by computes ------------------------------------------
+    def get_compute(self, name: str) -> TensorCompute:
+        """Find a compute by name anywhere in the solve/IC/postprocess trees
+        (reference TensorProblem::getComputes + getCompute<T>)."""
+
+        def search(members):
+            for m in members:
+                if m.name == name:
+                    return m
+                if isinstance(m, ComputeGroup):
+                    found = search(m.members)
+                    if found is not None:
+                        return found
+            return None
+
+        for pool in (
+            self.solve_computes,
+            [self.ic_computes, self.pp_computes],
+            self.bc_computes,
+        ):
+            found = search(pool)
+            if found is not None:
+                return found
+        raise ProblemError(f"Compute '{name}' not found.")
+
     def get_constant(self, name: str) -> float:
         if name not in self.constants:
             try:
@@ -320,10 +344,16 @@ class TensorProblem:
         # lets the first write replace it (PlainTensorBuffer.C:30-37); under
         # jit the state pytree must carry final shapes from the start, so
         # declared-but-derived buffers are reshaped here (values stay zero).
-        groups = list(self.solve_computes) + [self.pp_computes] + list(self.bc_computes)
+        solve_all = ComputeGroup(
+            "_all_solve", Params(None, self.global_params), self, self.solve_computes
+        ).sort()
+        groups = [solve_all, self.pp_computes] + list(self.bc_computes)
         for g in groups:
             if isinstance(g, ComputeGroup):
                 g.sort()
+        for g in groups:
+            for m in g.members if isinstance(g, ComputeGroup) else [g]:
+                m.check()
         scope = dict(state["buffers"])
         for g in groups:
             self._shape_complete(g, state["buffers"], scope, ic_outputs, ctx)
@@ -390,7 +420,12 @@ class TensorProblem:
                     f"Compute '{m.name}' requires buffer(s) {missing_inputs} "
                     "which are never supplied."
                 )
-            out = m.apply(scope, ctx)
+            # abstract evaluation: learn shapes without running the compute
+            # (some computes, e.g. FFTMechanics, run full nonlinear solves)
+            out_struct = jax.eval_shape(lambda s, c: m.apply(s, c), scope, ctx)
+            out = {
+                name: jnp.zeros(sd.shape, sd.dtype) for name, sd in out_struct.items()
+            }
             for name, arr in out.items():
                 scope[name] = arr
                 if name not in buffers:

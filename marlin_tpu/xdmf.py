@@ -48,6 +48,12 @@ class XDMFTensorOutput:
         # reference TensorOutput.C `_app.getOutputFileBase(true)`)
         base = params.get_str("file_base", None) or default_file_base or name
         self.file_base = os.path.join(output_dir, base)
+        self.execute_on = set(
+            x.upper()
+            for x in params.get_str_vector(
+                "execute_on", default=["INITIAL", "TIMESTEP_END"]
+            )
+        )
         self.hdf5_name = self.file_base + ".h5"
         self.frame = 0
         self._frames: List[Dict] = []
@@ -85,6 +91,8 @@ class XDMFTensorOutput:
 
     # ------------------------------------------------------------------
     def output(self, problem, state, time: float, initial: bool = False):
+        if ("INITIAL" if initial else "TIMESTEP_END") not in self.execute_on:
+            return
         self.wait()
         state = problem.run_postprocess_computes(state, time)
         dim = self.domain.dim
