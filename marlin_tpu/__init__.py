@@ -14,4 +14,4 @@ slab/pencil FFT decompositions (all_to_all) and real-space halo exchange
 
 __version__ = "0.1.0"
 
-from . import expression, hit  # noqa: F401
+from . import expression, hit, stencils  # noqa: F401

@@ -112,15 +112,13 @@ class ComputeGroup(TensorCompute):
 
     def sort(self):
         """Topological sort by buffer dataflow; error on cycles."""
+        # first supplier wins as the producer; later suppliers of the same
+        # buffer (legal in MOOSE's resolver, used by e.g. LBM residual decks)
+        # keep their declaration order
         producers: Dict[str, TensorCompute] = {}
         for m in self.members:
             for out in m.outputs:
-                if out in producers:
-                    raise ComputeError(
-                        f"Buffer '{out}' is supplied by multiple computes in "
-                        f"group '{self.name}': '{producers[out].name}' and '{m.name}'"
-                    )
-                producers[out] = m
+                producers.setdefault(out, m)
 
         # edges: producer -> consumer
         indeg = {id(m): 0 for m in self.members}

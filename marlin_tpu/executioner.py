@@ -191,6 +191,13 @@ class Transient:
         dt = self.stepper.dt0
         solver_info = None
         while self.step_count < self.num_steps and self.time < self.end_time - 1e-13:
+            # LBM convergence early-out (reference LatticeBoltzmannProblem::
+            # execute :74 — once the residual drops below tolerance, all
+            # further execution is skipped)
+            if self.problem.is_lbm:
+                res = self.state.get("solver", {}).get("residual")
+                if res is not None and float(res) < self.problem.lbm_tolerance:
+                    break
             self.step_count += 1
             dt = self.stepper.dt(self.step_count, dt, solver_info)
             dt = min(dt, self.dtmax, self.end_time - self.time)
@@ -237,9 +244,10 @@ def run_deck(
     output_dir: str = ".",
     mesh=None,
     deck_stem: Optional[str] = None,
+    deck_dir: Optional[str] = None,
 ) -> Transient:
     """Build and run a full deck; returns the finished Transient."""
-    problem = TensorProblem(root, mesh=mesh)
+    problem = TensorProblem(root, mesh=mesh, deck_dir=deck_dir)
     transient = Transient(
         problem,
         exec_node=root.children.get("Executioner"),

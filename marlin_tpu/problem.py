@@ -59,8 +59,9 @@ def build_domain(node: Optional[HitNode], mesh=None) -> Domain:
 
 
 class TensorProblem:
-    def __init__(self, root: HitNode, mesh=None):
+    def __init__(self, root: HitNode, mesh=None, deck_dir: Optional[str] = None):
         self.root = root
+        self.deck_dir = deck_dir
         gp = root.children.get("GlobalParams")
         self.global_params = dict(gp.params) if gp is not None else {}
 
@@ -83,6 +84,12 @@ class TensorProblem:
             self.problem_params.get_str("type", "TensorProblem")
             == "LatticeBoltzmannProblem"
         )
+        # LBM problem options (reference LatticeBoltzmannProblem.C:14-33)
+        self.lbm_substeps = self.problem_params.get_int("substeps", 1)
+        self.lbm_tolerance = self.problem_params.get_float("tolerance", 1.0e-15)
+        self.lbm_binary_media = self.problem_params.get_str("binary_media", None)
+        self._lbm_solid_mask = None
+        self._lbm_binary_np = None
 
         # -- functions ------------------------------------------------------
         self.functions: Dict[str, CompiledExpression] = {}
@@ -229,10 +236,26 @@ class TensorProblem:
             root_compute = ComputeGroup(
                 "_solve_root", Params(None, self.global_params), self, self.solve_computes
             )
-        root_compute.sort()
+        if isinstance(root_compute, ComputeGroup):
+            root_compute.sort()
         self.solver.bind(root_compute)
 
     # -- services used by computes ------------------------------------------
+    def lbm_stencil(self):
+        if len(self.stencils) != 1:
+            raise ProblemError(
+                "LatticeBoltzmannProblem requires exactly one [Stencil] block"
+            )
+        return next(iter(self.stencils.values()))
+
+    def lbm_solid_mask(self):
+        """Static solid mask (binary_media == 0), numpy bool or None
+        (reference maskedFillSolids is a no-op without binary media)."""
+        return self._lbm_solid_mask
+
+    def lbm_binary_media_np(self):
+        return self._lbm_binary_np
+
     def get_compute(self, name: str) -> TensorCompute:
         """Find a compute by name anywhere in the solve/IC/postprocess trees
         (reference TensorProblem::getComputes + getCompute<T>)."""
@@ -286,6 +309,60 @@ class TensorProblem:
     def local_tensor_shape(self, extra_dims=()):
         return self.domain.shape + tuple(extra_dims)
 
+    def _init_lbm_buffer(self, spec: Params):
+        """LBM buffer: df -> trailing q, mv -> trailing dim, ms -> scalar;
+        always 3 spatial dims (reference LBMTensorBuffer::init :96-125)."""
+        dom = self.domain
+        btype = spec.get_str("buffer_type", required=True)
+        shape = list(dom.shape)
+        while len(shape) < 3:
+            shape.append(1)
+        stencil = self.lbm_stencil()
+        if btype == "df":
+            shape.append(stencil.q)
+        elif btype == "mv":
+            shape.append(dom.dim)
+        elif btype == "ms":
+            pass
+        else:
+            raise ProblemError(f"Buffer type {btype} is not recognized")
+        is_integer = spec.get_bool("is_integer", False)
+        dtype = jnp.int64 if is_integer else dom.dtype
+        if spec.has("file"):
+            import numpy as np
+
+            data = self._read_lbm_h5(spec.get_str("file"))
+            arr = jnp.asarray(np.asarray(data), dtype=dtype)
+            if arr.ndim < 3:
+                arr = arr.reshape(arr.shape + (1,) * (3 - arr.ndim))
+            return arr
+        return jnp.zeros(shape, dtype=dtype)
+
+    def _capture_lbm_media(self, state):
+        if not self.is_lbm or self.lbm_binary_media is None:
+            return
+        import numpy as np
+
+        media = np.asarray(state["buffers"][self.lbm_binary_media])
+        if media.ndim < 3:
+            media = media.reshape(media.shape + (1,) * (3 - media.ndim))
+        self._lbm_binary_np = media
+        self._lbm_solid_mask = media == 0
+
+    def _read_lbm_h5(self, path: str):
+        """Read the dataset named like the file stem
+        (reference LBMTensorBuffer::readTensorFromHdf5 :159-233)."""
+        import os
+
+        import h5py
+
+        if not os.path.isabs(path):
+            base = getattr(self, "deck_dir", None) or "."
+            path = os.path.join(base, path)
+        dataset = os.path.splitext(os.path.basename(path))[0]
+        with h5py.File(path, "r") as f:
+            return f[dataset][...]
+
     # ------------------------------------------------------------------
     def history_requests(self) -> Dict[str, int]:
         req: Dict[str, int] = {}
@@ -300,6 +377,17 @@ class TensorProblem:
                 merge(p.history_requests())
         for pp in self.postprocessors:
             merge(pp.history_requests())
+
+        def walk(members):
+            for m in members:
+                if isinstance(m, ComputeGroup):
+                    walk(m.members)
+                elif hasattr(m, "history_requests"):
+                    merge(m.history_requests())
+
+        walk(self.solve_computes)
+        walk(self.bc_computes)
+        walk([self.pp_computes, self.ic_computes])
         return req
 
     def init_state(self) -> Dict:
@@ -312,8 +400,14 @@ class TensorProblem:
         buffers: Dict[str, jnp.ndarray] = {}
 
         # declared buffers: zeros at value shape (reference PlainTensorBuffer
-        # :30-37); `reciprocal = true` buffers get the complex k-shape
+        # :30-37); `reciprocal = true` buffers get the complex k-shape;
+        # LBMTensorBuffer gets (nx, ny, nz>=1[, q|dim]) with optional HDF5
+        # load (reference LBMTensorBuffer.C:96-233)
         for name, spec in self.buffer_specs.items():
+            btype = spec.get_str("type", "PlainTensorBuffer")
+            if btype == "LBMTensorBuffer":
+                buffers[name] = self._init_lbm_buffer(spec)
+                continue
             vdims = spec.get_int_vector("value_dimensions", [])
             if spec.get_bool("reciprocal", False):
                 buffers[name] = jnp.zeros(
@@ -329,6 +423,11 @@ class TensorProblem:
             "old_dt": jnp.zeros((0,), dom.dtype),
         }
 
+        # LBM binary media is available before ICs (file-loaded buffers,
+        # reference LatticeBoltzmannProblem::init :60-68) so IC computes mask
+        # solids correctly; re-captured after ICs in case an IC updates it
+        self._capture_lbm_media(state)
+
         # run initial conditions eagerly, in dependency order
         self.ic_computes.sort()
         ctx = {"t": jnp.zeros((), dom.dtype)}
@@ -337,6 +436,10 @@ class TensorProblem:
             for out, arr in self._apply_with_missing(c, state["buffers"], ctx).items():
                 state["buffers"][out] = arr
                 ic_outputs.add(out)
+
+        # LBM: re-capture binary media / solid mask after ICs
+        # (reference LatticeBoltzmannProblem::execute EXEC_INITIAL re-read)
+        self._capture_lbm_media(state)
 
         # shape-complete: derived buffers produced by solve/pp/bc computes
         # start as zeros with the shapes one evaluation would produce.  The
@@ -347,7 +450,9 @@ class TensorProblem:
         solve_all = ComputeGroup(
             "_all_solve", Params(None, self.global_params), self, self.solve_computes
         ).sort()
-        groups = [solve_all, self.pp_computes] + list(self.bc_computes)
+        # boundary computes only rewrite existing distribution buffers and
+        # need old-state context; they are excluded from shape inference
+        groups = [solve_all, self.pp_computes]
         for g in groups:
             if isinstance(g, ComputeGroup):
                 g.sort()
@@ -355,8 +460,14 @@ class TensorProblem:
             for m in g.members if isinstance(g, ComputeGroup) else [g]:
                 m.check()
         scope = dict(state["buffers"])
+        shape_ctx = dict(ctx)
+        shape_ctx["old"] = {
+            name: jnp.zeros((1,) + arr.shape, arr.dtype)
+            for name, arr in state["buffers"].items()
+        }
+        shape_ctx["n_advances"] = state["n_advances"]
         for g in groups:
-            self._shape_complete(g, state["buffers"], scope, ic_outputs, ctx)
+            self._shape_complete(g, state["buffers"], scope, ic_outputs, shape_ctx)
 
         # solver-referenced buffers must exist
         if self.solver is not None:
@@ -382,6 +493,10 @@ class TensorProblem:
             state["solver"] = self.solver.init_solver_state()
         else:
             state["solver"] = {}
+        if self.is_lbm:
+            # convergence residual starts at 1 (reference
+            # LatticeBoltzmannProblem _convergence_residual initial value)
+            state["solver"]["residual"] = jnp.ones((), dom.dtype)
 
         self._initialized = True
         return state
@@ -424,7 +539,9 @@ class TensorProblem:
             # (some computes, e.g. FFTMechanics, run full nonlinear solves)
             out_struct = jax.eval_shape(lambda s, c: m.apply(s, c), scope, ctx)
             out = {
-                name: jnp.zeros(sd.shape, sd.dtype) for name, sd in out_struct.items()
+                name: jnp.zeros(sd.shape, sd.dtype)
+                for name, sd in out_struct.items()
+                if not name.startswith("__")
             }
             for name, arr in out.items():
                 scope[name] = arr
@@ -454,6 +571,8 @@ class TensorProblem:
     def _step_impl(self, state, t, dt, dt_old, first_step: bool):
         from .solvers.base import advance_state
 
+        if self.is_lbm:
+            return self._lbm_step_impl(state, t, dt, first_step)
         if not first_step:
             state = advance_state(state, dt)
         if self.solver is not None:
@@ -467,6 +586,46 @@ class TensorProblem:
                 buffers.update(c.apply(buffers, ctx))
             state = {**state, "buffers": buffers}
         return state
+
+    def _lbm_step_impl(self, state, t, dt, first_step: bool):
+        """One MOOSE timestep of the LBM problem: `lbm_substeps` iterations of
+        advance -> stream -> BCs -> computes (reference
+        LatticeBoltzmannProblem::execute :103-131; substeps only run from
+        MOOSE step 2 on, reference `timeStep() > 1`)."""
+        from .solvers.base import advance_state
+
+        if first_step:
+            return state
+        state = advance_state(state, dt)  # MOOSE-level advance
+
+        sorted_solves = ComputeGroup(
+            "_lbm_solve", Params(None, self.global_params), self, self.solve_computes
+        ).sort()
+        sorted_bcs = ComputeGroup(
+            "_lbm_bc", Params(None, self.global_params), self, self.bc_computes
+        ).sort()
+
+        def substep(i, st):
+            st = advance_state(st, dt)
+            if self.solver is not None and hasattr(self.solver, "stream"):
+                st = self.solver.stream(st)
+            ctx = {"t": t, "old": st["old"], "n_advances": st["n_advances"]}
+            buffers = dict(st["buffers"])
+            for bc in sorted_bcs.sorted_members:
+                buffers.update(bc.apply(buffers, ctx))
+            updates = {}
+            scope = dict(buffers)
+            for c in sorted_solves.sorted_members:
+                out = c.apply(scope, ctx)
+                scope.update(out)
+                updates.update(out)
+            buffers.update(updates)
+            solver_state = dict(st["solver"])
+            if "__residual__" in buffers:
+                solver_state["residual"] = buffers.pop("__residual__")
+            return {**st, "buffers": buffers, "solver": solver_state}
+
+        return jax.lax.fori_loop(0, self.lbm_substeps, substep, state)
 
     # ------------------------------------------------------------------
     def execute_postprocessors(self, state, flag: str, t, dt) -> Dict[str, float]:

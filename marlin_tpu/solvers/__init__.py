@@ -7,5 +7,5 @@ from C++ for each of up to 1000 substeps.
 """
 
 from . import base, abm, abm_coupled, etdrk4, forward_euler  # noqa: F401
-from . import secant, broyden  # noqa: F401
+from . import secant, broyden, lbm_stream  # noqa: F401
 from . import predictors  # noqa: F401

@@ -44,7 +44,7 @@ def advance_state(state: Dict, dt) -> Dict:
             [jnp.reshape(jnp.asarray(dt, old_dt.dtype), (1,)), old_dt[:-1]]
         )
     return {
-        "buffers": state["buffers"],
+        **state,
         "old": new_old,
         "n_advances": state["n_advances"] + 1,
         "old_dt": old_dt,

@@ -16,7 +16,15 @@ def run_ref_deck(relpath, cli_args=(), tmpdir="/tmp/marlin_tpu_gold"):
     os.makedirs(tmpdir, exist_ok=True)
     root = hit.load(os.path.join(REF, relpath), list(cli_args))
     stem = os.path.splitext(os.path.basename(relpath))[0]
-    return run_deck(root, output_dir=tmpdir, deck_stem=stem), tmpdir
+    return (
+        run_deck(
+            root,
+            output_dir=tmpdir,
+            deck_stem=stem,
+            deck_dir=os.path.dirname(os.path.join(REF, relpath)),
+        ),
+        tmpdir,
+    )
 
 
 def csv_diff(gold_relpath, out_csv, rel_tol=5.5e-6, abs_tol=1e-11):
