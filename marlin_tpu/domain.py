@@ -153,7 +153,9 @@ class Domain:
                 self.mins[d] + h / 2.0, self.maxs[d] - h / 2.0, n
             ).astype(npdtype)
             self._np_axes.append(ax)
-            self.axes.append(self.align(jnp.asarray(ax, dtype=self.dtype), d))
+            # axes are kept as numpy: they enter jit traces as embedded
+            # constants without a device->host round-trip
+            self.axes.append(self._np_align_new(ax, d))
             if self.parallel_mode == ParallelMode.REAL_SPACE:
                 freq = np.zeros((0,))
             elif self._use_rfft(d):
@@ -162,9 +164,7 @@ class Domain:
                 freq = np.fft.fftfreq(n, d=h)
             k = (freq * 2.0 * math.pi).astype(npdtype)
             self._np_raxes.append(k)
-            self.reciprocal_axes.append(
-                self.align(jnp.asarray(k, dtype=self.dtype), d)
-            )
+            self.reciprocal_axes.append(self._np_align_new(k, d))
             self.n_reciprocal_global.append(k.shape[0])
             self.max_k.append(math.pi / h)
 
@@ -172,6 +172,11 @@ class Domain:
         shape = [1] * self.dim
         shape[d] = a.shape[0]
         return a.reshape(shape)
+
+    def _np_align_new(self, a: np.ndarray, d: int) -> np.ndarray:
+        shape = [1] * self.dim
+        shape[d] = a.shape[0]
+        return np.ascontiguousarray(a.reshape(shape))
 
     # -- shapes -----------------------------------------------------------
     @property
@@ -242,10 +247,11 @@ class Domain:
     def axis(self, d: int) -> jnp.ndarray:
         return self.axes[d]
 
-    def reciprocal_axis(self, d: int) -> jnp.ndarray:
+    def reciprocal_axis(self, d: int):
         if d < self.dim:
             return self.reciprocal_axes[d]
-        return jnp.zeros([1] * self.dim, dtype=self.dtype)
+        npdtype = np.float64 if self.dtype == jnp.float64 else np.float32
+        return np.zeros([1] * self.dim, dtype=npdtype)
 
     # -- transforms --------------------------------------------------------
     def fft(self, t: jnp.ndarray) -> jnp.ndarray:

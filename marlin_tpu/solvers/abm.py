@@ -51,8 +51,8 @@ class AdamsBashforthMoulton(SplitOperatorBase):
         self.corrector_order = corder - 1
         self.corrector_steps = params.get_int("corrector_steps", 0)
         self.request_history(max(self.predictor_order, self.corrector_order))
-        self._beta = jnp.asarray(BETA)
-        self._alpha = jnp.asarray(ALPHA)
+        self._beta = __import__("numpy").asarray(BETA)
+        self._alpha = __import__("numpy").asarray(ALPHA)
 
     def substep(self, state, sub_time, sub_dt, dt, dt_old, substep_index, first_step):
         state = self._run_group(state, sub_time)
@@ -69,7 +69,7 @@ class AdamsBashforthMoulton(SplitOperatorBase):
         for v in self.variables:
             n_old_b = self.n_old(state, v.nonlinear_reciprocal)
             order = select_order(self.predictor_order, 0, n_old_b, self.predictor_order)
-            beta_row = self._beta[order]
+            beta_row = jnp.asarray(self._beta)[order]
             N = buffers[v.nonlinear_reciprocal]
             old_N = self.old_stack(state, v.nonlinear_reciprocal)
             acc = beta_row[0] * N
@@ -98,7 +98,7 @@ class AdamsBashforthMoulton(SplitOperatorBase):
                     order = select_order(
                         self.corrector_order, 1, n_old_b + 1, self.corrector_order
                     )
-                    alpha_row = self._alpha[order]
+                    alpha_row = jnp.asarray(self._alpha)[order]
                     N_pred = buffers[v.nonlinear_reciprocal]
                     old_N = self.old_stack(state, v.nonlinear_reciprocal)
                     acc = alpha_row[0] * N_pred + alpha_row[1] * N_n[v.buffer]

@@ -52,8 +52,8 @@ class AdamsBashforthMoultonCoupled(SplitOperatorBase):
                 params.error("linear_offdiag_rows", "Off-diagonal indices out of range.")
         self.offdiag_indices = list(zip(rows, cols))
         self.request_history(max(self.predictor_order, self.corrector_order))
-        self._beta = jnp.asarray(BETA)
-        self._alpha = jnp.asarray(ALPHA)
+        self._beta = __import__("numpy").asarray(BETA)
+        self._alpha = __import__("numpy").asarray(ALPHA)
 
     def extra_input_buffers(self):
         return super().extra_input_buffers() + list(self.offdiag_names)
@@ -123,7 +123,7 @@ class AdamsBashforthMoultonCoupled(SplitOperatorBase):
         for v in self.variables:
             n_old_b = self.n_old(state, v.nonlinear_reciprocal)
             order = select_order(self.predictor_order, 0, n_old_b, self.predictor_order)
-            beta_row = self._beta[order]
+            beta_row = jnp.asarray(self._beta)[order]
             old_N = self.old_stack(state, v.nonlinear_reciprocal)
             acc = beta_row[0] * buffers[v.nonlinear_reciprocal]
             for i in range(min(old_N.shape[0], MAX_ORDER - 1)):
@@ -150,7 +150,7 @@ class AdamsBashforthMoultonCoupled(SplitOperatorBase):
                     order = select_order(
                         self.corrector_order, 1, n_old_b + 1, self.corrector_order
                     )
-                    alpha_row = self._alpha[order]
+                    alpha_row = jnp.asarray(self._alpha)[order]
                     old_N = self.old_stack(state, v.nonlinear_reciprocal)
                     acc = (
                         alpha_row[0] * buffers[v.nonlinear_reciprocal]
