@@ -387,7 +387,9 @@ class ReciprocalMatDiffusion(TensorCompute):
 @computes.register("SmoothRectangleCompute")
 class SmoothRectangleCompute(TensorCompute):
     """Smoothed rectangle indicator IC
-    (reference: src/tensor_computes/SmoothRectangleCompute.C)."""
+    (reference: src/tensor_computes/SmoothRectangleCompute.C — sharp box,
+    COS: 0.5+0.5*sin(pi*min_d/w) of the clamped edge distance, TANH:
+    0.5+0.5*tanh(4*min_d/w))."""
 
     def __init__(self, name, params: Params, problem):
         super().__init__(name, params, problem)
@@ -397,35 +399,57 @@ class SmoothRectangleCompute(TensorCompute):
         self.y2 = params.get_float("y2", required=True)
         self.z1 = params.get_float("z1", 0.0)
         self.z2 = params.get_float("z2", 0.0)
-        self.interpolation = params.get_enum("interpolation_function", ["COS", "TANH"], "COS")
+        self.interpolation = params.get_enum("profile", ["COS", "TANH"], "COS")
         self.int_width = params.get_float("int_width", 0.0)
         self.inside = params.get_float("inside", 1.0)
         self.outside = params.get_float("outside", 0.0)
 
-    def _profile(self, coord, lo, hi):
-        jnp_ = jnp
-        w = self.int_width
-        if w <= 0.0:
-            return ((coord >= lo) & (coord <= hi)).astype(self.domain.dtype)
-        if self.interpolation == "TANH":
-            return 0.5 * (
-                jnp_.tanh(2.0 * (coord - lo) / w) - jnp_.tanh(2.0 * (coord - hi) / w)
-            )
-        # COS interpolation ramps over int_width at each edge
-        ramp_up = jnp_.clip((coord - (lo - w / 2)) / w, 0.0, 1.0)
-        ramp_dn = jnp_.clip(((hi + w / 2) - coord) / w, 0.0, 1.0)
-        smooth = lambda s: 0.5 - 0.5 * jnp_.cos(s * math.pi)  # noqa: E731
-        return smooth(ramp_up) * smooth(ramp_dn)
-
     def apply(self, state, ctx):
         dom = self.domain
-        f = self._profile(dom.axis(0), self.x1, self.x2)
-        if dom.dim > 1:
-            f = f * self._profile(dom.axis(1), self.y1, self.y2)
-        if dom.dim > 2:
-            f = f * self._profile(dom.axis(2), self.z1, self.z2)
-        u = self.outside + (self.inside - self.outside) * f
-        return {self.out: jnp.broadcast_to(u, dom.shape).astype(dom.dtype)}
+        dim = dom.dim
+        w = self.int_width
+        x = dom._np_axes[0]
+        y = dom._np_axes[1] if dim >= 2 else np.zeros(1)
+        z = dom._np_axes[2] if dim == 3 else np.zeros(1)
+
+        if w <= 0.0:
+            hx = (x >= self.x1) & (x <= self.x2)
+            hy = (y >= self.y1) & (y <= self.y2) if dim >= 2 else np.ones_like(y, bool)
+            hz = (z >= self.z1) & (z <= self.z2) if dim == 3 else np.ones_like(z, bool)
+            h_box = (
+                hx.reshape(-1, 1, 1) & hy.reshape(1, -1, 1) & hz.reshape(1, 1, -1)
+            ).astype(np.float64)
+        elif self.interpolation == "COS":
+            mx = np.clip(np.minimum(x - self.x1, self.x2 - x), -w / 2, w / 2)
+            my = (
+                np.clip(np.minimum(y - self.y1, self.y2 - y), -w / 2, w / 2)
+                if dim >= 2 else np.full_like(y, w / 2)
+            )
+            mz = (
+                np.clip(np.minimum(z - self.z1, self.z2 - z), -w / 2, w / 2)
+                if dim == 3 else np.full_like(z, w / 2)
+            )
+            hx = 0.5 + 0.5 * np.sin(math.pi * mx / w)
+            hy = 0.5 + 0.5 * np.sin(math.pi * my / w)
+            hz = 0.5 + 0.5 * np.sin(math.pi * mz / w)
+            h_box = hx.reshape(-1, 1, 1) * hy.reshape(1, -1, 1) * hz.reshape(1, 1, -1)
+        else:  # TANH
+            mx = np.minimum(x - self.x1, self.x2 - x)
+            my = (
+                np.minimum(y - self.y1, self.y2 - y)
+                if dim >= 2 else np.full_like(y, 10 * w)
+            )
+            mz = (
+                np.minimum(z - self.z1, self.z2 - z)
+                if dim == 3 else np.full_like(z, 10 * w / 2.0)
+            )
+            hx = 0.5 + 0.5 * np.tanh(4 * mx / w)
+            hy = 0.5 + 0.5 * np.tanh(4 * my / w)
+            hz = 0.5 + 0.5 * np.tanh(4 * mz / w)
+            h_box = hx.reshape(-1, 1, 1) * hy.reshape(1, -1, 1) * hz.reshape(1, 1, -1)
+
+        u = np.squeeze(h_box * self.inside + (1 - h_box) * self.outside)
+        return {self.out: jnp.asarray(u.reshape(dom.shape), dtype=dom.dtype)}
 
 
 @computes.register("FiniteDifferenceLaplacian")
@@ -440,7 +464,7 @@ class FiniteDifferenceLaplacian(TensorCompute):
         super().__init__(name, params, problem)
         self.input = self.input_buffer("input")
         self.factor = params.get_float("factor", 1.0)
-        self.stencil = int(params.get_enum("stencil", ["3", "5"], "3"))
+        self.stencil = int(params.get_enum("stencil_width", ["3", "5"], "3"))
         ghost = 1 if self.stencil == 3 else 2
         problem.request_ghost_layers(ghost)
 
@@ -483,12 +507,48 @@ class MooseFunctionTensor(TensorCompute):
 
     def apply(self, state, ctx):
         dom = self.domain
-        zero = jnp.zeros([1] * dom.dim, dtype=dom.dtype)
+        # the reference samples at i*dx + dx/2 measured from ZERO, ignoring
+        # the domain minimum (reference MooseFunctionTensor.C computeBuffer)
+        def axis(d):
+            h = dom.grid_spacing[d]
+            a = np.arange(dom.n_global[d]) * h + h / 2.0
+            return dom._np_align(a, d)
+
+        zero = np.zeros([1] * dom.dim)
         env = {
-            "x": dom.axis(0),
-            "y": dom.axis(1) if dom.dim > 1 else zero,
-            "z": dom.axis(2) if dom.dim > 2 else zero,
+            "x": axis(0),
+            "y": axis(1) if dom.dim > 1 else zero,
+            "z": axis(2) if dom.dim > 2 else zero,
             "t": ctx["t"],
         }
         u = self.function(env)
         return {self.out: jnp.broadcast_to(u, dom.shape).astype(dom.dtype)}
+
+
+@computes.register("GradientTensor")
+class GradientTensor(TensorCompute):
+    """FFT gradient stacked into a 3-vector field.
+
+    The reference wraps the result in a NEML2 Vec (always 3 components,
+    reference src/tensor_computes/GradientTensor.C:28-53); here it is a plain
+    (..., 3) array — no NEML2 dependency required."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.input = self.input_buffer("input")
+        self.input_is_reciprocal = params.get_bool("input_is_reciprocal", False)
+
+    def apply(self, state, ctx):
+        dom = self.domain
+        r = (
+            state[self.input]
+            if self.input_is_reciprocal
+            else dom.fft(state[self.input])
+        ) * 1j
+        comps = []
+        for d in range(3):
+            if d < dom.dim:
+                comps.append(dom.ifft(r * dom.reciprocal_axis(d)))
+            else:
+                comps.append(jnp.zeros(dom.shape, dtype=dom.dtype))
+        return {self.out: jnp.stack(comps, -1)}

@@ -158,7 +158,13 @@ class Transient:
         self.csv = None
         op = Params(outputs_node, gp)
         self.file_base = file_base or op.get_str("file_base", "out")
-        if op.get_bool("csv", False):
+        csv_enabled = op.get_bool("csv", False)
+        if outputs_node is not None:
+            # MOOSE also allows `[Outputs] [name] type = CSV []` sub-blocks
+            for b in outputs_node.blocks():
+                if Params(b, gp).get_str("type") == "CSV":
+                    csv_enabled = True
+        if csv_enabled:
             self.csv = CSVWriter(os.path.join(output_dir, self.file_base + ".csv"))
         self.tensor_outputs = []  # XDMF etc., attached externally
 
@@ -183,6 +189,31 @@ class Transient:
             self.csv.add_row(self.time, dict(self.pp_values))
         for out in self.tensor_outputs:
             out.output(self.problem, self.state, self.time, initial=True)
+        self._vpp_counter = 0
+        self._write_vpps("INITIAL")
+
+    def _write_vpps(self, flag):
+        """Vector postprocessor CSV series: <file_base>_<name>_NNNN.csv
+        (MOOSE naming convention)."""
+        active = [
+            v for v in self.problem.vector_postprocessors if flag in v.execute_on
+        ]
+        if flag == "TIMESTEP_END":
+            self._vpp_counter += 1
+        if not active:
+            return
+        outdir = os.path.dirname(self.csv.path) if self.csv else "."
+        for v in active:
+            cols = v.compute(self.state, {"t": self.time})
+            path = os.path.join(
+                outdir, f"{self.file_base}_{v.name}_{self._vpp_counter:04d}.csv"
+            )
+            names = list(cols)
+            rows = zip(*[cols[c] for c in names])
+            with open(path, "w") as f:
+                f.write(",".join(names) + "\n")
+                for row in rows:
+                    f.write(",".join(CSVWriter._fmt(x) for x in row) + "\n")
 
     def run(self) -> Dict[str, float]:
         if self.state is None:
@@ -206,6 +237,10 @@ class Transient:
             self.state = self.problem.step(
                 self.state, self.time, dt, dt_old, first_step=(self.step_count == 1)
             )
+            if self.problem.solver is not None:
+                self.problem.compute_count += (
+                    self.problem.solver.group_evals_per_step()
+                )
             solver_info = self._solver_info()
             self.time += dt
             dt_old = dt
@@ -218,6 +253,7 @@ class Transient:
                 self.csv.add_row(self.time, dict(self.pp_values))
             for out in self.tensor_outputs:
                 out.output(self.problem, self.state, self.time)
+            self._write_vpps("TIMESTEP_END")
 
             if any(t.check(self.pp_values) for t in self.terminators):
                 break

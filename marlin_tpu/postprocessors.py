@@ -141,16 +141,19 @@ class TensorInterfaceVelocityPostprocessor(TensorPostprocessor):
 
 @postprocessors.register("ComputeGroupExecutionCount")
 class ComputeGroupExecutionCount(Postprocessor):
-    """Execution count of a compute group (JIT sanity check in the reference,
-    ComputeGroupExecutionCount.C).  In this design groups are traced functions
-    executed exactly once per substep; report substeps·steps equivalent."""
+    """Execution count of the solver's compute group (JIT sanity check in
+    the reference, ComputeGroupExecutionCount.C).  Groups here are traced
+    functions executed exactly once per substep; the count is tracked
+    host-side on the problem."""
+
+    depends_on_pps = True
 
     def __init__(self, name, params: Params, problem):
         super().__init__(name, params, problem)
-        self.compute_group = params.get_str("compute_group", required=True)
+        self.compute_group = params.get_str("compute_group", None)
 
-    def compute(self, state, ctx):
-        return ctx.get("compute_count", jnp.zeros(()))
+    def compute_host(self, pp_values, t):
+        return float(self.problem.compute_count)
 
 
 @postprocessors.register("ComputeReynoldsNumber")
@@ -200,3 +203,85 @@ class ParsedPostprocessor(Postprocessor):
         for sym, name in zip(self.pp_symbols, self.pp_names):
             env[sym] = pp_values.get(name, 0.0)
         return fparse(self.expression, env)
+
+
+@postprocessors.register("FunctionElementIntegral")
+class FunctionElementIntegral(Postprocessor):
+    """Integral of a deck function over the mesh with 2-point Gauss
+    quadrature per element (the MOOSE built-in used by reference
+    test/tests/misc/shiftedfunction.i)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.function = problem.get_function(params.get_str("function", required=True))
+
+    def compute(self, state, ctx):
+        import numpy as np
+
+        dom = self.domain
+        g = 1.0 / np.sqrt(3.0)
+        axes = []
+        for d in range(dom.dim):
+            h = dom.grid_spacing[d]
+            centers = dom._np_axes[d]
+            pts = np.concatenate([centers - g * h / 2.0, centers + g * h / 2.0])
+            axes.append(np.sort(pts))
+        while len(axes) < 3:
+            axes.append(np.zeros(1))
+        shape3 = [len(a) for a in axes]
+        env = {
+            "x": axes[0].reshape(-1, 1, 1),
+            "y": axes[1].reshape(1, -1, 1),
+            "z": axes[2].reshape(1, 1, -1),
+            "t": ctx["t"],
+        }
+        vals = jnp.broadcast_to(self.function(env), shape3)
+        weight = 1.0
+        for d in range(dom.dim):
+            weight *= dom.grid_spacing[d] / 2.0
+        return jnp.sum(vals) * weight
+
+
+class VectorPostprocessor:
+    """Base for vector postprocessors (per-step CSV series)."""
+
+    def __init__(self, name, params: Params, problem):
+        self.name = name
+        self.params = params
+        self.problem = problem
+        self.domain = problem.domain
+        self.execute_on = set(
+            x.upper()
+            for x in params.get_str_vector("execute_on", default=["TIMESTEP_END"])
+        )
+
+    def compute(self, state, ctx):
+        """Return dict column -> 1-D array."""
+        raise NotImplementedError
+
+
+@postprocessors.register("TensorHistogram")
+class TensorHistogram(VectorPostprocessor):
+    """Histogram of buffer values (reference
+    src/vectorpostprocessors/TensorHistogram.C): `bins` equal-width bins on
+    [min, max], columns `bin` (centers) and `count`."""
+
+    is_vector = True
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.buffer = params.get_str("buffer", required=True)
+        self.min = params.get_float("min", required=True)
+        self.max = params.get_float("max", required=True)
+        self.bins = params.get_int("bins", required=True)
+        if self.min > self.max:
+            params.error("min", "max must be greater than min")
+
+    def compute(self, state, ctx):
+        import numpy as np
+
+        u = np.asarray(state["buffers"][self.buffer]).reshape(-1)
+        counts, edges = np.histogram(u, bins=self.bins, range=(self.min, self.max))
+        step = (self.max - self.min) / self.bins
+        centers = self.min + step / 2.0 + step * np.arange(self.bins)
+        return {"bin": centers, "count": counts.astype(float)}

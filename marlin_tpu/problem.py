@@ -40,8 +40,22 @@ class ProblemError(Exception):
     pass
 
 
-def build_domain(node: Optional[HitNode], mesh=None) -> Domain:
+def build_domain(node: Optional[HitNode], mesh=None, mesh_node: Optional[HitNode] = None) -> Domain:
     if node is None:
+        if mesh_node is not None:
+            # MOOSE-FEM-only decks ([Mesh] GeneratedMeshGenerator, e.g.
+            # reference test/tests/misc/shiftedfunction.i): build an
+            # equivalent uniform grid for function sampling/integration
+            for b in mesh_node.blocks():
+                p = Params(b)
+                if p.get_str("type") == "GeneratedMeshGenerator":
+                    dim = p.get_int("dim", 1)
+                    return Domain(
+                        dim=dim,
+                        n=[p.get_int("nx", 1), p.get_int("ny", 1), p.get_int("nz", 1)],
+                        mins=[p.get_float("xmin", 0.0), p.get_float("ymin", 0.0), p.get_float("zmin", 0.0)],
+                        maxs=[p.get_float("xmax", 1.0), p.get_float("ymax", 1.0), p.get_float("zmax", 1.0)],
+                    )
         raise ProblemError("Missing [Domain] block")
     p = Params(node)
     dim = p.get_int("dim", required=True)
@@ -65,7 +79,10 @@ class TensorProblem:
         gp = root.children.get("GlobalParams")
         self.global_params = dict(gp.params) if gp is not None else {}
 
-        self.domain = build_domain(root.children.get("Domain"), mesh=mesh)
+        self.domain = build_domain(
+            root.children.get("Domain"), mesh=mesh,
+            mesh_node=root.children.get("Mesh"),
+        )
         self.max_ghost_layers = 0
 
         # -- problem-level constants (reference TensorProblem.C:38-39,57-60)
@@ -97,10 +114,68 @@ class TensorProblem:
         if fns is not None:
             for b in fns.blocks():
                 p = Params(b, self.global_params)
+                ftype = p.get_str("type", "ParsedFunction")
+                if ftype == "ShiftedFunction":
+                    # resolved after all functions are built
+                    continue
                 expr = p.get_str("expression", p.get_str("value", "0"))
-                self.functions[b.name] = CompiledExpression(
-                    expr, ["x", "y", "z", "t"], constants={"pi": math.pi, "e": math.e}
+                consts = {"pi": math.pi, "e": math.e}
+                # MOOSE ParsedFunction constants (symbol_names/values or the
+                # legacy vars/vals spelling); non-numeric values reference
+                # other functions (composition, used by reference
+                # test/tests/tensor_compute/rotating_grain*.i)
+                syms = p.get_str_vector("symbol_names", p.get_str_vector("vars"))
+                vals = p.get_str_vector("symbol_values", p.get_str_vector("vals"))
+                fn_symbols = []
+                for sname, sval in zip(syms, vals):
+                    try:
+                        consts[sname] = float(sval)
+                    except ValueError:
+                        fn_symbols.append((sname, sval))
+                ce = CompiledExpression(
+                    expr,
+                    ["x", "y", "z", "t"] + [n for n, _ in fn_symbols],
+                    constants=consts,
                 )
+                if fn_symbols:
+
+                    def make(ce, fn_symbols):
+                        def call(env):
+                            scope = dict(env)
+                            for sname, fname in fn_symbols:
+                                scope[sname] = self.functions[fname](env)
+                            return ce(scope)
+
+                        return call
+
+                    self.functions[b.name] = make(ce, fn_symbols)
+                else:
+                    self.functions[b.name] = ce
+            # ShiftedFunction: wrap another function with a time/space offset
+            # (reference src/functions/ShiftedFunction.C)
+            for b in fns.blocks():
+                p = Params(b, self.global_params)
+                if p.get_str("type") != "ShiftedFunction":
+                    continue
+                inner = self.functions[p.get_str("function", required=True)]
+                shift = p.get_float_vector("shift", [0.0, 0.0, 0.0])
+                while len(shift) < 3:
+                    shift.append(0.0)
+                tshift = p.get_float("delta_t", 0.0)
+
+                def make(inner, shift, tshift):
+                    def call(env):
+                        shifted = {
+                            "x": env["x"] + shift[0],
+                            "y": env["y"] + shift[1],
+                            "z": env["z"] + shift[2],
+                            "t": env["t"] + tshift,
+                        }
+                        return inner(shifted)
+
+                    return call
+
+                self.functions[b.name] = make(inner, shift, tshift)
 
         # -- explicit buffers ----------------------------------------------
         self.buffer_specs: Dict[str, Params] = {}
@@ -158,6 +233,17 @@ class TensorProblem:
         self._step_fns = {}
         self._pp_fns = {}
         self._initialized = False
+        self.compute_count = 0
+
+        # vector postprocessors ([VectorPostprocessors])
+        self.vector_postprocessors = []
+        vpps = root.children.get("VectorPostprocessors")
+        if vpps is not None:
+            for b in vpps.blocks():
+                p = Params(b, self.global_params)
+                self.vector_postprocessors.append(
+                    pp_registry.create(p.get_str("type", required=True), b.name, p, self)
+                )
 
     # ------------------------------------------------------------------
     def _build_compute(self, node: HitNode) -> TensorCompute:

@@ -54,6 +54,9 @@ class AdamsBashforthMoulton(SplitOperatorBase):
         self._beta = __import__("numpy").asarray(BETA)
         self._alpha = __import__("numpy").asarray(ALPHA)
 
+    def group_evals_per_step(self):
+        return self.substeps * (1 + self.corrector_steps)
+
     def substep(self, state, sub_time, sub_dt, dt, dt_old, substep_index, first_step):
         state = self._run_group(state, sub_time)
         buffers = dict(state["buffers"])

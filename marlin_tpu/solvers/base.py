@@ -150,6 +150,11 @@ class TensorSolver:
     def substep(self, state, sub_time, sub_dt, dt, dt_old, substep_index, first_step):
         raise NotImplementedError
 
+    def group_evals_per_step(self) -> int:
+        """Compute-group evaluations per MOOSE timestep (feeds the
+        ComputeGroupExecutionCount postprocessor)."""
+        return self.substeps
+
     # -- history count helper ---------------------------------------------
     def n_old(self, state: Dict, buffer: str):
         """Valid old-state count for a buffer (traced int)."""

@@ -16,9 +16,12 @@ def run_ref_deck(relpath, cli_args=(), tmpdir="/tmp/marlin_tpu_gold"):
     os.makedirs(tmpdir, exist_ok=True)
     root = hit.load(os.path.join(REF, relpath), list(cli_args))
     stem = os.path.splitext(os.path.basename(relpath))[0]
+    out_node = root.children.get("Outputs")
+    file_base = out_node.get("file_base") if out_node is not None else None
     return (
         run_deck(
             root,
+            file_base=file_base or stem + "_out",  # MOOSE default output base
             output_dir=tmpdir,
             deck_stem=stem,
             deck_dir=os.path.dirname(os.path.join(REF, relpath)),
