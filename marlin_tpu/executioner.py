@@ -234,20 +234,12 @@ class Transient:
             dt = min(dt, self.dtmax, self.end_time - self.time)
             dt = max(dt, self.dtmin)
 
-            self.state = self.problem.step(
+            self.state, values = self.problem.step_with_pps(
                 self.state, self.time, dt, dt_old, first_step=(self.step_count == 1)
             )
-            if self.problem.solver is not None:
-                self.problem.compute_count += (
-                    self.problem.solver.group_evals_per_step()
-                )
             solver_info = self._solver_info()
             self.time += dt
             dt_old = dt
-
-            values = self.problem.execute_postprocessors(
-                self.state, "TIMESTEP_END", self.time, dt
-            )
             self.pp_values.update(values)
             if self.csv is not None:
                 self.csv.add_row(self.time, dict(self.pp_values))

@@ -1,0 +1,261 @@
+"""Distributed execution: slab/pencil FFTs and block sharding over a Mesh.
+
+TPU-native replacement for the reference's MPI backend
+(reference: src/actions/DomainAction.C — slab transposes :869-1019, pencil
+stages :1105-1404, partitioners :340-742; halo exchange
+src/problems/TensorProblem.C:595-774):
+
+- FFT_SLAB: 1-D decomposition. Real space is X-Z slabs stacked along Y;
+  reciprocal space is Y-Z slabs along X (same layout convention as the
+  reference).  One `lax.all_to_all` per transform inside `shard_map`, riding
+  ICI — the role of the reference's MPI_Isend/Irecv transpose.
+- FFT_PENCIL: 2-D decomposition (3-D grids).  fft(x) local -> all_to_all
+  over the first mesh axis -> fft(y) -> all_to_all over the second mesh
+  axis -> fft(z).  Two collectives per transform, the reference's two
+  many-to-many stages.  (We use full complex transforms on all axes so every
+  stage splits evenly; the reference's x-axis rfft half-spectrum has an odd
+  extent that cannot be tiled across ranks without its remainder
+  bookkeeping.)
+- REAL_SPACE: block decomposition of the grid.  No explicit halo machinery:
+  stencils are expressed with jnp.roll / pad+slice on the sharded global
+  array and XLA's SPMD partitioner inserts the collective-permute halo
+  exchanges — replacing the reference's manual ghost-layer bookkeeping
+  (registerGhostLayerRequest, exchangeGhostLayers) entirely.
+
+Reductions (sums, extrema) are plain jnp reductions over global arrays; XLA
+adds the psum/pmax — fixing the reference's serial-only DomainAction::sum
+(src/actions/DomainAction.C:1558-1568).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(parallel_mode, devices=None, shape: Optional[Tuple[int, ...]] = None) -> Mesh:
+    """Build a mesh for a parallel mode: 1-D ('sp',) for FFT_SLAB, 2-D
+    ('p1','p2') for FFT_PENCIL, 1-D/2-D block mesh for REAL_SPACE."""
+    from .domain import ParallelMode
+
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if parallel_mode == ParallelMode.FFT_SLAB:
+        return Mesh(np.array(devices), axis_names=("sp",))
+    if parallel_mode == ParallelMode.FFT_PENCIL:
+        if shape is None:
+            # near-square factorization (the reference picks factor pairs in
+            # partitionPencils, DomainAction.C:568-616)
+            p1 = int(np.floor(np.sqrt(n)))
+            while n % p1:
+                p1 -= 1
+            shape = (p1, n // p1)
+        return Mesh(np.array(devices).reshape(shape), axis_names=("p1", "p2"))
+    if parallel_mode == ParallelMode.REAL_SPACE:
+        if shape is None:
+            shape = (n,)
+        names = ("p1", "p2", "p3")[: len(shape)]
+        return Mesh(np.array(devices).reshape(shape), axis_names=names)
+    return Mesh(np.array(devices), axis_names=("sp",))
+
+
+# ---------------------------------------------------------------------------
+# sharding specs
+# ---------------------------------------------------------------------------
+
+
+def real_spec(domain, ndim: int) -> P:
+    """PartitionSpec for a real-space field of total rank ndim."""
+    from .domain import ParallelMode
+
+    dim = domain.dim
+    extra = (None,) * (ndim - dim)
+    mode = domain.parallel_mode
+    if mode == ParallelMode.FFT_SLAB:
+        # X-Z slabs stacked along Y (reference partitionSlabs)
+        spec = [None] * dim
+        spec[1 if dim > 1 else 0] = "sp"
+        return P(*spec, *extra)
+    if mode == ParallelMode.FFT_PENCIL:
+        return P(None, "p1", "p2", *extra)
+    if mode == ParallelMode.REAL_SPACE:
+        names = list(domain.mesh.axis_names)
+        spec = [None] * dim
+        for i, nm in enumerate(names[:dim]):
+            spec[i] = nm
+        return P(*spec, *extra)
+    return P()
+
+
+def reciprocal_spec(domain, ndim: int) -> P:
+    from .domain import ParallelMode
+
+    dim = domain.dim
+    extra = (None,) * (ndim - dim)
+    mode = domain.parallel_mode
+    if mode == ParallelMode.FFT_SLAB:
+        # Y-Z slabs along X in reciprocal space (reference convention)
+        spec = [None] * dim
+        spec[0] = "sp"
+        return P(*spec, *extra)
+    if mode == ParallelMode.FFT_PENCIL:
+        return P("p1", "p2", None, *extra)
+    return P()
+
+
+def shard_state(domain, state):
+    """Apply NamedShardings to the state pytree (real vs reciprocal layout
+    chosen by shape/dtype)."""
+    if domain.mesh is None:
+        return state
+    mesh = domain.mesh
+    dim = domain.dim
+
+    def spec_for(arr):
+        if arr.ndim >= dim and tuple(arr.shape[:dim]) == tuple(domain.reciprocal_shape) \
+                and jnp.iscomplexobj(arr):
+            return reciprocal_spec(domain, arr.ndim)
+        if arr.ndim >= dim and tuple(arr.shape[:dim]) == tuple(domain.shape):
+            return real_spec(domain, arr.ndim)
+        return P()
+
+    def put(arr):
+        if not hasattr(arr, "ndim") or arr.ndim == 0:
+            return arr
+        return jax.device_put(arr, NamedSharding(mesh, spec_for(arr)))
+
+    return jax.tree.map(put, state)
+
+
+# ---------------------------------------------------------------------------
+# distributed transforms
+# ---------------------------------------------------------------------------
+
+
+def _extra_dims_spec(x, dim):
+    return (None,) * (x.ndim - dim)
+
+
+def fft(domain, x):
+    from .domain import ParallelMode
+
+    if domain.parallel_mode == ParallelMode.FFT_SLAB:
+        return fft_slab(domain, x)
+    if domain.parallel_mode == ParallelMode.FFT_PENCIL:
+        return fft_pencil(domain, x)
+    raise RuntimeError(f"No distributed FFT for mode {domain.parallel_mode}")
+
+
+def ifft(domain, x):
+    from .domain import ParallelMode
+
+    if domain.parallel_mode == ParallelMode.FFT_SLAB:
+        return ifft_slab(domain, x)
+    if domain.parallel_mode == ParallelMode.FFT_PENCIL:
+        return ifft_pencil(domain, x)
+    raise RuntimeError(f"No distributed iFFT for mode {domain.parallel_mode}")
+
+
+def fft_slab(domain, x):
+    """Forward slab FFT (reference fftSlab, DomainAction.C:869-938): local
+    fft over the unsharded axes, one all_to_all transpose, fft along the
+    formerly-sharded axis.  Full complex spectrum (the reference also uses
+    complex ffts on decomposed axes, :279-284)."""
+    mesh = domain.mesh
+    dim = domain.dim
+    extra = _extra_dims_spec(x, dim)
+    in_spec = real_spec(domain, x.ndim)
+    out_spec = reciprocal_spec(domain, x.ndim)
+    cdtype = domain.cdtype
+
+    if dim == 1:
+        # 1-D slab degenerates to a gather; fall back to replicated fft
+        return jnp.fft.fft(x, axis=0).astype(cdtype)
+
+    local_axes = tuple(a for a in range(dim) if a != 1)
+
+    def kernel(blk):
+        z = blk.astype(cdtype)
+        for a in local_axes:
+            z = jnp.fft.fft(z, axis=a)
+        # transpose: Y-stacked slabs -> X-stacked slabs
+        z = jax.lax.all_to_all(z, "sp", split_axis=0, concat_axis=1, tiled=True)
+        z = jnp.fft.fft(z, axis=1)
+        return z
+
+    return shard_map(
+        kernel, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec, check_rep=False
+    )(x)
+
+
+def ifft_slab(domain, x):
+    mesh = domain.mesh
+    dim = domain.dim
+    in_spec = reciprocal_spec(domain, x.ndim)
+    out_spec = real_spec(domain, x.ndim)
+    dtype = domain.dtype
+
+    if dim == 1:
+        return jnp.fft.ifft(x, axis=0).real.astype(dtype)
+
+    local_axes = tuple(a for a in range(dim) if a != 1)
+
+    def kernel(blk):
+        z = jnp.fft.ifft(blk, axis=1)
+        z = jax.lax.all_to_all(z, "sp", split_axis=1, concat_axis=0, tiled=True)
+        for a in local_axes:
+            z = jnp.fft.ifft(z, axis=a)
+        return z.real.astype(dtype)
+
+    return shard_map(
+        kernel, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec, check_rep=False
+    )(x)
+
+
+def fft_pencil(domain, x):
+    """Forward pencil FFT (reference fftPencil, DomainAction.C:1021-1404):
+    x-axis fft local, two all_to_all stages for y and z."""
+    mesh = domain.mesh
+    in_spec = real_spec(domain, x.ndim)
+    out_spec = reciprocal_spec(domain, x.ndim)
+    cdtype = domain.cdtype
+
+    def kernel(blk):
+        z = blk.astype(cdtype)
+        z = jnp.fft.fft(z, axis=0)
+        # stage 1: gather Y, scatter X within y-groups
+        z = jax.lax.all_to_all(z, "p1", split_axis=0, concat_axis=1, tiled=True)
+        z = jnp.fft.fft(z, axis=1)
+        # stage 2: gather Z, scatter Y within z-groups
+        z = jax.lax.all_to_all(z, "p2", split_axis=1, concat_axis=2, tiled=True)
+        z = jnp.fft.fft(z, axis=2)
+        return z
+
+    return shard_map(
+        kernel, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec, check_rep=False
+    )(x)
+
+
+def ifft_pencil(domain, x):
+    mesh = domain.mesh
+    in_spec = reciprocal_spec(domain, x.ndim)
+    out_spec = real_spec(domain, x.ndim)
+    dtype = domain.dtype
+
+    def kernel(blk):
+        z = jnp.fft.ifft(blk, axis=2)
+        z = jax.lax.all_to_all(z, "p2", split_axis=2, concat_axis=1, tiled=True)
+        z = jnp.fft.ifft(z, axis=1)
+        z = jax.lax.all_to_all(z, "p1", split_axis=1, concat_axis=0, tiled=True)
+        z = jnp.fft.ifft(z, axis=0)
+        return z.real.astype(dtype)
+
+    return shard_map(
+        kernel, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec, check_rep=False
+    )(x)

@@ -647,20 +647,23 @@ class TensorProblem:
 
     # ------------------------------------------------------------------
     def step(self, state, t, dt, dt_old, first_step: bool):
-        """Advance one full timestep (jitted per first_step flag)."""
-        if first_step not in self._step_fns:
-            self._step_fns[first_step] = jax.jit(
-                partial(self._step_impl, first_step=first_step)
-            )
-        return self._step_fns[first_step](state, t, dt, dt_old)
+        """Advance one full timestep.  `first_step` is traced, so one
+        compiled program serves all timesteps."""
+        if "step" not in self._step_fns:
+            self._step_fns["step"] = jax.jit(self._step_impl)
+        return self._step_fns["step"](
+            state, t, dt, dt_old, jnp.asarray(first_step, bool)
+        )
 
-    def _step_impl(self, state, t, dt, dt_old, first_step: bool):
+    def _step_impl(self, state, t, dt, dt_old, first_step):
         from .solvers.base import advance_state
 
+        first_step = jnp.asarray(first_step, bool)
         if self.is_lbm:
             return self._lbm_step_impl(state, t, dt, first_step)
-        if not first_step:
-            state = advance_state(state, dt)
+        state = jax.lax.cond(
+            first_step, lambda s: s, lambda s: advance_state(s, dt), state
+        )
         if self.solver is not None:
             state = self.solver.step(state, t, dt, dt_old, first_step)
         else:
@@ -679,10 +682,6 @@ class TensorProblem:
         LatticeBoltzmannProblem::execute :103-131; substeps only run from
         MOOSE step 2 on, reference `timeStep() > 1`)."""
         from .solvers.base import advance_state
-
-        if first_step:
-            return state
-        state = advance_state(state, dt)  # MOOSE-level advance
 
         sorted_solves = ComputeGroup(
             "_lbm_solve", Params(None, self.global_params), self, self.solve_computes
@@ -711,7 +710,44 @@ class TensorProblem:
                 solver_state["residual"] = buffers.pop("__residual__")
             return {**st, "buffers": buffers, "solver": solver_state}
 
-        return jax.lax.fori_loop(0, self.lbm_substeps, substep, state)
+        def run(state):
+            state = advance_state(state, dt)  # MOOSE-level advance
+            return jax.lax.fori_loop(0, self.lbm_substeps, substep, state)
+
+        # reference: substeps only run from MOOSE step 2 (`timeStep() > 1`)
+        return jax.lax.cond(first_step, lambda s: s, run, state)
+
+    def step_with_pps(self, state, t, dt, dt_old, first_step: bool):
+        """One program: timestep + TIMESTEP_END postprocessors.  Halves the
+        number of compiled programs and device round-trips per step."""
+        active = [
+            pp
+            for pp in self.postprocessors
+            if "TIMESTEP_END" in pp.execute_on
+            and not getattr(pp, "depends_on_pps", False)
+        ]
+        if "step_pp" not in self._step_fns:
+
+            def fn(state, t, dt, dt_old, first_step):
+                state = self._step_impl(state, t, dt, dt_old, first_step)
+                ctx = {"t": t + dt, "dt": dt}
+                buffers = dict(state["buffers"])
+                buffers.update(self.pp_computes.apply(buffers, ctx))
+                st = {**state, "buffers": buffers}
+                vals = {pp.name: pp.compute(st, ctx) for pp in active}
+                return state, vals
+
+            self._step_fns["step_pp"] = jax.jit(fn)
+        state, vals = self._step_fns["step_pp"](
+            state, t, dt, dt_old, jnp.asarray(first_step, bool)
+        )
+        if self.solver is not None:
+            self.compute_count += self.solver.group_evals_per_step()
+        host_vals = {k: float(v) for k, v in vals.items()}
+        for pp in self.postprocessors:
+            if "TIMESTEP_END" in pp.execute_on and getattr(pp, "depends_on_pps", False):
+                host_vals[pp.name] = float(pp.compute_host(host_vals, float(t) + float(dt)))
+        return state, host_vals
 
     # ------------------------------------------------------------------
     def execute_postprocessors(self, state, flag: str, t, dt) -> Dict[str, float]:

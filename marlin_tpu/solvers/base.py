@@ -123,25 +123,27 @@ class TensorSolver:
         return {**state, "buffers": buffers}
 
     # -- main entry --------------------------------------------------------
-    def step(self, state: Dict, t, dt, dt_old, first_step: bool) -> Dict:
+    def step(self, state: Dict, t, dt, dt_old, first_step) -> Dict:
         """One full timestep = `substeps` substeps.
 
         Substep s sees sub_time = t + s*sub_dt; state advances between
         substeps (skipped during the first MOOSE timestep, matching the
-        reference's timeStep()<=1 guard in TensorProblem::advanceState)."""
+        reference's timeStep()<=1 guard in TensorProblem::advanceState).
+        `first_step` is a traced bool so one compiled program serves every
+        timestep."""
         sub_dt = dt / self.substeps
+        first_step = jnp.asarray(first_step, bool)
         if self.substeps == 1:
             return self.substep(state, t, sub_dt, dt, dt_old, 0, first_step)
 
         def body(s, carry):
             st = carry
-            if not first_step:
-                st = jax.lax.cond(
-                    s > 0, lambda x: advance_state(x, dt), lambda x: x, st
-                )
-            else:
-                # reference: no tensor state advance during timestep 1
-                pass
+            st = jax.lax.cond(
+                (s > 0) & jnp.logical_not(first_step),
+                lambda x: advance_state(x, dt),
+                lambda x: x,
+                st,
+            )
             sub_time = t + s * sub_dt
             return self.substep(st, sub_time, sub_dt, dt, dt_old, s, first_step)
 
