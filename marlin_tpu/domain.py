@@ -123,12 +123,15 @@ class Domain:
 
     # -- axes -------------------------------------------------------------
     def _use_rfft(self, d: int) -> bool:
-        """Which axis carries the half-spectrum (reference :268-284)."""
+        """Which axis carries the half-spectrum (reference :268-284).
+        Serial mode: rfft on the last axis.  FFT_SLAB: full complex (like the
+        reference).  FFT_PENCIL: full complex too — the reference rffts the
+        x axis, but its odd half-spectrum extent cannot be tiled evenly
+        across ranks (the all_to_all stages need equal splits), so our pencil
+        design keeps the full spectrum.  REAL_SPACE has no spectral axes."""
         if self.parallel_mode == ParallelMode.NONE:
             return d == self.dim - 1
-        if self.parallel_mode == ParallelMode.FFT_PENCIL:
-            return d == 0
-        return False  # REAL_SPACE (no fft), FFT_SLAB (full complex)
+        return False
 
     def align(self, t: jnp.ndarray, d: int) -> jnp.ndarray:
         """Broadcast-align a 1-D axis tensor along dimension d
@@ -261,14 +264,16 @@ class Domain:
         builder when a mesh is configured."""
         if self.parallel_mode == ParallelMode.REAL_SPACE:
             raise RuntimeError("FFT is not available in REAL_SPACE parallel mode.")
-        if self.parallel_mode == ParallelMode.NONE or self.mesh is None:
-            spatial = tuple(range(self.dim))
+        spatial = tuple(range(self.dim))
+        if self.parallel_mode == ParallelMode.NONE:
             if jnp.iscomplexobj(t):
-                # complex input: full fft on leading dims + rfft-compatible
-                # half spectrum is not defined; use full fftn then slice is
-                # not needed — the reference only ffts real buffers
                 return jnp.fft.fftn(t, axes=spatial).astype(self.cdtype)
             return jnp.fft.rfftn(t, axes=spatial).astype(self.cdtype)
+        if self.mesh is None:
+            # slab/pencil convention without a mesh (single-device run of a
+            # parallel deck): full complex spectrum, matching the
+            # decomposed-mode reciprocal shapes
+            return jnp.fft.fftn(t, axes=spatial).astype(self.cdtype)
         from . import parallel
 
         return parallel.fft(self, t)
@@ -276,11 +281,11 @@ class Domain:
     def ifft(self, t: jnp.ndarray) -> jnp.ndarray:
         if self.parallel_mode == ParallelMode.REAL_SPACE:
             raise RuntimeError("IFFT is not available in REAL_SPACE parallel mode.")
-        if self.parallel_mode == ParallelMode.NONE or self.mesh is None:
-            spatial = tuple(range(self.dim))
-            return jnp.fft.irfftn(
-                t, s=self.shape, axes=spatial
-            ).astype(self.dtype)
+        spatial = tuple(range(self.dim))
+        if self.parallel_mode == ParallelMode.NONE:
+            return jnp.fft.irfftn(t, s=self.shape, axes=spatial).astype(self.dtype)
+        if self.mesh is None:
+            return jnp.fft.ifftn(t, axes=spatial).real.astype(self.dtype)
         from . import parallel
 
         return parallel.ifft(self, t)

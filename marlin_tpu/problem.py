@@ -584,6 +584,12 @@ class TensorProblem:
             # LatticeBoltzmannProblem _convergence_residual initial value)
             state["solver"]["residual"] = jnp.ones((), dom.dtype)
 
+        # distribute the state over the mesh
+        if self.domain.mesh is not None:
+            from . import parallel
+
+            state = parallel.shard_state(self.domain, state)
+
         self._initialized = True
         return state
 

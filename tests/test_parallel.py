@@ -1,0 +1,154 @@
+"""Distributed-mode tests on the virtual 8-device CPU mesh — the analog of
+the reference's MPI-on-localhost strategy (reference test/tests/gradient/
+tests:11-30 runs slab FFT at 3 ranks and pencil at 4; parallel results must
+equal the serial gold)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marlin_tpu import parallel
+from marlin_tpu.domain import Domain, ParallelMode
+
+
+def _serial_domain(dim, n, mode=ParallelMode.FFT_SLAB, mesh=None):
+    return Domain(dim=dim, n=n, maxs=[1.0, 2.0, 3.0][:dim], parallel_mode=mode, mesh=mesh)
+
+
+class TestSlabFFT:
+    @pytest.mark.parametrize("devices", [2, 4, 8])
+    def test_roundtrip_2d(self, devices):
+        mesh = parallel.make_mesh(
+            ParallelMode.FFT_SLAB, jax.devices()[:devices]
+        )
+        dom = _serial_domain(2, [16, 24], ParallelMode.FFT_SLAB, mesh)
+        x = jnp.asarray(np.random.RandomState(0).rand(16, 24))
+        xs = jax.device_put(
+            x, jax.sharding.NamedSharding(mesh, parallel.real_spec(dom, 2))
+        )
+        back = dom.ifft(dom.fft(xs))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-12)
+
+    @pytest.mark.parametrize("devices", [4])
+    def test_matches_serial_fft_2d(self, devices):
+        mesh = parallel.make_mesh(ParallelMode.FFT_SLAB, jax.devices()[:devices])
+        dom = _serial_domain(2, [16, 24], ParallelMode.FFT_SLAB, mesh)
+        x = jnp.asarray(np.random.RandomState(1).rand(16, 24))
+        mine = np.asarray(dom.fft(x))
+        ref = np.fft.fftn(np.asarray(x))
+        np.testing.assert_allclose(mine, ref, atol=1e-10)
+
+    def test_roundtrip_3d(self):
+        mesh = parallel.make_mesh(ParallelMode.FFT_SLAB, jax.devices()[:4])
+        dom = _serial_domain(3, [8, 8, 12], ParallelMode.FFT_SLAB, mesh)
+        x = jnp.asarray(np.random.RandomState(2).rand(8, 8, 12))
+        back = dom.ifft(dom.fft(x))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-12)
+
+
+class TestPencilFFT:
+    @pytest.mark.parametrize("shape", [(2, 2), (2, 4), (1, 8)])
+    def test_roundtrip(self, shape):
+        mesh = parallel.make_mesh(
+            ParallelMode.FFT_PENCIL,
+            jax.devices()[: shape[0] * shape[1]],
+            shape=shape,
+        )
+        dom = _serial_domain(3, [8, 8, 16], ParallelMode.FFT_PENCIL, mesh)
+        x = jnp.asarray(np.random.RandomState(3).rand(8, 8, 16))
+        back = dom.ifft(dom.fft(x))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-12)
+
+    def test_matches_serial_fft(self):
+        mesh = parallel.make_mesh(
+            ParallelMode.FFT_PENCIL, jax.devices()[:4], shape=(2, 2)
+        )
+        dom = _serial_domain(3, [8, 8, 16], ParallelMode.FFT_PENCIL, mesh)
+        x = jnp.asarray(np.random.RandomState(4).rand(8, 8, 16))
+        mine = np.asarray(dom.fft(x))
+        ref = np.fft.fftn(np.asarray(x))
+        np.testing.assert_allclose(mine, ref, atol=1e-10)
+
+    def test_under_jit_with_kspace_ops(self):
+        """A semi-implicit-style update (fft -> k-space multiply -> ifft)
+        under jit with sharded inputs."""
+        mesh = parallel.make_mesh(
+            ParallelMode.FFT_PENCIL, jax.devices()[:4], shape=(2, 2)
+        )
+        dom = _serial_domain(3, [8, 8, 16], ParallelMode.FFT_PENCIL, mesh)
+        x = jnp.asarray(np.random.RandomState(5).rand(8, 8, 16))
+        xs = jax.device_put(
+            x, jax.sharding.NamedSharding(mesh, parallel.real_spec(dom, 3))
+        )
+        k2 = dom.k_square
+
+        @jax.jit
+        def step(u):
+            ubar = dom.fft(u)
+            ubar = ubar / (1.0 + 0.01 * k2)
+            return dom.ifft(ubar)
+
+        out = np.asarray(step(xs))
+        ref = np.fft.ifftn(
+            np.fft.fftn(np.asarray(x)) / (1.0 + 0.01 * np.asarray(k2))
+        ).real
+        np.testing.assert_allclose(out, ref, atol=1e-10)
+
+
+class TestGradientDeckParallel:
+    """Run the reference gradient deck in FFT_SLAB mode on 4 virtual devices;
+    the CSV must equal the serial gold (decomposition invisibility, the
+    reference's core parallel test property)."""
+
+    def test_gradient_slab(self):
+        import os
+
+        from .gold import REF, csv_diff
+        from marlin_tpu import hit
+        from marlin_tpu.executioner import run_deck
+
+        mesh = parallel.make_mesh(ParallelMode.FFT_SLAB, jax.devices()[:4])
+        root = hit.load(
+            os.path.join(REF, "test/tests/gradient/gradient.i"),
+            ["Domain/parallel_mode=FFT_SLAB"],
+        )
+        run_deck(
+            root,
+            file_base="gradient_out",
+            output_dir="/tmp/marlin_tpu_par",
+            mesh=mesh,
+            deck_stem="gradient",
+        )
+        csv_diff(
+            "test/tests/gradient/gold/gradient_out.csv",
+            "/tmp/marlin_tpu_par/gradient_out.csv",
+        )
+
+
+class TestRealSpaceSharded:
+    def test_laplacian_deck_sharded(self):
+        """REAL_SPACE block decomposition: the FD laplacian runs on a sharded
+        grid (XLA inserts the halo exchange for jnp.roll); results match the
+        serial gold."""
+        import os
+
+        from .gold import REF, csv_diff
+        from marlin_tpu import hit
+        from marlin_tpu.executioner import run_deck
+
+        mesh = parallel.make_mesh(
+            ParallelMode.REAL_SPACE, jax.devices()[:4], shape=(2, 2)
+        )
+        root = hit.load(os.path.join(REF, "test/tests/real_space/laplacian.i"))
+        run_deck(
+            root,
+            file_base="laplacian_out",
+            output_dir="/tmp/marlin_tpu_par_rs",
+            mesh=mesh,
+            deck_stem="laplacian",
+        )
+        csv_diff(
+            "test/tests/real_space/gold/laplacian_out.csv",
+            "/tmp/marlin_tpu_par_rs/laplacian_out.csv",
+        )
