@@ -23,13 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     import jax
 
-    # persistent compile cache: the axon remote-compile path costs minutes
-    # per program; cache compiled executables across runs
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/marlin_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # NOTE: do not enable the persistent compilation cache here — the axon
+    # TPU backend cannot deserialize cached executables (UNIMPLEMENTED on
+    # cache hits); every program must compile fresh.
 
     # run on whatever accelerator the session provides (TPU via axon when
     # available, else CPU); single precision like the reference's GPU runs

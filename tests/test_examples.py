@@ -1,0 +1,76 @@
+"""Smoke-run the reference's shipped example decks (shortened horizons).
+
+These have no gold files (reference examples/ publishes no timings or
+golds); the tests assert the decks build, run, and produce finite,
+physically-sane values — capability parity for the example gallery."""
+
+import math
+import os
+
+import pytest
+
+from .gold import REF, run_ref_deck
+
+
+def _finite(values):
+    return all(math.isfinite(v) for v in values.values())
+
+
+def test_swift_hohenberg():
+    tr, _ = run_ref_deck(
+        "examples/swift_hohenberg/swifthohenberg.i",
+        ["Executioner/num_steps=5"],
+    )
+    assert tr.step_count == 5
+    assert _finite(tr.pp_values)
+
+
+def test_rotating_grain():
+    tr, _ = run_ref_deck(
+        "examples/swift_hohenberg/rotating_grain.i",
+        ["Executioner/num_steps=3"],
+    )
+    assert tr.step_count == 3
+    assert _finite(tr.pp_values)
+
+
+def test_degeus_mechanics():
+    """The deGeus RVE example (32^3 hyperelastic FFT micromechanics,
+    reference examples/degeus_mechanics/mech.i)."""
+    tr, _ = run_ref_deck(
+        "examples/degeus_mechanics/mech.i", ["Executioner/num_steps=2"]
+    )
+    assert tr.step_count == 2
+    assert _finite(tr.pp_values)
+
+
+@pytest.mark.parametrize(
+    "deck", ["cahnhilliard.i", "cahnhilliard2.i", "cahnhilliard3.i", "cahnhilliard4.i"]
+)
+def test_cahn_hilliard_examples(deck):
+    tr, _ = run_ref_deck(
+        f"examples/cahn_hilliard/{deck}", ["Executioner/num_steps=3"]
+    )
+    assert tr.step_count == 3
+    assert _finite(tr.pp_values)
+
+
+def test_benchmark_2a_ostwald():
+    """Ostwald ripening benchmark (5 coupled fields; reference
+    benchmarks/02_oswald_ripening/2a.i)."""
+    tr, _ = run_ref_deck(
+        "benchmarks/02_oswald_ripening/2a.i", ["Executioner/num_steps=3"]
+    )
+    assert tr.step_count == 3
+    assert _finite(tr.pp_values)
+
+
+def test_benchmark_1a_spinodal():
+    tr, _ = run_ref_deck(
+        "benchmarks/01_spinodal_decomposition/1a.i", ["Executioner/num_steps=2"]
+    )
+    assert tr.step_count == 2
+    assert _finite(tr.pp_values)
+    # free energy near the PFHub starting value (319.03, reference
+    # benchmarks/01_spinodal_decomposition/results.1a.1.json)
+    assert 250 < tr.pp_values["F"] < 350
