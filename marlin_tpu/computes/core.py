@@ -146,7 +146,13 @@ class ConstantReciprocalTensor(TensorCompute):
     def apply(self, state, ctx):
         dom = self.domain
         value = complex(self.real, self.imaginary)
-        return {self.out: jnp.full(dom.reciprocal_shape, value, dtype=dom.cdtype)}
+        # host-side fill: eager on-device complex broadcasts are
+        # unimplemented on the axon TPU backend
+        return {
+            self.out: jnp.asarray(
+                np.full(dom.reciprocal_shape, value, dtype=np.dtype(dom.cdtype))
+            )
+        }
 
 
 @computes.register("RandomTensor")

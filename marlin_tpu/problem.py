@@ -40,6 +40,16 @@ class ProblemError(Exception):
     pass
 
 
+def host_zeros(shape, dtype):
+    """Zeros created host-side and transferred, instead of an on-device
+    broadcast: the axon TPU backend does not implement eager complex
+    constant broadcasts (they poison every downstream consumer with a
+    deferred UNIMPLEMENTED error)."""
+    import numpy as np
+
+    return jnp.asarray(np.zeros(shape, dtype=np.dtype(jnp.dtype(dtype))))
+
+
 def build_domain(node: Optional[HitNode], mesh=None, mesh_node: Optional[HitNode] = None) -> Domain:
     if node is None:
         if mesh_node is not None:
@@ -496,11 +506,11 @@ class TensorProblem:
                 continue
             vdims = spec.get_int_vector("value_dimensions", [])
             if spec.get_bool("reciprocal", False):
-                buffers[name] = jnp.zeros(
-                    dom.reciprocal_value_shape(vdims), dtype=dom.cdtype
+                buffers[name] = host_zeros(
+                    dom.reciprocal_value_shape(vdims), dom.cdtype
                 )
             else:
-                buffers[name] = jnp.zeros(dom.value_shape(vdims), dtype=dom.dtype)
+                buffers[name] = host_zeros(dom.value_shape(vdims), dom.dtype)
 
         state = {
             "buffers": buffers,
@@ -548,7 +558,7 @@ class TensorProblem:
         scope = dict(state["buffers"])
         shape_ctx = dict(ctx)
         shape_ctx["old"] = {
-            name: jnp.zeros((1,) + arr.shape, arr.dtype)
+            name: host_zeros((1,) + arr.shape, arr.dtype)
             for name, arr in state["buffers"].items()
         }
         shape_ctx["n_advances"] = state["n_advances"]
@@ -570,7 +580,7 @@ class TensorProblem:
             if name not in state["buffers"]:
                 raise ProblemError(f"History requested for unknown buffer '{name}'")
             cur = state["buffers"][name]
-            state["old"][name] = jnp.zeros((n_states,) + cur.shape, dtype=cur.dtype)
+            state["old"][name] = host_zeros((n_states,) + cur.shape, cur.dtype)
             old_max = max(old_max, n_states)
         state["old_dt"] = jnp.zeros((old_max,), dom.dtype)
 
@@ -631,7 +641,7 @@ class TensorProblem:
             # (some computes, e.g. FFTMechanics, run full nonlinear solves)
             out_struct = jax.eval_shape(lambda s, c: m.apply(s, c), scope, ctx)
             out = {
-                name: jnp.zeros(sd.shape, sd.dtype)
+                name: host_zeros(sd.shape, sd.dtype)
                 for name, sd in out_struct.items()
                 if not name.startswith("__")
             }
@@ -723,9 +733,20 @@ class TensorProblem:
         # reference: substeps only run from MOOSE step 2 (`timeStep() > 1`)
         return jax.lax.cond(first_step, lambda s: s, run, state)
 
+    #: fuse the timestep and postprocessors into one XLA program (fastest);
+    #: set False to run them as two programs (the axon remote-TPU backend
+    #: currently rejects the fused program)
+    fuse_pps = True
+
     def step_with_pps(self, state, t, dt, dt_old, first_step: bool):
         """One program: timestep + TIMESTEP_END postprocessors.  Halves the
         number of compiled programs and device round-trips per step."""
+        if not self.fuse_pps:
+            state = self.step(state, t, dt, dt_old, first_step)
+            if self.solver is not None:
+                self.compute_count += self.solver.group_evals_per_step()
+            vals = self.execute_postprocessors(state, "TIMESTEP_END", t + dt, dt)
+            return state, vals
         active = [
             pp
             for pp in self.postprocessors
