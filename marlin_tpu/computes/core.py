@@ -144,15 +144,23 @@ class ConstantReciprocalTensor(TensorCompute):
         self.imaginary = self.constant("imaginary", 0.0)
 
     def apply(self, state, ctx):
+        import jax
+
         dom = self.domain
         value = complex(self.real, self.imaginary)
-        # host-side fill: eager on-device complex broadcasts are
-        # unimplemented on the axon TPU backend
-        return {
-            self.out: jnp.asarray(
-                np.full(dom.reciprocal_shape, value, dtype=np.dtype(dom.cdtype))
+        if jax.default_backend() == "cpu":
+            return {
+                self.out: jnp.asarray(
+                    np.full(dom.reciprocal_shape, value, dtype=np.dtype(dom.cdtype))
+                )
+            }
+        # complex constants must be built by a compiled program on the axon
+        # TPU backend (eager complex broadcast/transfer is unimplemented)
+        if not hasattr(self, "_fill_fn"):
+            self._fill_fn = jax.jit(
+                lambda: jnp.full(dom.reciprocal_shape, value, dtype=dom.cdtype)
             )
-        }
+        return {self.out: self._fill_fn()}
 
 
 @computes.register("RandomTensor")
@@ -527,8 +535,12 @@ class MooseFunctionTensor(TensorCompute):
             "z": axis(2) if dom.dim > 2 else zero,
             "t": ctx["t"],
         }
-        u = self.function(env)
-        return {self.out: jnp.broadcast_to(u, dom.shape).astype(dom.dtype)}
+        u = np.asarray(self.function(env))
+        return {
+            self.out: jnp.asarray(
+                np.broadcast_to(u, dom.shape).astype(np.dtype(dom.dtype))
+            )
+        }
 
 
 @computes.register("GradientTensor")

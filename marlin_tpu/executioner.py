@@ -172,6 +172,12 @@ class Transient:
         self.time = self.start_time
         self.step_count = 0
         self.pp_values: Dict[str, float] = {}
+        # checkpoint/resume (reference only checkpoints MOOSE-side data, not
+        # tensor buffers — SURVEY §5.4; this is the full-state superset)
+        self.checkpoint_interval = p.get_int("checkpoint_interval", 0)
+        self.checkpoint_path = os.path.join(
+            output_dir, self.file_base + "_checkpoint.npz"
+        )
 
     # ------------------------------------------------------------------
     def init(self):
@@ -215,11 +221,36 @@ class Transient:
                 for row in rows:
                     f.write(",".join(CSVWriter._fmt(x) for x in row) + "\n")
 
+    def save_checkpoint(self):
+        from . import checkpoint
+
+        checkpoint.save(
+            self.checkpoint_path,
+            self.state,
+            self.time,
+            self.step_count,
+            self._last_dt,
+            self.pp_values,
+        )
+
+    def recover(self, path=None):
+        """Resume from a checkpoint: restores state, time, and step count."""
+        from . import checkpoint
+
+        state, meta = checkpoint.load(path or self.checkpoint_path)
+        self.state = state
+        self.time = meta["time"]
+        self.step_count = meta["step"]
+        self._last_dt = meta["dt"]
+        self.pp_values = dict(meta.get("pp_values", {}))
+
+    _last_dt = 0.0
+
     def run(self) -> Dict[str, float]:
         if self.state is None:
             self.init()
-        dt_old = 0.0
-        dt = self.stepper.dt0
+        dt_old = self._last_dt  # nonzero when resuming from a checkpoint
+        dt = self._last_dt or self.stepper.dt0
         solver_info = None
         while self.step_count < self.num_steps and self.time < self.end_time - 1e-13:
             # LBM convergence early-out (reference LatticeBoltzmannProblem::
@@ -237,6 +268,7 @@ class Transient:
             self.state, values = self.problem.step_with_pps(
                 self.state, self.time, dt, dt_old, first_step=(self.step_count == 1)
             )
+            self._last_dt = dt
             solver_info = self._solver_info()
             self.time += dt
             dt_old = dt
@@ -246,6 +278,11 @@ class Transient:
             for out in self.tensor_outputs:
                 out.output(self.problem, self.state, self.time)
             self._write_vpps("TIMESTEP_END")
+            if (
+                self.checkpoint_interval
+                and self.step_count % self.checkpoint_interval == 0
+            ):
+                self.save_checkpoint()
 
             if any(t.check(self.pp_values) for t in self.terminators):
                 break

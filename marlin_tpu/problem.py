@@ -40,14 +40,25 @@ class ProblemError(Exception):
     pass
 
 
+_zeros_programs = {}
+
+
 def host_zeros(shape, dtype):
-    """Zeros created host-side and transferred, instead of an on-device
-    broadcast: the axon TPU backend does not implement eager complex
-    constant broadcasts (they poison every downstream consumer with a
-    deferred UNIMPLEMENTED error)."""
+    """Allocate zeros safely on any backend.
+
+    The axon TPU backend implements neither eager complex broadcasts nor
+    complex host<->device transfers (both poison downstream consumers with
+    deferred UNIMPLEMENTED errors), so complex zeros must be produced ON
+    DEVICE by a compiled program.  Real dtypes go the cheap host route."""
     import numpy as np
 
-    return jnp.asarray(np.zeros(shape, dtype=np.dtype(jnp.dtype(dtype))))
+    shape = tuple(int(x) for x in shape)
+    if not jnp.issubdtype(dtype, jnp.complexfloating) or jax.default_backend() == "cpu":
+        return jnp.asarray(np.zeros(shape, dtype=np.dtype(jnp.dtype(dtype))))
+    key = (shape, jnp.dtype(dtype).name)
+    if key not in _zeros_programs:
+        _zeros_programs[key] = jax.jit(lambda: jnp.zeros(shape, dtype))
+    return _zeros_programs[key]()
 
 
 def build_domain(node: Optional[HitNode], mesh=None, mesh_node: Optional[HitNode] = None) -> Domain:
@@ -104,8 +115,12 @@ class TensorProblem:
         if len(names) != len(values):
             raise ProblemError("scalar_constant_names/values length mismatch")
         self.constants.update(dict(zip(names, values)))
+        self._fetched_constants: List[str] = []
         self.spectral_solve_substeps = self.problem_params.get_int(
             "spectral_solve_substeps", 1
+        )
+        self.print_debug_output = self.problem_params.get_bool(
+            "print_debug_output", False
         )
         self.is_lbm = (
             self.problem_params.get_str("type", "TensorProblem")
@@ -377,13 +392,16 @@ class TensorProblem:
         raise ProblemError(f"Compute '{name}' not found.")
 
     def get_constant(self, name: str) -> float:
+        """Fetch a named constant.  Fetch-before-declare is recorded and
+        reported at init, matching the reference's deferred error
+        (TensorProblem::execute EXEC_INITIAL check, TensorProblem.C:156-166)."""
         if name not in self.constants:
             try:
                 return float(name)
             except ValueError:
-                raise ProblemError(
-                    f"Constant '{name}' was requested but never declared."
-                )
+                if name not in self._fetched_constants:
+                    self._fetched_constants.append(name)
+                return 0.0
         return self.constants[name]
 
     def declare_constant(self, name: str, value: float):
@@ -486,12 +504,24 @@ class TensorProblem:
         walk([self.pp_computes, self.ic_computes])
         return req
 
+    def check_constants(self):
+        missing = [n for n in self._fetched_constants if n not in self.constants]
+        if len(missing) == 1:
+            raise ProblemError(
+                f"Constant {missing[0]} was requested but never declared."
+            )
+        if missing:
+            raise ProblemError(
+                f"Constants {', '.join(missing)} were requested but never declared."
+            )
+
     def init_state(self) -> Dict:
         """Build the initial state: zero buffers, run ICs eagerly, infer
         shapes of derived buffers, allocate history stacks.
 
         Mirrors reference TensorProblem::init (TensorProblem.C:74-151) +
         executeTensorInitialConditions (:199-215)."""
+        self.check_constants()
         dom = self.domain
         buffers: Dict[str, jnp.ndarray] = {}
 
@@ -524,14 +554,43 @@ class TensorProblem:
         # solids correctly; re-captured after ICs in case an IC updates it
         self._capture_lbm_media(state)
 
-        # run initial conditions eagerly, in dependency order
+        # run initial conditions in dependency order.  Jittable ICs execute
+        # as ONE compiled program per consecutive run (instead of one tiny
+        # program per op — important on remote-compile TPU backends);
+        # non-traceable ICs (torch RNG, function sampling) run host-side.
         self.ic_computes.sort()
         ctx = {"t": jnp.zeros((), dom.dtype)}
         ic_outputs = set()
+
+        def run_segment(segment):
+            if not segment:
+                return
+
+            def seg_fn(buffers):
+                scope = dict(buffers)
+                updates = {}
+                for m in segment:
+                    out = m.apply(scope, ctx)
+                    scope.update(out)
+                    updates.update(out)
+                return updates
+
+            updates = jax.jit(seg_fn)(state["buffers"])
+            for out, arr in updates.items():
+                state["buffers"][out] = arr
+                ic_outputs.add(out)
+
+        segment = []
         for c in self.ic_computes.sorted_members:
+            if getattr(c, "jittable", True) and not isinstance(c, ComputeGroup):
+                segment.append(c)
+                continue
+            run_segment(segment)
+            segment = []
             for out, arr in self._apply_with_missing(c, state["buffers"], ctx).items():
                 state["buffers"][out] = arr
                 ic_outputs.add(out)
+        run_segment(segment)
 
         # LBM: re-capture binary media / solid mask after ICs
         # (reference LatticeBoltzmannProblem::execute EXEC_INITIAL re-read)
@@ -593,6 +652,23 @@ class TensorProblem:
             # convergence residual starts at 1 (reference
             # LatticeBoltzmannProblem _convergence_residual initial value)
             state["solver"]["residual"] = jnp.ones((), dom.dtype)
+
+        # debug introspection: compute execution order with in/out buffers
+        # (reference TensorProblem.C:117-130 print_debug_output)
+        if self.print_debug_output:
+            def dump(tag, group):
+                members = group.sorted_members or group.members
+                print(f"[marlin_tpu] {tag} execution order:")
+                for m in members:
+                    if isinstance(m, ComputeGroup):
+                        dump(f"{tag}/{m.name}", m)
+                    else:
+                        print(f"  {m.name}: {m.inputs} -> {m.outputs}")
+
+            dump("Initialize", self.ic_computes)
+            if self.solver is not None and isinstance(self.solver.compute, ComputeGroup):
+                dump("Solve", self.solver.compute)
+            dump("Postprocess", self.pp_computes)
 
         # distribute the state over the mesh
         if self.domain.mesh is not None:
