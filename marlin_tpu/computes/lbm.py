@@ -58,6 +58,14 @@ class LatticeBoltzmannOperator(TensorCompute):
             return self.problem.get_constant(raw)
 
 
+def _ensure3d(a):
+    """Reference LBM ops unsqueeze bare-grid (2-D) fields in place
+    (`if (_rho.dim() < 3) _rho.unsqueeze_(2)`, LBMEquilibrium.C)."""
+    while a.ndim < 3:
+        a = a[..., None]
+    return a
+
+
 def _unsqueeze_velocity(velocity, dim):
     ux = velocity[..., 0][..., None]
     uy = velocity[..., 1][..., None]
@@ -88,7 +96,7 @@ class LBMEquilibrium(LatticeBoltzmannOperator):
         self.velocity = self.input_buffer("velocity")
 
     def apply(self, state, ctx):
-        rho = state[self.rho]
+        rho = _ensure3d(state[self.rho])
         u = _equilibrium(
             self.stencil, rho[..., None], state[self.velocity], self.domain.dim
         )
@@ -109,7 +117,7 @@ class LBMPhaseEquilibrium(LatticeBoltzmannOperator):
         self.D = problem.get_constant(params.get_str("thickness", required=True))
 
     def apply(self, state, ctx):
-        phi = state[self.phi]
+        phi = _ensure3d(state[self.phi])
         u = self.w * phi[..., None]
         return {self.out: self.masked_fill_solids(u)}
 
@@ -458,6 +466,7 @@ class LBMComputeChemicalPotential(LatticeBoltzmannOperator):
     def apply(self, state, ctx):
         phi = state[self.phi]
         part_1 = self.sigma / self.D * phi * (phi - 1.0)
+        # (shapes align with the uniform 3-D layout; see _ensure3d)
         part_2 = self.D * self.sigma * state[self.laplacian_phi]
         # the reference unsqueezes part_1 because its phi is still the raw
         # 2-D h5 shape; with the uniform (nx,ny,nz) layout the shapes align

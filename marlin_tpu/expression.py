@@ -1028,11 +1028,20 @@ def fparse(text: str, env: Optional[Dict[str, float]] = None) -> float:
     """Evaluate an `${fparse ...}`-style scalar expression.
 
     Mirrors the reference's use of FParser for deck-level constant expressions
-    (reference: examples/degeus_mechanics/mech.i:6-8 usage).
+    (reference: examples/degeus_mechanics/mech.i:6-8 usage).  The native C++
+    evaluator (native/expr_eval.cpp) is the fast path; the Python AST engine
+    is the fallback and reference implementation.
     """
     scope = {"pi": math.pi, "e": math.e}
     if env:
         scope.update(env)
+    try:
+        from . import native
+
+        if native.available():
+            return native.eval_scalar(text, scope)
+    except Exception:
+        pass
     ast = parse(text, constants=())
     return float(ast.evaluate(scope, _scalar_ops))
 

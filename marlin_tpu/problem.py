@@ -423,23 +423,27 @@ class TensorProblem:
     def local_tensor_shape(self, extra_dims=()):
         return self.domain.shape + tuple(extra_dims)
 
-    def _init_lbm_buffer(self, spec: Params):
-        """LBM buffer: df -> trailing q, mv -> trailing dim, ms -> scalar;
-        always 3 spatial dims (reference LBMTensorBuffer::init :96-125)."""
+    def _lbm_buffer_shape(self, spec: Params):
         dom = self.domain
         btype = spec.get_str("buffer_type", required=True)
         shape = list(dom.shape)
         while len(shape) < 3:
             shape.append(1)
-        stencil = self.lbm_stencil()
         if btype == "df":
-            shape.append(stencil.q)
+            shape.append(self.lbm_stencil().q)
         elif btype == "mv":
             shape.append(dom.dim)
         elif btype == "ms":
             pass
         else:
             raise ProblemError(f"Buffer type {btype} is not recognized")
+        return tuple(shape)
+
+    def _init_lbm_buffer(self, spec: Params):
+        """LBM buffer: df -> trailing q, mv -> trailing dim, ms -> scalar;
+        always 3 spatial dims (reference LBMTensorBuffer::init :96-125)."""
+        dom = self.domain
+        shape = list(self._lbm_buffer_shape(spec))
         is_integer = spec.get_bool("is_integer", False)
         dtype = jnp.int64 if is_integer else dom.dtype
         if spec.has("file"):
@@ -592,6 +596,20 @@ class TensorProblem:
                 ic_outputs.add(out)
         run_segment(segment)
 
+        # LBM: normalize buffers back to their declared (nx,ny,nz[,k]) shapes
+        # — ICs written with 2-D computes (e.g. ParsedCompute) land at the
+        # bare grid shape, which the reference fixes up with in-place
+        # unsqueezes (LBMEquilibrium.C `if (_rho.dim() < 3) unsqueeze_`);
+        # here the canonical shape must hold before entering the jit loop
+        if self.is_lbm:
+            for name, spec in self.buffer_specs.items():
+                if spec.get_str("type", "") != "LBMTensorBuffer":
+                    continue
+                want = self._lbm_buffer_shape(spec)
+                cur = state["buffers"].get(name)
+                if cur is not None and tuple(cur.shape) != want and cur.size == math.prod(want):
+                    state["buffers"][name] = cur.reshape(want)
+
         # LBM: re-capture binary media / solid mask after ICs
         # (reference LatticeBoltzmannProblem::execute EXEC_INITIAL re-read)
         self._capture_lbm_media(state)
@@ -624,13 +642,13 @@ class TensorProblem:
         for g in groups:
             self._shape_complete(g, state["buffers"], scope, ic_outputs, shape_ctx)
 
-        # solver-referenced buffers must exist
+        # solver-referenced buffers must exist (implicitly created if needed,
+        # matching the reference's getOutputBufferByName auto-creation)
         if self.solver is not None:
             for b in self.solver.extra_input_buffers() + self.solver.output_buffers():
                 if b not in state["buffers"]:
-                    raise ProblemError(
-                        f"Solver references buffer '{b}' which is never computed "
-                        "or declared."
+                    state["buffers"][b] = host_zeros(
+                        self.domain.shape, self.domain.dtype
                     )
 
         # history stacks
@@ -708,11 +726,13 @@ class TensorProblem:
                 self._shape_complete(m, buffers, scope, ic_outputs, ctx)
                 continue
             missing_inputs = [b for b in m.inputs if b not in scope]
-            if missing_inputs:
-                raise ProblemError(
-                    f"Compute '{m.name}' requires buffer(s) {missing_inputs} "
-                    "which are never supplied."
-                )
+            for b in missing_inputs:
+                # implicit buffer creation: the reference auto-creates a
+                # zeros PlainTensorBuffer for any requested name
+                # (TensorProblem::getBuffer / addTensorBuffer implicit path)
+                arr = host_zeros(self.domain.shape, self.domain.dtype)
+                scope[b] = arr
+                buffers.setdefault(b, arr)
             # abstract evaluation: learn shapes without running the compute
             # (some computes, e.g. FFTMechanics, run full nonlinear solves)
             out_struct = jax.eval_shape(lambda s, c: m.apply(s, c), scope, ctx)

@@ -15,3 +15,18 @@ def test_cahnhilliard_hdf5():
     h5_diff(
         "test/tests/cahnhilliard/gold/cahnhilliard.h5", f"{tmp}/cahnhilliard.h5"
     )
+
+
+def test_cahnhilliard_hdf5_jit_flag():
+    """The reference's enable_jit=true spec variant (same gold): tracing/JIT
+    is always-on in this framework, the flag is accepted for deck parity."""
+    _, tmp = run_ref_deck(
+        "test/tests/cahnhilliard/cahnhilliard.i",
+        [
+            "TensorOutputs/active=xdmf",
+            "TensorComputes/Solve/cahn_hilliard/enable_jit=true",
+        ],
+    )
+    h5_diff(
+        "test/tests/cahnhilliard/gold/cahnhilliard.h5", f"{tmp}/cahnhilliard.h5"
+    )

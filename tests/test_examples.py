@@ -74,3 +74,33 @@ def test_benchmark_1a_spinodal():
     # free energy near the PFHub starting value (319.03, reference
     # benchmarks/01_spinodal_decomposition/results.1a.1.json)
     assert 250 < tr.pp_values["F"] < 350
+
+
+LBM_EXAMPLES = [
+    ("examples/lbm/Karman-vortex/cylinder.i", []),
+    ("examples/lbm/Hagen–Poiseuille/channel.i", []),
+    ("examples/lbm/Rayleigh-Benard/rayleigh-benard.i", []),
+    ("examples/lbm/natural_convection_3D/convection.i", []),
+    ("examples/lbm/Phase-field/phase.i", []),
+]
+
+
+@pytest.mark.parametrize(
+    "deck,cli", LBM_EXAMPLES, ids=[d.split("/")[2] for d, _ in LBM_EXAMPLES]
+)
+def test_lbm_examples(deck, cli):
+    """LBM example gallery smoke runs (reference examples/lbm/; shortened:
+    2 MOOSE steps with a handful of LBM substeps)."""
+    if not os.path.exists(os.path.join(REF, deck)):
+        pytest.skip("deck not shipped")
+    deck_dir = os.path.dirname(os.path.join(REF, deck))
+    with open(os.path.join(REF, deck)) as f:
+        text = f.read()
+    for line in text.splitlines():
+        if "file =" in line:
+            fname = line.split("=", 1)[1].strip().strip("'\"")
+            if not os.path.exists(os.path.join(deck_dir, fname)):
+                pytest.skip(f"media file {fname} not shipped (notebook-generated)")
+    tr, _ = run_ref_deck(deck, cli + ["Executioner/num_steps=2", "Problem/substeps=5"])
+    assert tr.step_count >= 1
+    assert _finite(tr.pp_values)
