@@ -1,30 +1,111 @@
-"""Benchmark driver: reference benchmark 1a (2D spinodal decomposition).
-
-Reference baseline: 45 s wall / 277 MB on an NVIDIA L4 at 99% util
-(reference: benchmarks/01_spinodal_decomposition/README.md:1-7) for the
-200x200 Cahn-Hilliard deck with spectral_solve_substeps=1000 and adaptive dt
-to t~=1e4 (Terminator stops when the per-step concentration change drops
-below 1e-4).
-
-The entire transient — adaptive-dt schedule, 1000-substep semi-implicit
-solver, Terminator check — runs as ONE XLA program (`lax.while_loop` over
-timesteps): zero host round-trips until the final scalars, where the
-reference dispatches every substep from the host.
+"""Benchmark driver.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
-vs_baseline > 1 means faster than the reference's published number.
+    {"metric": ..., "value": N, "unit": "s", "vs_baseline": N, ...extras}
+
+Headline metric: reference benchmark 1a (2D spinodal decomposition,
+200x200 Cahn-Hilliard, spectral_solve_substeps=1000, adaptive dt with a
+Terminator to t~=1e4).  Reference baseline: 45 s wall / 277 MB on an
+NVIDIA L4 at 99% util (reference:
+benchmarks/01_spinodal_decomposition/README.md:1-7).  vs_baseline > 1
+means faster than the reference's published number.
+
+Extras: the BASELINE.json north star — 3-D Cahn-Hilliard cell-updates/s
+at 256^3 and 512^3 with the empirical FFT-roofline fraction (see PERF.md
+for the model).
+
+Axon-TPU hardening (both r01 artifacts failed on this):
+ - NEVER use AOT `.lower().compile()` — it raises UNIMPLEMENTED /
+   libtpu-version-mismatch on the axon backend and poisons the process
+   (subsequent unrelated ops then fail).  Compile via a warmup call.
+ - Each benchmark runs in a fresh SUBPROCESS; a poisoned/flaky child is
+   retried without taking down the parent.
+ - All initial state is built on-device by compiled programs
+   (marlin_tpu.problem.host_zeros routes every non-CPU alloc through jit).
 """
 
 import json
 import math
 import os
+import subprocess
 import sys
 import time
 
 BASELINE_SECONDS = 45.0  # reference wall time on NVIDIA L4
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_CH3D_DECK = """
+[Domain]
+  dim = 3
+  nx = {n}
+  ny = {n}
+  nz = {n}
+  xmax = {n}
+  ymax = {n}
+  zmax = {n}
+[]
+[TensorComputes]
+  [Initialize]
+    [c]
+      type = ParsedCompute
+      buffer = c
+      extra_symbols = true
+      expression = 'c0+epsilon*(cos(0.105*x)*cos(0.11*y)*cos(0.09*z)+(cos(0.13*x)*cos(0.087*y))^2+cos(0.025*x-0.15*z)*cos(0.07*x-0.02*y))'
+      constant_names = 'c0 epsilon'
+      constant_expressions = '0.5 0.01'
+    []
+    [Mbar]
+      type = ReciprocalLaplacianFactor
+      factor = 5
+      buffer = Mbar
+    []
+    [kappabarbar]
+      type = ReciprocalLaplacianSquareFactor
+      factor = -10
+      buffer = kappabarbar
+    []
+  []
+  [Solve]
+    [mu]
+      type = ParsedCompute
+      buffer = mu
+      expression = 'rho_s*(c-c_alpha)^2*(c_beta-c)^2'
+      constant_names = 'rho_s c_alpha c_beta'
+      constant_expressions = '5 0.3 0.7'
+      derivatives = c
+      inputs = c
+    []
+    [mubar]
+      type = ForwardFFT
+      buffer = mubar
+      input = mu
+    []
+    [Mbarmubar]
+      type = ParsedCompute
+      buffer = Mbarmubar
+      expression = 'Mbar*mubar'
+      inputs = 'Mbar mubar'
+    []
+    [cbar]
+      type = ForwardFFT
+      buffer = cbar
+      input = c
+    []
+  []
+[]
+[TensorSolver]
+  type = AdamsBashforthMoulton
+  buffer = c
+  reciprocal_buffer = cbar
+  linear_reciprocal = kappabarbar
+  nonlinear_reciprocal = Mbarmubar
+  substeps = {substeps}
+[]
+[Problem]
+  type = TensorProblem
+[]
+"""
 
 
 def build_run(problem, num_steps, dt0, growth, dtmax, end_time, change_tol):
@@ -77,7 +158,22 @@ def build_run(problem, num_steps, dt0, growth, dtmax, end_time, change_tol):
     return whole_run
 
 
-def run_once():
+def _sync(x):
+    """Force completion by fetching a scalar to the host.
+
+    jax.block_until_ready is a NO-OP on the remote axon TPU backend (r02
+    measurement: 10 chained 256^3 FFT pairs "complete" in 0.03 ms under
+    block_until_ready but take real wall time once a scalar is fetched);
+    only a host round-trip actually synchronizes."""
+    import jax
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(np.asarray(jax.numpy.ravel(leaf)[0]).real)
+
+
+def bench_1a():
+    """Reference benchmark 1a end-to-end (the published 45 s L4 number)."""
     import jax
 
     from marlin_tpu import hit
@@ -101,34 +197,160 @@ def run_once():
         )
     )
 
-    # compile (excluded from timing, like the reference's warm GPU runs)
-    compiled = whole_run.lower(state).compile()
+    # warmup call = compile + one full run (no AOT on axon!)
+    t0 = time.time()
+    _sync(whole_run(state))
+    first = time.time() - t0
 
     t0 = time.time()
-    step, t, F, cmin, cmax = jax.block_until_ready(compiled(state))
+    step, t, F, cmin, cmax = whole_run(state)
+    F = float(F)
     wall = time.time() - t0
     return {
         "metric": f"benchmark_1a_spinodal_walltime_{platform}",
         "value": round(wall, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / wall, 3),
+        "compile_s": round(first - wall, 1),
         "steps": int(step),
         "t_final": round(float(t), 1),
-        "F_final": round(float(F), 3),
+        "F_final": round(F, 3),
         "c_range": [round(float(cmin), 4), round(float(cmax), 4)],
     }
 
 
-def main():
-    last_err = None
-    for attempt in range(3):
+def _marginal(chain, reps):
+    """Marginal per-call seconds: time reps and 2*reps chained calls and
+    difference them — cancels the ~30 ms axon tunnel round-trip."""
+    def run(k):
+        t0 = time.time()
+        _sync(chain(k))
+        return time.time() - t0
+
+    run(1)  # warmup / queue drain
+    t1 = min(run(reps) for _ in range(2))
+    t2 = min(run(2 * reps) for _ in range(2))
+    return max((t2 - t1) / reps, 1e-9)
+
+
+def bench_ch3d(n, substeps=10, reps=3):
+    """North-star: 3-D Cahn-Hilliard at n^3, single chip.
+
+    Reports cell-updates/s, per-substep time (excl. compile), compile
+    time, and the empirical FFT-roofline fraction: the solve does 3
+    FFT-equivalent passes per substep (fft(mu), fft(c), ifft(cbar-update));
+    speed-of-light substep = 1.5x a bare rfftn+irfftn pair at the same
+    size (PERF.md has the full model)."""
+    import jax
+    import jax.numpy as jnp
+
+    from marlin_tpu import hit
+    from marlin_tpu.problem import TensorProblem
+
+    root = hit.parse(_CH3D_DECK.format(n=n, substeps=substeps))
+    problem = TensorProblem(root)
+    state = problem.init_state()
+
+    # donate the state: at 512^3 the un-donated double-buffered state plus
+    # FFT workspace exceeds v5e HBM (measured RESOURCE_EXHAUSTED)
+    step = jax.jit(problem._step_impl, donate_argnums=(0,))
+    dt = jnp.asarray(1e-3, problem.domain.dtype)
+
+    t0 = time.time()
+    out = step(state, 0.0, dt, dt, jnp.asarray(False))
+    _sync(out["buffers"]["c"])
+    first = time.time() - t0
+
+    # tunnel round-trip latency (to subtract from the chained measurement)
+    tiny = jax.jit(lambda x: x + 1.0)
+    x0 = jnp.zeros(())
+    _sync(tiny(x0))
+    t0 = time.time()
+    _sync(tiny(x0))
+    rt = time.time() - t0
+
+    # donation forbids replaying the same chain, so time ONE chain of
+    # `reps` steps and subtract the round-trip
+    t0 = time.time()
+    for _ in range(reps):
+        out = step(out, 0.0, dt, dt, jnp.asarray(False))
+    _sync(out["buffers"]["c"])
+    step_s = max((time.time() - t0 - rt) / reps, 1e-9)
+
+    # empirical FFT speed-of-light at this size
+    fftpair = jax.jit(lambda x: jnp.fft.irfftn(jnp.fft.rfftn(x)) * 1.000001)
+
+    def chain_fft(k):
+        y = out["buffers"]["c"]
+        for _ in range(k):
+            y = fftpair(y)
+        return y
+
+    pair = _marginal(chain_fft, 3 * reps)
+
+    substep_s = step_s / substeps
+    sol_substep = 1.5 * pair  # 3 FFT passes / substep
+    return {
+        "cells": n ** 3,
+        "substep_ms": round(substep_s * 1e3, 3),
+        "cell_updates_per_s": round(n ** 3 / substep_s),
+        "compile_s": round(first - step_s, 1),
+        "fft_pair_ms": round(pair * 1e3, 3),
+        "fft_roofline_frac": round(sol_substep / substep_s, 3),
+        "dtype": jnp.dtype(problem.domain.dtype).name,
+    }
+
+
+def _run_child(name):
+    if name == "1a":
+        print(json.dumps(bench_1a()))
+    elif name.startswith("ch3d_"):
+        print(json.dumps(bench_ch3d(int(name.split("_")[1]))))
+    else:
+        raise SystemExit(f"unknown benchmark {name}")
+
+
+def _spawn(name, attempts=3, timeout=1500):
+    """Run one benchmark in a fresh subprocess (axon failures poison the
+    process; isolation makes retries meaningful)."""
+    last = None
+    for i in range(attempts):
         try:
-            print(json.dumps(run_once()))
-            return
-        except Exception as e:  # remote-TPU tunnel flakes: retry fresh
-            last_err = e
-            sys.stderr.write(f"bench attempt {attempt} failed: {e}\n")
-    raise last_err
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", name],
+                capture_output=True, text=True, timeout=timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if p.returncode == 0:
+                for line in reversed(p.stdout.strip().splitlines()):
+                    line = line.strip()
+                    if line.startswith("{"):
+                        return json.loads(line)
+            last = f"rc={p.returncode}: {p.stderr.strip()[-800:]}"
+        except Exception as e:
+            last = repr(e)
+        sys.stderr.write(f"bench {name} attempt {i} failed: {last}\n")
+    return {"error": last}
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        _run_child(sys.argv[2])
+        return
+
+    result = _spawn("1a")
+    if "error" in result:
+        # still emit a line the driver can parse, then fail loudly
+        print(json.dumps({"metric": "benchmark_1a_spinodal_walltime",
+                          "value": None, "unit": "s", "vs_baseline": None,
+                          **result}))
+        raise SystemExit(1)
+
+    for n in (256, 512):
+        sub = _spawn(f"ch3d_{n}", attempts=2)
+        result[f"ch3d_{n}"] = sub
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -1,65 +1,8 @@
-"""CLI entry point: run a MOOSE-format deck with the TPU-native framework.
+"""`python -m marlin_tpu` → marlin_tpu.main (single CLI implementation)."""
 
-Usage (mirrors the reference app binary `marlin-opt -i deck.i [overrides]`,
-reference src/main.C:14-17):
-
-    python -m marlin_tpu -i deck.i [path/to/param=value ...]
-    python -m marlin_tpu deck.i ss=10 cs=0 order=1
-"""
-
-from __future__ import annotations
-
-import argparse
-import os
 import sys
 
-
-def main(argv=None):
-    parser = argparse.ArgumentParser(prog="marlin_tpu")
-    parser.add_argument("-i", "--input", help="input deck")
-    parser.add_argument("args", nargs="*", help="deck file and/or HIT overrides")
-    parser.add_argument("--compute-device", default=None,
-                        help="jax platform override (cpu, tpu, ...)")
-    parser.add_argument("--output-dir", default=None)
-    parser.add_argument("--x64", action="store_true", default=None,
-                        help="force double precision")
-    ns = parser.parse_args(argv)
-
-    deck = ns.input
-    overrides = []
-    for a in ns.args:
-        if deck is None and not ("=" in a):
-            deck = a
-        else:
-            overrides.append(a)
-    if deck is None:
-        parser.error("no input deck given")
-
-    device = ns.compute_device or os.environ.get("MARLIN_TPU_DEVICE")
-    import jax
-
-    if device:
-        jax.config.update("jax_platforms", device)
-    if ns.x64 or (device == "cpu"):
-        jax.config.update("jax_enable_x64", True)
-
-    from . import hit
-    from .executioner import run_deck
-
-    root = hit.load(deck, overrides)
-    stem = os.path.splitext(os.path.basename(deck))[0]
-    out_node = root.children.get("Outputs")
-    file_base = out_node.get("file_base") if out_node is not None else None
-    transient = run_deck(
-        root,
-        file_base=file_base or stem + "_out",
-        output_dir=ns.output_dir or os.path.dirname(os.path.abspath(deck)),
-    )
-    print(f"Finished after {transient.step_count} steps, t = {transient.time}")
-    for k, v in transient.pp_values.items():
-        print(f"  {k} = {v}")
-    return 0
-
+from .main import main
 
 if __name__ == "__main__":
     sys.exit(main())

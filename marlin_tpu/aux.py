@@ -1,0 +1,137 @@
+"""Aux-variable coupling surface.
+
+The reference maps tensor buffers onto MOOSE aux variables on a conforming
+mesh (one FE element per grid cell) so MOOSE postprocessors and the Exodus
+writer can consume spectral fields:
+
+ - fast path `map_to_aux_variable` on a [TensorBuffers] block — direct
+   solution-vector writes (reference src/problems/TensorProblem.C:250-379,
+   mapBuffersToAux + updateDOFMap);
+ - flexible path [AuxKernels] ProjectTensorAux — per-node/element sampling
+   (reference src/auxkernels/ProjectTensorAux.C:36-71).
+
+marlin_tpu has no external FE library: the "aux variable" is the sampled
+grid field itself.  A nodal (LAGRANGE) variable lives on the (n+1)^dim
+corner lattice, filled with the periodic wrap buffer[i % nx, j % ny, k % nz]
+(exactly mapBuffersToAux' index arithmetic); an elemental (CONSTANT
+MONOMIAL) variable is the raw cell field.  Both sampling paths produce
+identical values on the conforming mesh, so they share one implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from .params import ParamError, Params
+
+
+class AuxError(Exception):
+    pass
+
+
+class AuxVariable:
+    def __init__(self, name: str, params: Params):
+        self.name = name
+        family = params.get_str("family", "LAGRANGE").upper()
+        order = params.get_str("order", None)
+        if family == "LAGRANGE":
+            self.nodal = True
+        elif family == "MONOMIAL":
+            if order is not None and order.upper() not in ("CONSTANT", "0"):
+                raise AuxError(
+                    f"AuxVariable '{name}': only CONSTANT MONOMIAL is supported "
+                    "(reference updateDOFMap handles nodal LAGRANGE or constant "
+                    "MONOMIAL only, TensorProblem.C:511-535)"
+                )
+            self.nodal = False
+        else:
+            raise AuxError(
+                f"AuxVariable '{name}': unsupported family '{family}' "
+                "(LAGRANGE or MONOMIAL)"
+            )
+
+
+class AuxSystem:
+    """Parsed [AuxVariables] + [AuxKernels] + buffer map_to_aux_variable."""
+
+    def __init__(self, problem, root):
+        self.problem = problem
+        self.variables: Dict[str, AuxVariable] = {}
+        self._map: Dict[str, str] = {}  # var -> buffer
+        self.kernel_execute_on: Dict[str, set] = {}
+
+        av = root.children.get("AuxVariables")
+        if av is not None:
+            for b in av.blocks():
+                self.variables[b.name] = AuxVariable(b.name, Params(b, problem.global_params))
+
+        # fast path: map_to_aux_variable on buffers
+        for bname, spec in problem.buffer_specs.items():
+            var = spec.get_str("map_to_aux_variable", None)
+            if var is None:
+                continue
+            if var not in self.variables:
+                raise AuxError(
+                    f"Buffer '{bname}' maps to unknown aux variable '{var}'"
+                )
+            self._map[var] = bname
+
+        # flexible path: ProjectTensorAux kernels (blocks() honors `active =`)
+        ak = root.children.get("AuxKernels")
+        if ak is not None:
+            for b in ak.blocks():
+                p = Params(b, problem.global_params)
+                t = p.get_str("type", required=True)
+                if t != "ProjectTensorAux":
+                    raise AuxError(f"Unknown AuxKernel type '{t}'")
+                var = p.get_str("variable", required=True)
+                buf = p.get_str("buffer", required=True)
+                if var not in self.variables:
+                    raise AuxError(
+                        f"AuxKernel '{b.name}': unknown variable '{var}'"
+                    )
+                self._map.setdefault(var, buf)
+                self.kernel_execute_on[var] = set(
+                    x.upper() for x in p.get_str_vector(
+                        "execute_on", default=["INITIAL", "TIMESTEP_END"]
+                    )
+                )
+
+    def __bool__(self):
+        return bool(self.variables)
+
+    def source_buffer(self, var: str) -> Optional[str]:
+        """Buffer feeding aux variable `var` (None if unmapped — MOOSE would
+        report zeros for such a variable)."""
+        return self._map.get(var)
+
+    def is_nodal(self, var: str) -> bool:
+        return self.variables[var].nodal
+
+    def values(self, state, var: str) -> np.ndarray:
+        """Sample the mapped buffer onto the variable's support.
+
+        Nodal: (n0+1, ..., nd+1) with periodic wrap (mapBuffersToAux index
+        arithmetic, reference TensorProblem.C:338-372).  Elemental: the raw
+        (n0, ..., nd) cell field."""
+        dom = self.problem.domain
+        buf = self._map.get(var)
+        n = dom.shape
+        if buf is None:
+            shape = tuple(x + 1 for x in n) if self.is_nodal(var) else n
+            return np.zeros(shape)
+        arr = np.asarray(state["buffers"][buf])
+        if arr.ndim != dom.dim:
+            raise AuxError(
+                f"Buffer '{buf}' is not a scalar field; cannot map to aux "
+                f"variable '{var}' (reference TensorProblem.C:341-346)"
+            )
+        if not self.is_nodal(var):
+            return arr
+        for d in range(dom.dim):
+            idx = [slice(None)] * dom.dim
+            idx[d] = np.arange(n[d] + 1) % n[d]
+            arr = arr[tuple(idx)]
+        return arr

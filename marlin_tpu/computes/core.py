@@ -145,17 +145,16 @@ class ConstantReciprocalTensor(TensorCompute):
 
     def apply(self, state, ctx):
         import jax
+        from jax._src.core import trace_state_clean
 
         dom = self.domain
         value = complex(self.real, self.imaginary)
-        if jax.default_backend() == "cpu":
-            return {
-                self.out: jnp.asarray(
-                    np.full(dom.reciprocal_shape, value, dtype=np.dtype(dom.cdtype))
-                )
-            }
-        # complex constants must be built by a compiled program on the axon
-        # TPU backend (eager complex broadcast/transfer is unimplemented)
+        if not trace_state_clean():
+            # under trace: a scalar broadcast in the program (never a full
+            # materialized constant — at 512³ that would be a ~1 GB HLO)
+            return {self.out: jnp.full(dom.reciprocal_shape, value, dtype=dom.cdtype)}
+        # eager: route through an explicit jit — eager complex broadcast (a
+        # complex scalar buffer transfer) is unimplemented on the axon TPU
         if not hasattr(self, "_fill_fn"):
             self._fill_fn = jax.jit(
                 lambda: jnp.full(dom.reciprocal_shape, value, dtype=dom.cdtype)
@@ -319,8 +318,10 @@ class DeAliasingTensor(TensorCompute):
 
     def apply(self, state, ctx):
         dom = self.domain
-        axes = [jnp.abs(dom.reciprocal_axis(d)) for d in range(3)]
-        maxima = [float(jnp.max(a)) if a.size else 0.0 for a in axes]
+        # numpy, not jnp: the axes are host constants and the maxima must be
+        # concrete (jnp ops would stage into the surrounding trace)
+        axes = [np.abs(np.asarray(dom.reciprocal_axis(d))) for d in range(3)]
+        maxima = [float(a.max()) if a.size else 0.0 for a in axes]
         if self.method == "SHARP":
             mask = None
             for a, m in zip(axes, maxima):

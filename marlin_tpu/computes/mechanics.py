@@ -183,7 +183,7 @@ class FFTMechanics(TensorCompute):
             dom = self.domain
             # numpy build: safe to construct lazily inside a jax trace
             q = np.asarray(dom.k_grid)  # (*recip, dim)
-            Q = np.asarray(dom.k_square)[..., None, None]
+            Q = dom.np_k_square()[..., None, None]
             with np.errstate(invalid="ignore", divide="ignore"):
                 M = np.where(Q == 0, 0.0, q[..., None, :] * q[..., :, None] / Q)
             delta = np.eye(dom.dim)

@@ -200,20 +200,27 @@ class Domain:
     # -- derived grids ----------------------------------------------------
     @property
     def k_square(self) -> jnp.ndarray:
-        """|k|² broadcast over the reciprocal grid (reference :1503-1510).
-        Built host-side with numpy so lazy construction inside a jax trace
-        cannot capture tracers."""
-        if self._k_square is None:
-            ks = self._np_align(self._np_raxes[0] ** 2, 0)
-            for d in range(1, self.dim):
-                ks = ks + self._np_align(self._np_raxes[d] ** 2, d)
-            # cached as numpy: jnp constants created inside an active jax
-            # trace would leak tracers out of the cache (omnistaging stages
-            # every jnp op); numpy operands lift to constants at each use
-            self._k_square = np.ascontiguousarray(
-                np.broadcast_to(ks, self.reciprocal_shape)
-            )
-        return self._k_square
+        """|k|² over the reciprocal grid (reference :1503-1510).
+
+        Deliberately NOT materialized: the sum of dim-aligned 1-D axis
+        constants broadcasts to the full grid inside XLA.  A precomputed
+        full-shape numpy array would be baked into the HLO as a constant —
+        at 512³ that is a ~270 MB compile payload, which overflows the
+        axon remote-compile request (HTTP 413) and bloats every program.
+        Nothing is cached, so no tracers can leak between traces."""
+        ks = jnp.asarray(self._np_align(self._np_raxes[0] ** 2, 0))
+        for d in range(1, self.dim):
+            ks = ks + jnp.asarray(self._np_align(self._np_raxes[d] ** 2, d))
+        return ks
+
+    def np_k_square(self) -> np.ndarray:
+        """|k|² as a full-grid numpy array, for HOST-side consumers only
+        (e.g. the FFTMechanics Green-function build).  Traced code must use
+        `k_square`, which stays lazy inside the program."""
+        ks = self._np_align(self._np_raxes[0] ** 2, 0)
+        for d in range(1, self.dim):
+            ks = ks + self._np_align(self._np_raxes[d] ** 2, d)
+        return np.broadcast_to(ks, self.reciprocal_shape)
 
     @property
     def x_grid(self) -> jnp.ndarray:

@@ -27,36 +27,69 @@ class TimeStepper:
 
 
 class IterationAdaptiveDT(TimeStepper):
-    """MOOSE IterationAdaptiveDT subset: grow dt by growth_factor each
-    converged step; cut back by cutback_factor on non-convergence.  With
-    `optimal_iterations` set, grow/shrink based on solver iteration count
-    (used by the reference with iterative tensor solvers via
-    TensorSolveIterationAdaptiveDT, src/timesteppers/
-    TensorSolveIterationAdaptiveDT.C:12-100)."""
+    """MOOSE IterationAdaptiveDT / the reference's
+    TensorSolveIterationAdaptiveDT (src/timesteppers/
+    TensorSolveIterationAdaptiveDT.C:12-160):
+
+    - grow dt by growth_factor when the solve converges easily
+      (iterations < min_iterations), cut back by cutback_factor when it
+      struggles (iterations > max_iterations);
+    - after a FAILED (non-converged) solve the executioner re-attempts the
+      SAME step at dt × cutback_factor_at_failure (computeFailedDT :111-129)
+      and dt is not allowed to grow on the first step after a cutback
+      (computeDT :76-94);
+    - dt is capped by the smallest `timestep_limiting_postprocessor` value
+      from step 2 on (limitDTToPostprocessorValue :131-159)."""
 
     def __init__(self, params: Params):
         super().__init__(params)
         self.growth_factor = params.get_float("growth_factor", 2.0)
         self.cutback_factor = params.get_float("cutback_factor", 0.5)
+        self.cutback_factor_at_failure = params.get_float(
+            "cutback_factor_at_failure", 0.5
+        )
         self.optimal_iterations = params.get_int("optimal_iterations", None)
         self.iteration_window = params.get_int(
             "iteration_window",
             int(self.optimal_iterations / 5) if self.optimal_iterations else 0,
         )
+        self.min_iterations = params.get_int("min_iterations", None)
+        self.max_iterations = params.get_int("max_iterations", None)
+        if self.optimal_iterations is not None:
+            if self.min_iterations is None:
+                self.min_iterations = self.optimal_iterations - self.iteration_window
+            if self.max_iterations is None:
+                self.max_iterations = self.optimal_iterations + self.iteration_window
+        self.limiting_pps = params.get_str_vector(
+            "timestep_limiting_postprocessor", []
+        )
+        self.cutback_occurred = False
 
     def dt(self, step, dt_old, solver_info):
         if step <= 1:
             return self.dt0
-        if solver_info is not None and not solver_info.get("converged", True):
-            return dt_old * self.cutback_factor
-        if self.optimal_iterations is not None and solver_info is not None:
+        allow_growth = not self.cutback_occurred
+        self.cutback_occurred = False
+        dt = dt_old
+        if solver_info is not None and self.max_iterations is not None:
             its = solver_info.get("iterations", 0)
-            if its > self.optimal_iterations + self.iteration_window:
-                return dt_old * self.cutback_factor
-            if its < self.optimal_iterations - self.iteration_window:
-                return dt_old * self.growth_factor
-            return dt_old
-        return dt_old * self.growth_factor
+            if its > self.max_iterations:
+                dt = dt_old * self.cutback_factor
+            elif its < (self.min_iterations or 0) and allow_growth:
+                dt = dt_old * self.growth_factor
+        elif allow_growth:
+            dt = dt_old * self.growth_factor
+        return dt
+
+    def failed_dt(self, dt):
+        self.cutback_occurred = True
+        return dt * self.cutback_factor_at_failure
+
+    def limit_to_pps(self, dt, step, pp_values):
+        if not self.limiting_pps or step <= 1:
+            return dt
+        limit = min(pp_values.get(n, float("inf")) for n in self.limiting_pps)
+        return min(dt, limit) if limit < dt else dt
 
 
 def build_stepper(exec_node: Optional[HitNode], global_params) -> TimeStepper:
@@ -168,9 +201,33 @@ class Transient:
             self.csv = CSVWriter(os.path.join(output_dir, self.file_base + ".csv"))
         self.tensor_outputs = []  # XDMF etc., attached externally
 
+        # [Outputs] exodus = true (or a type = Exodus sub-block): write the
+        # aux variables + postprocessors to <file_base>.e (reference relies
+        # on MOOSE/libMesh ExodusII_IO; see marlin_tpu/exodus.py)
+        exodus_enabled = op.get_bool("exodus", False)
+        if outputs_node is not None:
+            for b in outputs_node.blocks():
+                btype = Params(b, gp).get_str("type")
+                if btype == "Exodus":
+                    exodus_enabled = True
+                elif btype not in ("CSV", None):
+                    raise ValueError(
+                        f"Unknown [Outputs] sub-block type '{btype}' "
+                        f"(block '{b.name}')"
+                    )
+        if exodus_enabled:
+            from .exodus import ExodusOutput
+
+            self.tensor_outputs.append(
+                ExodusOutput(
+                    os.path.join(output_dir, self.file_base + ".e"), problem
+                )
+            )
+
         self.state = None
         self.time = self.start_time
         self.step_count = 0
+        self.rejected_steps = 0
         self.pp_values: Dict[str, float] = {}
         # checkpoint/resume (reference only checkpoints MOOSE-side data, not
         # tensor buffers — SURVEY §5.4; this is the full-state superset)
@@ -193,10 +250,19 @@ class Transient:
         self.pp_values.update(initial)
         if self.csv is not None:
             self.csv.add_row(self.time, dict(self.pp_values))
-        for out in self.tensor_outputs:
-            out.output(self.problem, self.state, self.time, initial=True)
+        self._run_outputs(initial=True)
         self._vpp_counter = 0
         self._write_vpps("INITIAL")
+
+    def _run_outputs(self, initial=False):
+        for out in self.tensor_outputs:
+            if getattr(out, "wants_pp_values", False):
+                out.output(
+                    self.problem, self.state, self.time,
+                    initial=initial, pp_values=self.pp_values,
+                )
+            else:
+                out.output(self.problem, self.state, self.time, initial=initial)
 
     def _write_vpps(self, flag):
         """Vector postprocessor CSV series: <file_base>_<name>_NNNN.csv
@@ -262,21 +328,42 @@ class Transient:
                     break
             self.step_count += 1
             dt = self.stepper.dt(self.step_count, dt, solver_info)
+            if hasattr(self.stepper, "limit_to_pps"):
+                dt = self.stepper.limit_to_pps(dt, self.step_count, self.pp_values)
             dt = min(dt, self.dtmax, self.end_time - self.time)
             dt = max(dt, self.dtmin)
 
-            self.state, values = self.problem.step_with_pps(
-                self.state, self.time, dt, dt_old, first_step=(self.step_count == 1)
-            )
+            # attempt the step; on solver non-convergence RE-ATTEMPT THE SAME
+            # step with cut dt (MOOSE Transient semantics — the reference's
+            # computeFailedDT, TensorSolveIterationAdaptiveDT.C:111-129).
+            # The pre-step state pytree is immutable, so rejection is free.
+            prev_state = self.state
+            while True:
+                self.state, values = self.problem.step_with_pps(
+                    prev_state, self.time, dt, dt_old,
+                    first_step=(self.step_count == 1),
+                )
+                solver_info = self._solver_info()
+                if (
+                    solver_info is None
+                    or solver_info.get("converged", True)
+                    or not hasattr(self.stepper, "failed_dt")
+                ):
+                    break
+                if dt <= self.dtmin:
+                    raise RuntimeError(
+                        "Solve failed and timestep already at dtmin, "
+                        "cannot continue!"
+                    )
+                self.rejected_steps += 1
+                dt = max(self.stepper.failed_dt(dt), self.dtmin)
             self._last_dt = dt
-            solver_info = self._solver_info()
             self.time += dt
             dt_old = dt
             self.pp_values.update(values)
             if self.csv is not None:
                 self.csv.add_row(self.time, dict(self.pp_values))
-            for out in self.tensor_outputs:
-                out.output(self.problem, self.state, self.time)
+            self._run_outputs()
             self._write_vpps("TIMESTEP_END")
             if (
                 self.checkpoint_interval
@@ -326,8 +413,8 @@ def run_deck(
     if tout is not None:
         from .outputs import build_tensor_outputs
 
-        transient.tensor_outputs = build_tensor_outputs(
+        transient.tensor_outputs.extend(build_tensor_outputs(
             tout, problem, output_dir=output_dir, default_file_base=deck_stem
-        )
+        ))
     transient.run()
     return transient

@@ -53,8 +53,11 @@ def main(argv=None):
     transient = run_deck(
         root,
         file_base=file_base or stem + "_out",
-        output_dir=ns.output_dir or os.path.dirname(os.path.abspath(deck)),
+        # outputs land in the CWD (MOOSE semantics) — NOT next to the deck,
+        # which may live in a read-only tree
+        output_dir=ns.output_dir or os.getcwd(),
         deck_stem=stem,
+        deck_dir=os.path.dirname(os.path.abspath(deck)),
     )
     print(f"Finished after {transient.step_count} steps, t = {transient.time}")
     for k, v in transient.pp_values.items():

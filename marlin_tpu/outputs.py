@@ -1,16 +1,20 @@
-"""Tensor field outputs (XDMF/HDF5).  Placeholder registry for round-1;
-the XDMF writer lands with the output milestone."""
+"""[TensorOutputs] registry (reference AddTensorOutputAction +
+src/tensor_outputs/)."""
 
 from __future__ import annotations
 
 from .params import Params
 
 
+class OutputError(Exception):
+    pass
+
+
 def build_tensor_outputs(node, problem, output_dir=".", default_file_base=None):
     outs = []
-    for b in node.blocks():
+    for b in node.blocks():  # blocks() honors `active =` / `inactive =`
         p = Params(b, problem.global_params)
-        t = p.get_str("type")
+        t = p.get_str("type", required=True)
         if t == "XDMFTensorOutput":
             from .xdmf import XDMFTensorOutput
 
@@ -20,5 +24,8 @@ def build_tensor_outputs(node, problem, output_dir=".", default_file_base=None):
                     default_file_base=default_file_base,
                 )
             )
-        # unknown output types are skipped for now
+        else:
+            # the reference errors on unregistered output types; silent
+            # skips would make a mistyped deck write nothing
+            raise OutputError(f"Unknown [TensorOutputs] type '{t}' (block '{b.name}')")
     return outs

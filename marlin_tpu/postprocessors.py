@@ -242,6 +242,59 @@ class FunctionElementIntegral(Postprocessor):
         return jnp.sum(vals) * weight
 
 
+class AuxVariablePostprocessor(Postprocessor):
+    """Base for MOOSE postprocessors that read an aux variable fed from a
+    tensor buffer (the reference couples through MOOSE's FE aux system,
+    src/problems/TensorProblem.C:312-379; here the mapped buffer IS the
+    variable, so these reductions run on-device inside the PP jit region)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.variable = params.get_str("variable", required=True)
+        if self.variable not in problem.aux.variables:
+            params.error("variable", f"unknown aux variable '{self.variable}'")
+
+    def _field(self, state):
+        buf = self.problem.aux.source_buffer(self.variable)
+        if buf is None:
+            return jnp.zeros(self.domain.shape, self.domain.dtype)
+        return state["buffers"][buf]
+
+
+@postprocessors.register("ElementExtremeValue", "NodalExtremeValue")
+class ElementExtremeValue(AuxVariablePostprocessor):
+    """MIN/MAX of an aux variable.  On the conforming mesh both the nodal
+    and elemental samplings take values from the buffer itself, so the
+    extremum equals the buffer extremum (MOOSE samples at quadrature points,
+    which for a multilinear variable is an interior bound — divergence
+    documented in README)."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.value_type = params.get_enum("value_type", ["MIN", "MAX"], "MAX")
+
+    def compute(self, state, ctx):
+        u = self._field(state)
+        return jnp.min(u) if self.value_type == "MIN" else jnp.max(u)
+
+
+@postprocessors.register("ElementAverageValue")
+class ElementAverageValue(AuxVariablePostprocessor):
+    """Volume-average of an aux variable.  On the periodic conforming mesh
+    the exact FE integral of either a constant-monomial or multilinear
+    variable reduces to the plain cell mean."""
+
+    def compute(self, state, ctx):
+        u = self._field(state)
+        return jnp.sum(u) / u.size
+
+
+@postprocessors.register("ElementIntegralVariablePostprocessor")
+class ElementIntegralVariablePostprocessor(ElementAverageValue):
+    def compute(self, state, ctx):
+        return super().compute(state, ctx) * self.domain.volume_global
+
+
 class VectorPostprocessor:
     """Base for vector postprocessors (per-step CSV series)."""
 

@@ -46,14 +46,15 @@ _zeros_programs = {}
 def host_zeros(shape, dtype):
     """Allocate zeros safely on any backend.
 
-    The axon TPU backend implements neither eager complex broadcasts nor
-    complex host<->device transfers (both poison downstream consumers with
-    deferred UNIMPLEMENTED errors), so complex zeros must be produced ON
-    DEVICE by a compiled program.  Real dtypes go the cheap host route."""
+    The axon TPU backend rejects several eager host->device paths (complex
+    transfers, dtype-converting device_puts) with UNIMPLEMENTED errors that
+    can poison downstream ops, so on non-CPU backends ALL zeros are produced
+    ON DEVICE by a tiny compiled program — zero host transfers.  CPU keeps
+    the cheap numpy route."""
     import numpy as np
 
     shape = tuple(int(x) for x in shape)
-    if not jnp.issubdtype(dtype, jnp.complexfloating) or jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu":
         return jnp.asarray(np.zeros(shape, dtype=np.dtype(jnp.dtype(dtype))))
     key = (shape, jnp.dtype(dtype).name)
     if key not in _zeros_programs:
@@ -240,6 +241,12 @@ class TensorProblem:
             if bc_nodes is not None
             else []
         )
+
+        # -- aux-variable coupling surface (reference mapBuffersToAux /
+        # ProjectTensorAux, src/problems/TensorProblem.C:250-379) ------------
+        from .aux import AuxSystem
+
+        self.aux = AuxSystem(self, root)
 
         # -- solver ---------------------------------------------------------
         self.solver = None
@@ -450,11 +457,13 @@ class TensorProblem:
             import numpy as np
 
             data = self._read_lbm_h5(spec.get_str("file"))
-            arr = jnp.asarray(np.asarray(data), dtype=dtype)
-            if arr.ndim < 3:
-                arr = arr.reshape(arr.shape + (1,) * (3 - arr.ndim))
-            return arr
-        return jnp.zeros(shape, dtype=dtype)
+            # cast on the HOST: dtype-converting device_puts are flaky on
+            # the axon TPU backend
+            np_data = np.asarray(data, dtype=np.dtype(jnp.dtype(dtype)))
+            if np_data.ndim < 3:
+                np_data = np_data.reshape(np_data.shape + (1,) * (3 - np_data.ndim))
+            return jnp.asarray(np_data)
+        return host_zeros(shape, dtype)
 
     def _capture_lbm_media(self, state):
         if not self.is_lbm or self.lbm_binary_media is None:
@@ -661,9 +670,10 @@ class TensorProblem:
             old_max = max(old_max, n_states)
         state["old_dt"] = jnp.zeros((old_max,), dom.dtype)
 
-        # solver state
+        # solver state (jitted: Broyden's M is a complex eye/broadcast, which
+        # must not run as eager ops on the axon TPU backend)
         if self.solver is not None and hasattr(self.solver, "init_solver_state"):
-            state["solver"] = self.solver.init_solver_state()
+            state["solver"] = jax.jit(self.solver.init_solver_state)()
         else:
             state["solver"] = {}
         if self.is_lbm:
@@ -743,13 +753,15 @@ class TensorProblem:
             }
             for name, arr in out.items():
                 scope[name] = arr
+                # host_zeros, NOT eager jnp.zeros_like: eager complex ops are
+                # UNIMPLEMENTED on the axon TPU backend and poison the queue
                 if name not in buffers:
-                    buffers[name] = jnp.zeros_like(arr)
+                    buffers[name] = host_zeros(arr.shape, arr.dtype)
                 elif name not in ic_outputs and (
                     buffers[name].shape != arr.shape
                     or buffers[name].dtype != arr.dtype
                 ):
-                    buffers[name] = jnp.zeros_like(arr)
+                    buffers[name] = host_zeros(arr.shape, arr.dtype)
                 elif name in ic_outputs and buffers[name].shape != arr.shape:
                     raise ProblemError(
                         f"Compute '{m.name}' produces shape {arr.shape} for "

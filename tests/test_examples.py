@@ -54,9 +54,19 @@ def test_degeus_mechanics():
     "deck", ["cahnhilliard.i", "cahnhilliard2.i", "cahnhilliard3.i", "cahnhilliard4.i"]
 )
 def test_cahn_hilliard_examples(deck):
-    tr, _ = run_ref_deck(
-        f"examples/cahn_hilliard/{deck}", ["Executioner/num_steps=3"]
-    )
+    """The example gallery ships production sizes (200^2..100^3 grids at
+    1000 substeps targeted at CUDA); the smoke run shrinks grid and substep
+    count so the full suite stays fast on the f64 CPU CI."""
+    cli = ["Executioner/num_steps=3"]
+    if deck == "cahnhilliard.i":
+        cli += ["Domain/nx=64", "Domain/ny=64", "TensorSolver/substeps=20"]
+    elif deck == "cahnhilliard2.i":  # 3-D, explicit [TensorSolver]
+        cli += ["Domain/nx=32", "Domain/ny=32", "Domain/nz=32",
+                "TensorSolver/substeps=20"]
+    else:  # 3-D, legacy [TensorTimeIntegrators] + spectral_solve_substeps
+        cli += ["Domain/nx=32", "Domain/ny=32", "Domain/nz=32",
+                "Problem/spectral_solve_substeps=20"]
+    tr, _ = run_ref_deck(f"examples/cahn_hilliard/{deck}", cli)
     assert tr.step_count == 3
     assert _finite(tr.pp_values)
 

@@ -1,0 +1,218 @@
+"""Step-rejection + adaptive-dt semantics (reference
+src/timesteppers/TensorSolveIterationAdaptiveDT.C):
+
+- a non-converged iterative solve re-attempts the SAME step with dt cut by
+  cutback_factor_at_failure (computeFailedDT :111-129) — time does not
+  advance for the failed attempt;
+- dt may not grow on the step right after a cutback (computeDT :76-94);
+- `timestep_limiting_postprocessor` caps dt from step 2 on
+  (limitDTToPostprocessorValue :131-159).
+"""
+
+import math
+
+import pytest
+
+from marlin_tpu import hit
+from marlin_tpu.executioner import Transient
+from marlin_tpu.problem import TensorProblem
+
+# nonlinear diffusion u_t = ∇²u − u³, secant-solved per k-point: at a huge
+# dt the damped secant cannot converge in max_iterations; at the cut dt it
+# converges immediately
+_SECANT_DECK = """
+[Domain]
+  dim = 1
+  nx = 16
+  xmax = 6.283185307179586
+[]
+[TensorComputes]
+  [Initialize]
+    [u]
+      type = ParsedCompute
+      buffer = u
+      extra_symbols = true
+      expression = 'sin(x)'
+    []
+    [Lbar]
+      type = ReciprocalLaplacianFactor
+      factor = 1
+      buffer = Lbar
+    []
+  []
+  [Solve]
+    [N]
+      type = ParsedCompute
+      buffer = N
+      expression = '-u*u*u'
+      inputs = u
+    []
+    [Nbar]
+      type = ForwardFFT
+      buffer = Nbar
+      input = N
+    []
+    [ubar]
+      type = ForwardFFT
+      buffer = ubar
+      input = u
+    []
+  []
+[]
+[TensorSolver]
+  type = SecantSolver
+  buffer = u
+  reciprocal_buffer = ubar
+  linear_reciprocal = Lbar
+  nonlinear_reciprocal = Nbar
+  substeps = 1
+  max_iterations = {max_its}
+  absolute_tolerance = 1e-10
+  relative_tolerance = 1e-10
+[]
+[Problem]
+  type = TensorProblem
+[]
+[Executioner]
+  type = Transient
+  num_steps = {num_steps}
+  [TimeStepper]
+    type = TensorSolveIterationAdaptiveDT
+    dt = {dt}
+    cutback_factor_at_failure = {cutback}
+    growth_factor = 2.0
+    min_iterations = 1000
+  []
+[]
+"""
+
+
+def _run(dt, cutback, max_its=10, num_steps=2, growth=2.0):
+    root = hit.parse(
+        _SECANT_DECK.format(dt=dt, cutback=cutback, max_its=max_its, num_steps=num_steps)
+    )
+    root.children["Executioner"].children["TimeStepper"].set_param(
+        "growth_factor", str(growth)
+    )
+    problem = TensorProblem(root)
+    tr = Transient(problem, exec_node=root.children.get("Executioner"))
+    tr.run()
+    return tr
+
+
+# measured on this model: the damped secant at max_iterations=10 FAILS at
+# dt=1.0 (10 its, not converged) and converges at dt=1e-3 (8 its)
+
+
+def test_failed_step_is_reattempted_with_cut_dt():
+    """A non-converged solve must repeat the SAME step at cut dt; time
+    advances only by the accepted (cut) dt, never the failed attempt."""
+    tr = _run(dt=1.0, cutback=0.001, num_steps=1)
+    assert tr.rejected_steps >= 1
+    assert tr.step_count == 1
+    assert math.isclose(tr.time, 1e-3, rel_tol=1e-12), tr.time
+
+
+def test_converged_run_has_no_rejections():
+    tr = _run(dt=1e-3, cutback=0.5, max_its=30, growth=1.0)
+    assert tr.rejected_steps == 0
+    assert tr.step_count == 2
+    assert math.isclose(tr.time, 2e-3, rel_tol=1e-12)
+
+
+def test_dtmin_failure_raises():
+    """Reference: 'Solve failed and timestep already at dtmin, cannot
+    continue!' (computeFailedDT :115-117)."""
+    root = hit.parse(
+        _SECANT_DECK.format(dt=1.0, cutback=0.5, max_its=2, num_steps=1)
+    )
+    root.children["Executioner"].set_param("dtmin", "1.0")
+    problem = TensorProblem(root)
+    tr = Transient(problem, exec_node=root.children.get("Executioner"))
+    with pytest.raises(RuntimeError, match="already at dtmin"):
+        tr.run()
+
+
+def test_no_growth_after_cutback():
+    """dt must not grow on the step right after a failure cutback
+    (computeDT :76-94, _cutback_occurred)."""
+    tr = _run(dt=1.0, cutback=0.001, num_steps=2)
+    assert tr.rejected_steps >= 1
+    # step 1: reject dt=1.0, accept 1e-3; step 2: growth suppressed -> 1e-3
+    # (min_iterations=1000 would otherwise always grow: time would be 3e-3)
+    assert math.isclose(tr.time, 2e-3, rel_tol=1e-10), tr.time
+
+
+_LIMIT_DECK = """
+[Domain]
+  dim = 1
+  nx = 16
+  xmax = 6.283185307179586
+[]
+[TensorComputes]
+  [Initialize]
+    [u]
+      type = ParsedCompute
+      buffer = u
+      extra_symbols = true
+      expression = 'sin(x)'
+    []
+    [Lbar]
+      type = ReciprocalLaplacianFactor
+      factor = 1
+      buffer = Lbar
+    []
+  []
+  [Solve]
+    [Nbar]
+      type = ConstantReciprocalTensor
+      buffer = Nbar
+    []
+    [ubar]
+      type = ForwardFFT
+      buffer = ubar
+      input = u
+    []
+  []
+[]
+[TensorSolver]
+  type = AdamsBashforthMoulton
+  buffer = u
+  reciprocal_buffer = ubar
+  linear_reciprocal = Lbar
+  nonlinear_reciprocal = Nbar
+  substeps = 1
+[]
+[Problem]
+  type = TensorProblem
+[]
+[Postprocessors]
+  [dt_crit]
+    type = SemiImplicitCriticalTimeStep
+    buffer = Lbar
+    execute_on = 'INITIAL TIMESTEP_END'
+  []
+[]
+[Executioner]
+  type = Transient
+  num_steps = 3
+  [TimeStepper]
+    type = TensorSolveIterationAdaptiveDT
+    dt = 1.0
+    growth_factor = 2.0
+    timestep_limiting_postprocessor = dt_crit
+  []
+[]
+"""
+
+
+def test_timestep_limiting_postprocessor():
+    """dt is capped at the smallest limiting-PP value from step 2 on."""
+    root = hit.parse(_LIMIT_DECK)
+    problem = TensorProblem(root)
+    tr = Transient(problem, exec_node=root.children.get("Executioner"))
+    tr.run()
+    # Lbar = -k² on 16 points over 2π: max |L| = 8² = 64 → dt_crit = 1/64.
+    # step 1: dt = 1 (limit not applied on the first step, :136);
+    # steps 2,3: dt capped to 1/64
+    assert math.isclose(tr.time, 1.0 + 2.0 / 64.0, rel_tol=1e-9), tr.time
