@@ -186,14 +186,35 @@ class RandomTensor(TensorCompute):
     def apply(self, state, ctx):
         import torch
 
-        if self.seed is not None:
-            torch.manual_seed(self.seed)
-        shape = self.problem.local_tensor_shape()
-        t = torch.rand(
-            list(shape),
-            dtype=torch.float64 if self.domain.dtype == jnp.float64 else torch.float32,
-        )
-        u = jnp.asarray(np.asarray(t.numpy()), dtype=self.domain.dtype)
+        tdtype = torch.float64 if self.domain.dtype == jnp.float64 else torch.float32
+        if self.domain.mesh is None:
+            if self.seed is not None:
+                torch.manual_seed(self.seed)
+            shape = self.problem.local_tensor_shape()
+            t = torch.rand(list(shape), dtype=tdtype)
+            u = jnp.asarray(np.asarray(t.numpy()), dtype=self.domain.dtype)
+            return {self.out: u * (self.max - self.min) + self.min}
+
+        # parallel: the reference calls manual_seed + rand(LOCAL shape) on
+        # EVERY rank (RandomTensor.C:42-53 with
+        # TensorProblem::getLocalTensorShape) — with a seed, all ranks draw
+        # the identical local block, so the global IC is that block tiled in
+        # rank order.  Reproduced here on the gathered global array so the
+        # parallel golds (e.g. cahnhilliard.rank0001.h5) match bit-for-bit.
+        from .. import parallel as par
+
+        slices = par.local_slices(self.domain)
+        out = np.empty(self.domain.shape, dtype=np.dtype(self.domain.dtype))
+        for sl in slices:
+            if self.seed is not None:
+                torch.manual_seed(self.seed)
+            local_shape = [
+                (s.stop or self.domain.shape[d]) - (s.start or 0)
+                for d, s in enumerate(sl)
+            ]
+            t = torch.rand(local_shape, dtype=tdtype)
+            out[sl] = t.numpy()
+        u = jnp.asarray(out)
         return {self.out: u * (self.max - self.min) + self.min}
 
 

@@ -133,6 +133,53 @@ def shard_state(domain, state):
     return jax.tree.map(put, state)
 
 
+def local_slices(domain):
+    """Per-rank slices of a real-space CELL array, in rank (device) order —
+    the analog of the reference's getLocalBounds used for per-rank XDMF
+    output (reference XDMFTensorOutput.C prepareForOutput :225-237).
+
+    Rank order is the flattened mesh device order (row-major over mesh
+    axes), matching the MPI rank order of the reference partitioners."""
+    from .domain import ParallelMode
+
+    mesh = domain.mesh
+    dim = domain.dim
+    if mesh is None:
+        return [tuple(slice(None) for _ in range(dim))]
+    spec = real_spec(domain, dim)
+    mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    # per-dim chunk counts from the sharding spec
+    counts = [mesh_shape.get(spec[d], 1) if d < len(spec) else 1 for d in range(dim)]
+    for d in range(dim):
+        if domain.shape[d] % counts[d]:
+            raise ValueError(
+                f"Grid extent {domain.shape[d]} along axis {d} does not divide "
+                f"evenly over {counts[d]} devices"
+            )
+    out = []
+    # rank order: row-major over the sharded dims in spec order
+    import itertools
+
+    sharded = [d for d in range(dim) if counts[d] > 1]
+    for coords in itertools.product(*[range(counts[d]) for d in sharded]):
+        idx = [slice(None)] * dim
+        for d, c in zip(sharded, coords):
+            step = domain.shape[d] // counts[d]
+            idx[d] = slice(c * step, (c + 1) * step)
+        out.append(tuple(idx))
+    if not out:
+        out = [tuple(slice(None) for _ in range(dim))]
+    # one slice per device (replicated dims don't multiply ranks; pad by
+    # repeating the full layout if the mesh has more devices than chunks)
+    n_ranks = int(np.prod(mesh.devices.shape))
+    if len(out) != n_ranks:
+        # e.g. a 1-D slab mesh sharding only axis 1: len(out) == n_ranks
+        # already; other cases repeat the last slice
+        while len(out) < n_ranks:
+            out.append(out[-1])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # distributed transforms
 # ---------------------------------------------------------------------------

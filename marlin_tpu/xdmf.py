@@ -54,7 +54,25 @@ class XDMFTensorOutput:
                 "execute_on", default=["INITIAL", "TIMESTEP_END"]
             )
         )
-        self.hdf5_name = self.file_base + ".h5"
+        # parallel: one HDF5 file per rank + a single global XMF with
+        # per-rank local bounds (reference XDMFTensorOutput.C:70 rankTag,
+        # writeParallelXMF :429-527)
+        mesh = problem.domain.mesh
+        self.n_ranks = int(mesh.devices.size) if mesh is not None else 1
+        self.is_parallel = self.n_ranks > 1
+        if self.is_parallel:
+            for b, m in self.output_mode.items():
+                if m != "CELL":
+                    params.error(
+                        "output_mode",
+                        "XDMFTensorOutput currently supports only CELL "
+                        "output mode in parallel.",
+                    )
+        self.hdf5_names = [
+            self.file_base + (f".rank{r:04d}" if self.is_parallel else "") + ".h5"
+            for r in range(self.n_ranks)
+        ]
+        self.hdf5_name = self.hdf5_names[0]
         self.frame = 0
         self._frames: List[Dict] = []
         self._h5 = None
@@ -96,27 +114,42 @@ class XDMFTensorOutput:
         self.wait()
         state = problem.run_postprocess_computes(state, time)
         dim = self.domain.dim
-        frame_data = {}
+        # per-rank dataset dicts (serial = single "rank")
+        frame_data = [dict() for _ in range(self.n_ranks)]
         cell_centers = {}
+        if self.is_parallel:
+            from .parallel import local_slices
+
+            slices = local_slices(self.domain)
         for bname in self.buffers:
             if bname not in state["buffers"]:
                 continue
-            arr = np.asarray(state["buffers"][bname])
+            garr = np.asarray(state["buffers"][bname])
             mode = self.output_mode[bname]
-            if mode == "NODE":
-                arr = self._extend(arr)
-            if self.transpose:
-                arr = np.swapaxes(arr, 0, dim - 1)
-            ngrid = int(np.prod(arr.shape[:dim]))
-            nfields = int(np.prod(arr.shape[dim:], dtype=int)) if arr.ndim > dim else 1
-            reshaped = arr.reshape(ngrid, nfields)
-            names = self._component_names(bname, nfields)
-            spatial = arr.shape[:dim]
-            for i, cname in enumerate(names):
-                frame_data[f"{cname}.{self.frame}"] = (
-                    reshaped[:, i].reshape(spatial).copy()
+            for r in range(self.n_ranks):
+                if self.is_parallel:
+                    extra = (slice(None),) * (garr.ndim - dim)
+                    arr = garr[slices[r] + extra]
+                else:
+                    arr = garr
+                if mode == "NODE":
+                    arr = self._extend(arr)
+                # OVERSIZED_NODAL: data written as-is, Center=Node, no
+                # periodic extension (reference XDMFTensorOutput.C:287-295)
+                if self.transpose:
+                    arr = np.swapaxes(arr, 0, dim - 1)
+                ngrid = int(np.prod(arr.shape[:dim]))
+                nfields = (
+                    int(np.prod(arr.shape[dim:], dtype=int)) if arr.ndim > dim else 1
                 )
-            cell_centers[bname] = (names, mode, arr.dtype)
+                reshaped = arr.reshape(ngrid, nfields)
+                names = self._component_names(bname, nfields)
+                spatial = arr.shape[:dim]
+                for i, cname in enumerate(names):
+                    frame_data[r][f"{cname}.{self.frame}"] = (
+                        reshaped[:, i].reshape(spatial).copy()
+                    )
+                cell_centers[bname] = (names, mode, arr.dtype, spatial)
         self._frames.append(
             {"time": time, "fields": cell_centers, "frame": self.frame}
         )
@@ -138,20 +171,22 @@ class XDMFTensorOutput:
         self.wait()
 
     # ------------------------------------------------------------------
-    def _write_h5(self, frame_data: Dict[str, np.ndarray]):
-        if self.enable_hdf5:
-            import h5py
+    def _write_h5(self, frame_data: List[Dict[str, np.ndarray]]):
+        for r, data in enumerate(frame_data):
+            if self.enable_hdf5:
+                import h5py
 
-            mode = "a" if os.path.exists(self.hdf5_name) and self.frame > 1 else "w"
-            with h5py.File(self.hdf5_name, mode) as f:
-                for dset, arr in frame_data.items():
-                    if dset in f:
-                        del f[dset]
-                    f.create_dataset(dset, data=arr)
-        else:
-            for dset, arr in frame_data.items():
-                fname = f"{self.file_base}.{dset}.bin"
-                arr.tofile(fname)
+                name = self.hdf5_names[r]
+                mode = "a" if os.path.exists(name) and self.frame > 1 else "w"
+                with h5py.File(name, mode) as f:
+                    for dset, arr in data.items():
+                        if dset in f:
+                            del f[dset]
+                        f.create_dataset(dset, data=arr)
+            else:
+                tag = f".rank{r:04d}" if self.is_parallel else ""
+                for dset, arr in data.items():
+                    arr.tofile(f"{self.file_base}{tag}.{dset}.bin")
 
     def _write_xmf(self):
         dim = self.domain.dim
@@ -187,6 +222,32 @@ class XDMFTensorOutput:
         tgrid.set("GridType", "Collection")
         tgrid.set("CollectionType", "Temporal")
 
+        if self.is_parallel:
+            self._write_parallel_frames(tgrid, dim, h, origin)
+        else:
+            self._write_serial_frames(tgrid, dim)
+
+        ET.indent(xdmf, space=" ")
+        tree = ET.ElementTree(xdmf)
+        tree.write(self.file_base + ".xmf", xml_declaration=False)
+
+    def _add_attribute(self, grid, cname, mode, dtype, spatial, dataset, h5_name, tag=""):
+        attr = ET.SubElement(grid, "Attribute")
+        attr.set("Name", cname)
+        attr.set("Center", "Cell" if mode == "CELL" else "Node")
+        data = ET.SubElement(attr, "DataItem")
+        data.set("DataType", "Int" if np.issubdtype(dtype, np.integer) else "Float")
+        data.set("Dimensions", " ".join(str(s) for s in spatial))
+        if self.enable_hdf5:
+            data.set("Format", "HDF")
+            data.text = f"{os.path.basename(h5_name)}:/{dataset}"
+        else:
+            data.set("Format", "Binary")
+            data.set("Endian", "Little")
+            data.set("Precision", "8" if dtype in (np.float64, np.int64) else "4")
+            data.text = os.path.basename(f"{self.file_base}{tag}.{dataset}.bin")
+
+    def _write_serial_frames(self, tgrid, dim):
         for fr in self._frames:
             grid = ET.SubElement(tgrid, "Grid")
             grid.set("Name", f"T{fr['frame']}")
@@ -197,34 +258,61 @@ class XDMFTensorOutput:
             xi1.set("xpointer", "xpointer(//Xdmf/Domain/Topology)")
             xi2 = ET.SubElement(grid, "xi:include")
             xi2.set("xpointer", "xpointer(//Xdmf/Domain/Geometry)")
-            for bname, (names, mode, dtype) in fr["fields"].items():
-                is_cell = mode == "CELL"
+            for bname, (names, mode, dtype, spatial) in fr["fields"].items():
                 for cname in names:
-                    attr = ET.SubElement(grid, "Attribute")
-                    attr.set("Name", cname)
-                    attr.set("Center", "Cell" if is_cell else "Node")
-                    data = ET.SubElement(attr, "DataItem")
-                    dtype_str = "Int" if np.issubdtype(dtype, np.integer) else "Float"
-                    data.set("DataType", dtype_str)
-                    data.set("Dimensions", data_grid[is_cell])
-                    dataset = f"{cname}.{fr['frame']}"
-                    if self.enable_hdf5:
-                        data.set("Format", "HDF")
-                        data.text = f"{os.path.basename(self.hdf5_name)}:/{dataset}"
-                    else:
-                        data.set("Format", "Binary")
-                        data.set("Endian", "Little")
-                        precision = (
-                            "8" if dtype in (np.float64, np.int64) else "4"
-                        )
-                        data.set("Precision", precision)
-                        data.text = os.path.basename(
-                            f"{self.file_base}.{dataset}.bin"
-                        )
+                    self._add_attribute(
+                        grid, cname, mode, dtype, spatial,
+                        f"{cname}.{fr['frame']}", self.hdf5_name,
+                    )
 
-        ET.indent(xdmf, space=" ")
-        tree = ET.ElementTree(xdmf)
-        tree.write(self.file_base + ".xmf", xml_declaration=False)
+    def _write_parallel_frames(self, tgrid, dim, h, origin):
+        """Per-frame Spatial collection with one Uniform subgrid per rank
+        (reference writeParallelXMF, XDMFTensorOutput.C:429-527)."""
+        from .parallel import local_slices
+
+        slices = local_slices(self.domain)
+        dom = self.domain
+        for fr in self._frames:
+            grid = ET.SubElement(tgrid, "Grid")
+            grid.set("Name", f"T{fr['frame']}")
+            grid.set("GridType", "Collection")
+            grid.set("CollectionType", "Spatial")
+            te = ET.SubElement(grid, "Time")
+            te.set("Value", _fmt(fr["time"]))
+            for r in range(self.n_ranks):
+                sl = slices[r]
+                # local cell counts / origin in output (maybe transposed) order
+                axes = list(range(dim - 1, -1, -1)) if self.transpose else list(range(dim))
+                cells = []
+                lorigin = []
+                for a in axes:
+                    start = sl[a].start or 0
+                    stop = sl[a].stop if sl[a].stop is not None else dom.shape[a]
+                    cells.append(stop - start)
+                    lorigin.append(dom.mins[a] + start * dom.grid_spacing[a])
+                sub = ET.SubElement(grid, "Grid")
+                sub.set("Name", f"Rank{r}")
+                sub.set("GridType", "Uniform")
+                topo = ET.SubElement(sub, "Topology")
+                topo.set("TopologyType", f"{dim}DCoRectMesh")
+                topo.set("Dimensions", " ".join(str(c + 1) for c in cells))
+                geom = ET.SubElement(sub, "Geometry")
+                geom.set("Type", "ORIGIN_" + "".join(["DX", "DY", "DZ"][:dim]))
+                d1 = ET.SubElement(geom, "DataItem")
+                d1.set("Format", "XML")
+                d1.set("Dimensions", str(dim))
+                d1.text = " ".join(_fmt(x) for x in lorigin)
+                d2 = ET.SubElement(geom, "DataItem")
+                d2.set("Format", "XML")
+                d2.set("Dimensions", str(dim))
+                d2.text = " ".join(_fmt(x) for x in h)
+                for bname, (names, mode, dtype, _spatial) in fr["fields"].items():
+                    for cname in names:
+                        self._add_attribute(
+                            sub, cname, mode, dtype, cells,
+                            f"{cname}.{fr['frame']}", self.hdf5_names[r],
+                            tag=f".rank{r:04d}",
+                        )
 
 
 def _fmt(x: float) -> str:
