@@ -8,4 +8,4 @@ compute types with marlin_tpu.registry.computes.
 from . import base, core  # noqa: F401
 from . import mechanics  # noqa: F401
 from . import lbm, lbm_bc  # noqa: F401
-from . import nn  # noqa: F401
+from . import neml2, nn  # noqa: F401

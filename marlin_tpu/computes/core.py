@@ -218,6 +218,19 @@ class RandomTensor(TensorCompute):
         return {self.out: u * (self.max - self.min) + self.min}
 
 
+@computes.register("ParsedTensor")
+class ParsedTensor(ParsedCompute):
+    """Legacy spelling used by reference test/tests/tensor_ics/sineic.i:
+    the expression lives in `function =` and coordinate symbols are on."""
+
+    def __init__(self, name, params: Params, problem):
+        if params.has("function") and not params.has("expression"):
+            params.node.set_param("expression", params.node.get("function"))
+        if not params.has("extra_symbols"):
+            params.node.set_param("extra_symbols", "true")
+        super().__init__(name, params, problem)
+
+
 @computes.register("ForwardFFT")
 class ForwardFFT(TensorCompute):
     """ū = fft(u) (reference: src/tensor_computes/PerformFFT.C, forward)."""

@@ -46,6 +46,113 @@ def resolve_data_file(path: str, deck_dir=None) -> str:
     raise ComputeError(f"Data file '{path}' not found")
 
 
+def torchscript_to_jax(module, dtype):
+    """Lift a TorchScript module to a pure jnp function.
+
+    Freezes + inlines the module, then interprets the resulting flat
+    aten/prim graph with jnp ops — weights and scalars become on-device
+    constants.  Covers MLP-style graphs (linear/addmm/matmul + pointwise
+    activations) and elementwise analytic models like the reference's
+    Gibbs surrogate.  Returns None if the graph uses an unsupported op, in
+    which case the caller falls back to the host `pure_callback` path.
+
+    This is the TPU-native answer to the reference's in-solve TorchScript
+    evaluation (LibtorchGibbsEnergy.C:60-115): the model runs INSIDE the
+    jitted program — no per-substep device->host round trips — and its
+    jacobian comes from jax.grad instead of torch::autograd."""
+    import torch
+
+    try:
+        frozen = torch.jit.freeze(module.eval())
+        graph = frozen.graph
+        torch._C._jit_pass_inline(graph)
+    except Exception:
+        return None
+
+    BIG = 2 ** 62
+
+    def to_dev(v):
+        if isinstance(v, torch.Tensor):
+            return jnp.asarray(np.asarray(v.detach().numpy(), dtype=np.dtype(dtype)))
+        return v
+
+    steps = []
+    supported = True
+    for node in graph.nodes():
+        kind = node.kind()
+        outs = [o.debugName() for o in node.outputs()]
+        ins = [i.debugName() for i in node.inputs()]
+        if kind == "prim::Constant":
+            try:
+                val = node.output().toIValue()
+            except Exception:
+                supported = False
+                break
+            steps.append(("const", outs, val))
+        elif kind in _ATEN_OPS:
+            steps.append(("op", outs, kind, ins))
+        else:
+            supported = False
+            break
+    if not supported:
+        return None
+
+    graph_inputs = [i.debugName() for i in graph.inputs()]
+    ret = [o.debugName() for o in graph.return_node().inputs()]
+    if len(ret) != 1:
+        return None
+
+    def fn(x):
+        env = {}
+        # first graph input is `self` for module graphs
+        data_inputs = [n for n in graph_inputs if not n.startswith("self")]
+        env[data_inputs[0]] = x
+        for step in steps:
+            if step[0] == "const":
+                env[step[1][0]] = to_dev(step[2])
+            else:
+                _, outs, kind, ins = step
+                args = [env.get(n) for n in ins]
+                env[outs[0]] = _ATEN_OPS[kind](args, BIG)
+        return env[ret[0]]
+
+    return fn
+
+
+def _aten_slice(a, BIG):
+    x, dim, start, end, step = a
+    idx = [slice(None)] * x.ndim
+    idx[dim] = slice(start or None, None if end is None or end >= BIG else end, step)
+    return x[tuple(idx)]
+
+
+_ATEN_OPS = {
+    "aten::slice": _aten_slice,
+    "aten::select": lambda a, B: jnp.take(a[0], a[2], axis=a[1]),
+    "aten::add": lambda a, B: a[0] + (a[2] if len(a) > 2 else 1) * a[1],
+    "aten::sub": lambda a, B: a[0] - (a[2] if len(a) > 2 else 1) * a[1],
+    "aten::rsub": lambda a, B: a[1] - (a[2] if len(a) > 2 else 1) * a[0],
+    "aten::mul": lambda a, B: a[0] * a[1],
+    "aten::div": lambda a, B: a[0] / a[1],
+    "aten::neg": lambda a, B: -a[0],
+    "aten::square": lambda a, B: a[0] * a[0],
+    "aten::pow": lambda a, B: a[0] ** a[1],
+    "aten::exp": lambda a, B: jnp.exp(a[0]),
+    "aten::log": lambda a, B: jnp.log(a[0]),
+    "aten::tanh": lambda a, B: jnp.tanh(a[0]),
+    "aten::relu": lambda a, B: jnp.maximum(a[0], 0),
+    "aten::sigmoid": lambda a, B: jax.nn.sigmoid(a[0]),
+    "aten::softplus": lambda a, B: jax.nn.softplus(a[0]),
+    "aten::t": lambda a, B: a[0].T,
+    "aten::matmul": lambda a, B: a[0] @ a[1],
+    "aten::linear": lambda a, B: a[0] @ a[1].T + (a[2] if a[2] is not None else 0),
+    "aten::addmm": lambda a, B: (a[3] if len(a) > 3 else 1) * a[0]
+    + (a[4] if len(a) > 4 else 1) * (a[1] @ a[2]),
+    "aten::squeeze": lambda a, B: jnp.squeeze(a[0]) if len(a) == 1 else jnp.squeeze(a[0], axis=a[1]),
+    "aten::unsqueeze": lambda a, B: jnp.expand_dims(a[0], a[1]),
+}
+
+
 @computes.register("LibtorchGibbsEnergy")
 class LibtorchGibbsEnergy(TensorCompute):
     def __init__(self, name, params: Params, problem):
@@ -78,6 +185,10 @@ class LibtorchGibbsEnergy(TensorCompute):
         self._torch = torch
         self._model = torch.jit.load(model_path, map_location="cpu")
         self._model.eval()
+        # on-device fast path: lift the TorchScript graph to jnp so the
+        # surrogate (and its jax.grad jacobian) runs inside the one XLA
+        # program — no per-substep host round trips on TPU
+        self._jax_fn = torchscript_to_jax(self._model, problem.domain.dtype)
 
     def _host_eval(self, X_flat: np.ndarray):
         """Host-side: G and dG/dX via torch autograd
@@ -100,15 +211,13 @@ class LibtorchGibbsEnergy(TensorCompute):
         flat = X_flat.shape[0]
         dtype = X_flat.dtype
 
-        G_flat, jac_flat = jax.pure_callback(
-            self._host_eval,
-            (
-                jax.ShapeDtypeStruct((flat,), dtype),
-                jax.ShapeDtypeStruct((flat, n_in), dtype),
-            ),
-            X_flat,
-            vmap_method="sequential",
-        )
+        if self._jax_fn is not None:
+            # fully on-device: rows are independent, so the gradient of the
+            # summed scalar output IS the per-row jacobian
+            G_flat = jnp.reshape(self._jax_fn(X_flat), (flat,))
+            jac_flat = jax.grad(lambda X: jnp.sum(self._jax_fn(X)))(X_flat)
+        else:
+            G_flat, jac_flat = self._host_callback(X_flat, flat, n_in, dtype)
         out = {self.G_buffer: G_flat.reshape(batch_shape)}
         k = 0
         for name in self.domega_detas:
@@ -118,3 +227,14 @@ class LibtorchGibbsEnergy(TensorCompute):
             out[name] = jac_flat[:, k].reshape(batch_shape)
             k += 1
         return out
+
+    def _host_callback(self, X_flat, flat, n_in, dtype):
+        return jax.pure_callback(
+            self._host_eval,
+            (
+                jax.ShapeDtypeStruct((flat,), dtype),
+                jax.ShapeDtypeStruct((flat, n_in), dtype),
+            ),
+            X_flat,
+            vmap_method="sequential",
+        )

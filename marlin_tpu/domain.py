@@ -121,6 +121,11 @@ class Domain:
         self._x_grid = None
         self._k_grid = None
 
+        if self.mesh is not None:
+            from .parallel import validate_mesh
+
+            validate_mesh(self)
+
     # -- axes -------------------------------------------------------------
     def _use_rfft(self, d: int) -> bool:
         """Which axis carries the half-spectrum (reference :268-284).

@@ -224,6 +224,11 @@ class Transient:
                 )
             )
 
+        # perf graph (reference `perf_graph = true`, MOOSE TIME_SECTION)
+        from .perf import PerfGraph
+
+        self.perf = PerfGraph(enabled=op.get_bool("perf_graph", False))
+
         self.state = None
         self.time = self.start_time
         self.step_count = 0
@@ -238,7 +243,8 @@ class Transient:
 
     # ------------------------------------------------------------------
     def init(self):
-        self.state = self.problem.init_state()
+        with self.perf.section("problem::init_state (build + ICs)"):
+            self.state = self.problem.init_state()
         self.time = self.start_time
         # EXEC_INITIAL: run INITIAL postprocessors; CSV row 0 reports 0 for
         # TIMESTEP_END-only postprocessors (MOOSE semantics, see reference
@@ -255,14 +261,15 @@ class Transient:
         self._write_vpps("INITIAL")
 
     def _run_outputs(self, initial=False):
-        for out in self.tensor_outputs:
-            if getattr(out, "wants_pp_values", False):
-                out.output(
-                    self.problem, self.state, self.time,
-                    initial=initial, pp_values=self.pp_values,
-                )
-            else:
-                out.output(self.problem, self.state, self.time, initial=initial)
+        with self.perf.section("outputs"):
+            for out in self.tensor_outputs:
+                if getattr(out, "wants_pp_values", False):
+                    out.output(
+                        self.problem, self.state, self.time,
+                        initial=initial, pp_values=self.pp_values,
+                    )
+                else:
+                    out.output(self.problem, self.state, self.time, initial=initial)
 
     def _write_vpps(self, flag):
         """Vector postprocessor CSV series: <file_base>_<name>_NNNN.csv
@@ -339,10 +346,16 @@ class Transient:
             # The pre-step state pytree is immutable, so rejection is free.
             prev_state = self.state
             while True:
-                self.state, values = self.problem.step_with_pps(
-                    prev_state, self.time, dt, dt_old,
-                    first_step=(self.step_count == 1),
+                section = (
+                    "solver::step (first; incl. compile)"
+                    if self.step_count == 1
+                    else "solver::step"
                 )
+                with self.perf.section(section):
+                    self.state, values = self.problem.step_with_pps(
+                        prev_state, self.time, dt, dt_old,
+                        first_step=(self.step_count == 1),
+                    )
                 solver_info = self._solver_info()
                 if (
                     solver_info is None
@@ -376,8 +389,11 @@ class Transient:
 
         if self.csv is not None:
             self.csv.write()
-        for out in self.tensor_outputs:
-            out.finalize()
+        with self.perf.section("outputs"):
+            for out in self.tensor_outputs:
+                out.finalize()
+        if self.perf.enabled:
+            print(self.perf.report())
         return self.pp_values
 
     def _solver_info(self):

@@ -23,6 +23,9 @@ def main(argv=None):
     parser.add_argument("--output-dir", default=None)
     parser.add_argument("--x64", action="store_true", default=None,
                         help="force double precision")
+    parser.add_argument("--timing", action="store_true",
+                        help="print the perf-graph summary (same as "
+                        "`[Outputs] perf_graph = true` in the deck)")
     ns = parser.parse_args(argv)
 
     deck = ns.input
@@ -46,7 +49,7 @@ def main(argv=None):
     from . import hit
     from .executioner import run_deck
 
-    root = hit.load(deck, overrides)
+    root = hit.load(deck, overrides + (["Outputs/perf_graph=true"] if ns.timing else []))
     stem = os.path.splitext(os.path.basename(deck))[0]
     out_node = root.children.get("Outputs")
     file_base = out_node.get("file_base") if out_node is not None else None

@@ -35,7 +35,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -131,6 +131,40 @@ def shard_state(domain, state):
         return jax.device_put(arr, NamedSharding(mesh, spec_for(arr)))
 
     return jax.tree.map(put, state)
+
+
+def validate_mesh(domain):
+    """Friendly build-time divisibility check (the reference handles uneven
+    remainders via partitionHepler, DomainAction.h:247-280; the TPU
+    all_to_all path requires even tiles, so uneven grids are rejected HERE
+    with a clear message instead of deep inside XLA)."""
+    from .domain import ParallelMode
+
+    mesh = domain.mesh
+    if mesh is None or domain.parallel_mode == ParallelMode.NONE:
+        return
+    mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def check(shape, spec, what):
+        for d in range(domain.dim):
+            name = spec[d] if d < len(spec) else None
+            n_dev = mesh_shape.get(name, 1)
+            if n_dev > 1 and shape[d] % n_dev:
+                raise ValueError(
+                    f"[Domain] {what} extent {shape[d]} along axis {d} does "
+                    f"not divide evenly over the {n_dev}-device mesh axis "
+                    f"'{name}' ({domain.parallel_mode.name} mode requires "
+                    "even tiles; choose grid sizes divisible by the device "
+                    "counts)"
+                )
+
+    check(domain.shape, real_spec(domain, domain.dim), "real-space grid")
+    if domain.parallel_mode in (ParallelMode.FFT_SLAB, ParallelMode.FFT_PENCIL):
+        check(
+            domain.reciprocal_shape,
+            reciprocal_spec(domain, domain.dim),
+            "reciprocal-space grid",
+        )
 
 
 def local_slices(domain):
@@ -237,7 +271,7 @@ def fft_slab(domain, x):
         return z
 
     return shard_map(
-        kernel, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec, check_rep=False
+        kernel, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec
     )(x)
 
 
@@ -261,7 +295,7 @@ def ifft_slab(domain, x):
         return z.real.astype(dtype)
 
     return shard_map(
-        kernel, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec, check_rep=False
+        kernel, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec
     )(x)
 
 
@@ -285,7 +319,7 @@ def fft_pencil(domain, x):
         return z
 
     return shard_map(
-        kernel, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec, check_rep=False
+        kernel, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec
     )(x)
 
 
@@ -304,5 +338,5 @@ def ifft_pencil(domain, x):
         return z.real.astype(dtype)
 
     return shard_map(
-        kernel, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec, check_rep=False
+        kernel, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec
     )(x)

@@ -64,6 +64,18 @@ def host_zeros(shape, dtype):
 
 def build_domain(node: Optional[HitNode], mesh=None, mesh_node: Optional[HitNode] = None) -> Domain:
     if node is None:
+        if mesh_node is not None and mesh_node.get("type") == "UniformTensorMesh":
+            # [Mesh] type = UniformTensorMesh (reference
+            # src/mesh/UniformTensorMesh.C:19-70): the grid IS the mesh
+            p = Params(mesh_node)
+            dim = p.get_int("dim", required=True)
+            return Domain(
+                dim=dim,
+                n=[p.get_int("nx", 1), p.get_int("ny", 1), p.get_int("nz", 1)],
+                mins=[0.0, 0.0, 0.0],
+                maxs=[p.get_float("xmax", 1.0), p.get_float("ymax", 1.0), p.get_float("zmax", 1.0)],
+                mesh=mesh,
+            )
         if mesh_node is not None:
             # MOOSE-FEM-only decks ([Mesh] GeneratedMeshGenerator, e.g.
             # reference test/tests/misc/shiftedfunction.i): build an
@@ -548,6 +560,13 @@ class TensorProblem:
                 buffers[name] = self._init_lbm_buffer(spec)
                 continue
             vdims = spec.get_int_vector("value_dimensions", [])
+            # NEML2 primitive-typed buffers (reference NEML2TensorBuffer.C:
+            # VectorTensor = neml2::Vec (3,), SR2Tensor = symmetric rank-2
+            # in Mandel notation (6,))
+            if btype == "VectorTensor":
+                vdims = vdims or [3]
+            elif btype == "SR2Tensor":
+                vdims = vdims or [6]
             if spec.get_bool("reciprocal", False):
                 buffers[name] = host_zeros(
                     dom.reciprocal_value_shape(vdims), dom.cdtype

@@ -258,7 +258,8 @@ class XDMFTensorOutput:
             xi1.set("xpointer", "xpointer(//Xdmf/Domain/Topology)")
             xi2 = ET.SubElement(grid, "xi:include")
             xi2.set("xpointer", "xpointer(//Xdmf/Domain/Geometry)")
-            for bname, (names, mode, dtype, spatial) in fr["fields"].items():
+            # alphabetical buffer order (the reference iterates a std::map)
+            for bname, (names, mode, dtype, spatial) in sorted(fr["fields"].items()):
                 for cname in names:
                     self._add_attribute(
                         grid, cname, mode, dtype, spatial,
@@ -306,7 +307,7 @@ class XDMFTensorOutput:
                 d2.set("Format", "XML")
                 d2.set("Dimensions", str(dim))
                 d2.text = " ".join(_fmt(x) for x in h)
-                for bname, (names, mode, dtype, _spatial) in fr["fields"].items():
+                for bname, (names, mode, dtype, _spatial) in sorted(fr["fields"].items()):
                     for cname in names:
                         self._add_attribute(
                             sub, cname, mode, dtype, cells,

@@ -45,6 +45,11 @@ H5_CASES = [
     ("test/tests/tensor_compute/rotating_grain_secant.i", [], "test/tests/tensor_compute/gold/rotating_grain_secant.h5", "rotating_grain_secant.h5", 5e-11),
     ("test/tests/typed_tensors/gradient.i", [], "test/tests/typed_tensors/gold/gradient.h5", "gradient.h5", 1e-13),
     ("test/tests/kks/KKS_no_flux_bc.i", [], "test/tests/kks/gold/KKS_no_flux_bc.h5", "KKS_no_flux_bc.h5", 5e-11),
+    # TorchScript Gibbs surrogate lifted to an ON-DEVICE jnp function
+    # (computes/nn.py torchscript_to_jax); jacobian via jax.grad inside the
+    # jitted solve — the reference evaluates the model per substep on the
+    # host with torch::autograd (LibtorchGibbsEnergy.C:60-115)
+    ("test/tests/kks/KKS_libtorch.i", [], "test/tests/kks/gold/KKS_libtorch.h5", "KKS_libtorch.h5", 5e-11),
 ]
 
 
@@ -87,3 +92,23 @@ def test_histogram():
         "test/tests/histogram/gold/test_out_hist_0001.csv",
         f"{tmp}/test_out_hist_0001.csv",
     )
+
+
+XMF_CASES = [
+    # reference test/tests/kks/tests specs `xdmf_output_xml` and
+    # `xdmf_output_xml_libtorch`
+    ("test/tests/kks/KKS_no_flux_bc.i", "test/tests/kks/gold/KKS_no_flux_bc.xmf", "KKS_no_flux_bc.xmf"),
+    ("test/tests/kks/KKS_libtorch.i", "test/tests/kks/gold/KKS_libtorch.xmf", "KKS_libtorch.xmf"),
+]
+
+
+@pytest.mark.parametrize(
+    "deck,gold,out", XMF_CASES, ids=[os.path.basename(c[0]) for c in XMF_CASES]
+)
+def test_xmf_gold(deck, gold, out):
+    from .test_xdmf_gold import xml_diff
+
+    if not os.path.exists(os.path.join(REF, gold)):
+        pytest.skip("no gold")
+    _, tmp = run_ref_deck(deck)
+    xml_diff(os.path.join(REF, gold), f"{tmp}/{out}")

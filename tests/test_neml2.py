@@ -1,0 +1,156 @@
+"""NEML2-equivalent constitutive path (reference
+src/tensor_computes/NEML2TensorCompute.C + test/tests/neml2/).
+
+marlin_tpu implements the deck surface with a pure-JAX model registry
+covering a documented subset of NEML2's algebra models (see
+computes/neml2.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from .gold import REF, csv_diff, run_ref_deck
+
+
+def test_neml2_scalar_gold():
+    """reference test/tests/neml2/tests `scalar`: ScalarMultiplication
+    C = A*B over the grid, CSVDiff vs gold (time,C = 1,6)."""
+    _, tmp = run_ref_deck("test/tests/neml2/scalar.i")
+    csv_diff("test/tests/neml2/gold/scalar_out.csv", f"{tmp}/scalar_out.csv")
+
+
+def test_neml2_linear_combination(tmp_path):
+    from marlin_tpu import hit
+    from marlin_tpu.executioner import run_deck
+
+    deck_dir = str(tmp_path)
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [combo]
+    type = ScalarLinearCombination
+    from_var = 'forces/A forces/B'
+    to_var = 'state/C'
+    coefficients = '2 -1'
+  []
+[]
+"""
+    )
+    (tmp_path / "deck.i").write_text(
+        """
+[Domain]
+  dim = 2
+  nx = 4
+  ny = 4
+[]
+[Problem]
+  type = TensorProblem
+[]
+[TensorComputes]
+  [Initialize]
+    [A]
+      type = ConstantTensor
+      buffer = A
+      real = 5
+    []
+    [B]
+      type = ConstantTensor
+      buffer = B
+      real = 3
+    []
+    [C]
+      type = NEML2TensorCompute
+      neml2_input_file = model.i
+      neml2_model = combo
+      marlin_inputs = 'A B'
+      neml2_inputs = 'forces/A forces/B'
+      neml2_outputs = 'state/C'
+      marlin_outputs = 'C'
+    []
+  []
+[]
+[Executioner]
+  type = Transient
+  num_steps = 1
+[]
+"""
+    )
+    root = hit.load(str(tmp_path / "deck.i"))
+    tr = run_deck(root, output_dir=str(tmp_path), deck_dir=deck_dir)
+    C = np.asarray(tr.state["buffers"]["C"])
+    np.testing.assert_allclose(C, 2 * 5 - 3)
+
+
+def test_neml2_unknown_model_type_errors(tmp_path):
+    """Unsupported NEML2 model types name the divergence clearly."""
+    from marlin_tpu import hit
+    from marlin_tpu.computes.neml2 import NEML2Error
+    from marlin_tpu.executioner import run_deck
+
+    (tmp_path / "model.i").write_text(
+        "[Models]\n  [m]\n    type = SR2Invariant\n  []\n[]\n"
+    )
+    (tmp_path / "deck.i").write_text(
+        """
+[Domain]
+  dim = 1
+  nx = 4
+[]
+[Problem]
+  type = TensorProblem
+[]
+[TensorComputes]
+  [Initialize]
+    [C]
+      type = NEML2TensorCompute
+      neml2_input_file = model.i
+      neml2_model = m
+      marlin_outputs = 'C'
+      neml2_outputs = 'state/C'
+    []
+  []
+[]
+[Executioner]
+  type = Transient
+  num_steps = 1
+[]
+"""
+    )
+    with pytest.raises(NEML2Error, match="supported subset"):
+        run_deck(
+            hit.load(str(tmp_path / "deck.i")),
+            output_dir=str(tmp_path), deck_dir=str(tmp_path),
+        )
+
+
+def test_neml2_buffer_types(tmp_path):
+    """VectorTensor / SR2Tensor buffers get the NEML2 primitive trailing
+    dims (reference src/tensor_buffers/NEML2TensorBuffer.C)."""
+    from marlin_tpu import hit
+    from marlin_tpu.problem import TensorProblem
+
+    (tmp_path / "deck.i").write_text(
+        """
+[Domain]
+  dim = 2
+  nx = 4
+  ny = 4
+[]
+[TensorBuffers]
+  [v]
+    type = VectorTensor
+  []
+  [s]
+    type = SR2Tensor
+  []
+[]
+[Problem]
+  type = TensorProblem
+[]
+"""
+    )
+    p = TensorProblem(hit.load(str(tmp_path / "deck.i")))
+    state = p.init_state()
+    assert state["buffers"]["v"].shape == (4, 4, 3)
+    assert state["buffers"]["s"].shape == (4, 4, 6)

@@ -152,3 +152,67 @@ class TestRealSpaceSharded:
             "test/tests/real_space/gold/laplacian_out.csv",
             "/tmp/marlin_tpu_par_rs/laplacian_out.csv",
         )
+
+
+class TestGradientDeckPencil:
+    """The reference's own pencil spec: gradient.i (3-D, 40^3) in FFT_PENCIL
+    mode must reproduce the serial gold CSV (reference
+    test/tests/gradient/tests `gradient_cpu_pencil`, 4 ranks)."""
+
+    @pytest.mark.parametrize("shape", [(2, 2), (2, 4)])
+    def test_gradient_pencil(self, shape, tmp_path):
+        import os
+
+        from .gold import REF, csv_diff
+        from marlin_tpu import hit
+        from marlin_tpu.executioner import run_deck
+
+        n = shape[0] * shape[1]
+        mesh = parallel.make_mesh(
+            ParallelMode.FFT_PENCIL, jax.devices()[:n], shape=shape
+        )
+        root = hit.load(
+            os.path.join(REF, "test/tests/gradient/gradient.i"),
+            ["Domain/parallel_mode=FFT_PENCIL"],
+        )
+        run_deck(
+            root, file_base="gradient_out", output_dir=str(tmp_path),
+            mesh=mesh, deck_stem="gradient",
+        )
+        csv_diff(
+            "test/tests/gradient/gold/gradient_out.csv",
+            str(tmp_path / "gradient_out.csv"),
+        )
+
+
+class TestDivisibilityValidation:
+    """Uneven grid/mesh combinations raise a clear [Domain] build error
+    instead of failing deep inside XLA's all_to_all (the reference handles
+    remainders, DomainAction.h:247-280 — divergence documented)."""
+
+    def test_slab_uneven(self):
+        from marlin_tpu.domain import Domain
+
+        mesh = parallel.make_mesh(ParallelMode.FFT_SLAB, jax.devices()[:3])
+        with pytest.raises(ValueError, match="does not divide evenly"):
+            Domain(dim=2, n=[200, 200], maxs=[1, 1, 1],
+                   parallel_mode=ParallelMode.FFT_SLAB, mesh=mesh)
+
+    def test_pencil_uneven(self):
+        from marlin_tpu.domain import Domain
+
+        mesh = parallel.make_mesh(
+            ParallelMode.FFT_PENCIL, jax.devices()[:8], shape=(2, 4)
+        )
+        with pytest.raises(ValueError, match="does not divide evenly"):
+            Domain(dim=3, n=[16, 16, 18], maxs=[1, 1, 1],
+                   parallel_mode=ParallelMode.FFT_PENCIL, mesh=mesh)
+
+    def test_even_passes(self):
+        from marlin_tpu.domain import Domain
+
+        mesh = parallel.make_mesh(
+            ParallelMode.FFT_PENCIL, jax.devices()[:4], shape=(2, 2)
+        )
+        Domain(dim=3, n=[16, 16, 16], maxs=[1, 1, 1],
+               parallel_mode=ParallelMode.FFT_PENCIL, mesh=mesh)

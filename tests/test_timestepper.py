@@ -216,3 +216,23 @@ def test_timestep_limiting_postprocessor():
     # step 1: dt = 1 (limit not applied on the first step, :136);
     # steps 2,3: dt capped to 1/64
     assert math.isclose(tr.time, 1.0 + 2.0 / 64.0, rel_tol=1e-9), tr.time
+
+
+def test_perf_graph(capsys):
+    """`[Outputs] perf_graph = true` prints the per-section timing table
+    (reference 1a.i:178 / MOOSE TIME_SECTION perf graph)."""
+    root = hit.parse(
+        _SECANT_DECK.format(dt=1e-3, cutback=0.5, max_its=30, num_steps=2)
+        + "\n[Outputs]\n  perf_graph = true\n[]\n"
+    )
+    problem = TensorProblem(root)
+    tr = Transient(
+        problem,
+        exec_node=root.children.get("Executioner"),
+        outputs_node=root.children.get("Outputs"),
+    )
+    tr.run()
+    out = capsys.readouterr().out
+    assert "Performance Graph:" in out
+    assert "solver::step (first; incl. compile)" in out
+    assert "problem::init_state" in out
