@@ -290,6 +290,26 @@ def bench_ch3d(n, substeps=10, reps=3):
 
     substep_s = step_s / substeps
     sol_substep = 1.5 * pair  # 3 FFT passes / substep
+
+    # carry_reciprocal = true: the solver carries ū across substeps instead
+    # of recomputing fft(u) — 2 FFT passes/substep instead of 3 (marlin_tpu
+    # extension; trajectories agree to fp roundoff, tested in
+    # tests/test_carry_reciprocal.py)
+    root2 = hit.parse(
+        _CH3D_DECK.format(n=n, substeps=substeps).replace(
+            "substeps =", "carry_reciprocal = true\n  substeps ="
+        )
+    )
+    problem2 = TensorProblem(root2)
+    step2 = jax.jit(problem2._step_impl, donate_argnums=(0,))
+    out2 = step2(problem2.init_state(), 0.0, dt, dt, jnp.asarray(False))
+    _sync(out2["buffers"]["c"])
+    t0 = time.time()
+    for _ in range(reps):
+        out2 = step2(out2, 0.0, dt, dt, jnp.asarray(False))
+    _sync(out2["buffers"]["c"])
+    carry_substep_s = max((time.time() - t0 - rt) / reps, 1e-9) / substeps
+
     return {
         "cells": n ** 3,
         "substep_ms": round(substep_s * 1e3, 3),
@@ -297,6 +317,56 @@ def bench_ch3d(n, substeps=10, reps=3):
         "compile_s": round(first - step_s, 1),
         "fft_pair_ms": round(pair * 1e3, 3),
         "fft_roofline_frac": round(sol_substep / substep_s, 3),
+        "carry_substep_ms": round(carry_substep_s * 1e3, 3),
+        "carry_cell_updates_per_s": round(n ** 3 / carry_substep_s),
+        "dtype": jnp.dtype(problem.domain.dtype).name,
+    }
+
+
+def bench_lbm(n=128, substeps=20, reps=3):
+    """3-D lattice Boltzmann channel flow (reference test/tests/lbm/
+    channel3D.i, D3Q19 BGK + Zou-He in/outlet + bounce-back walls) scaled to
+    n^3 — reports MLUPS (million lattice-site updates per second), the
+    standard LBM throughput metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from marlin_tpu import hit
+    from marlin_tpu.problem import TensorProblem
+
+    root = hit.load(
+        "/root/reference/test/tests/lbm/channel3D.i",
+        [f"Domain/nx={n}", f"Domain/ny={n}", f"Domain/nz={n}",
+         f"Problem/substeps={substeps}"],
+    )
+    problem = TensorProblem(root)
+    state = problem.init_state()
+    step = jax.jit(problem._step_impl, donate_argnums=(0,))
+    dt = jnp.asarray(1.0, problem.domain.dtype)
+
+    t0 = time.time()
+    out = step(state, 0.0, dt, dt, jnp.asarray(False))
+    _sync(out["buffers"]["f"])
+    first = time.time() - t0
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    _sync(tiny(jnp.zeros(())))
+    t0 = time.time()
+    _sync(tiny(jnp.zeros(())))
+    rt = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(reps):
+        out = step(out, 0.0, dt, dt, jnp.asarray(False))
+    _sync(out["buffers"]["f"])
+    step_s = max((time.time() - t0 - rt) / reps, 1e-9)
+    mlups = n ** 3 * substeps / step_s / 1e6
+    return {
+        "cells": n ** 3,
+        "stencil": "D3Q19",
+        "substep_ms": round(step_s / substeps * 1e3, 3),
+        "mlups": round(mlups, 1),
+        "compile_s": round(first - step_s, 1),
         "dtype": jnp.dtype(problem.domain.dtype).name,
     }
 
@@ -306,6 +376,8 @@ def _run_child(name):
         print(json.dumps(bench_1a()))
     elif name.startswith("ch3d_"):
         print(json.dumps(bench_ch3d(int(name.split("_")[1]))))
+    elif name == "lbm":
+        print(json.dumps(bench_lbm()))
     else:
         raise SystemExit(f"unknown benchmark {name}")
 
@@ -349,6 +421,7 @@ def main():
     for n in (256, 512):
         sub = _spawn(f"ch3d_{n}", attempts=2)
         result[f"ch3d_{n}"] = sub
+    result["lbm_channel3d_128"] = _spawn("lbm", attempts=2)
 
     print(json.dumps(result))
 

@@ -69,6 +69,7 @@ class AdamsBashforthMoulton(SplitOperatorBase):
             return jnp.minimum(order, maxo)
 
         # -- Adams-Bashforth predictor (reference :77-104) -----------------
+        final_ubar = {}
         for v in self.variables:
             n_old_b = self.n_old(state, v.nonlinear_reciprocal)
             order = select_order(self.predictor_order, 0, n_old_b, self.predictor_order)
@@ -82,6 +83,7 @@ class AdamsBashforthMoulton(SplitOperatorBase):
             if v.linear_reciprocal is not None:
                 ubar = ubar / (1.0 - sub_dt * buffers[v.linear_reciprocal])
             buffers[v.buffer] = dom.ifft(ubar)
+            final_ubar[v.buffer] = ubar
 
         # -- Adams-Moulton corrector (reference :118-186) ------------------
         if self.corrector_steps:
@@ -111,5 +113,11 @@ class AdamsBashforthMoulton(SplitOperatorBase):
                     if v.linear_reciprocal is not None:
                         ubar = ubar / (1.0 - sub_dt * buffers[v.linear_reciprocal])
                     buffers[v.buffer] = dom.ifft(ubar)
+                    final_ubar[v.buffer] = ubar
+
+        if self.carry_reciprocal:
+            # the pruned ForwardFFT's role: next substep reads ū directly
+            for v in self.variables:
+                buffers[v.reciprocal_buffer] = final_ubar[v.buffer]
 
         return {**state, "buffers": buffers}

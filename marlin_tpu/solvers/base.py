@@ -133,6 +133,13 @@ class TensorSolver:
         timestep."""
         sub_dt = dt / self.substeps
         first_step = jnp.asarray(first_step, bool)
+        if getattr(self, "carry_reciprocal", False):
+            # seed ū = fft(u) once per timestep (the per-substep transform
+            # is pruned; see SplitOperatorBase.prune_reciprocal_ffts)
+            buffers = dict(state["buffers"])
+            for v in self.variables:
+                buffers[v.reciprocal_buffer] = self.domain.fft(buffers[v.buffer])
+            state = {**state, "buffers": buffers}
         if self.substeps == 1:
             return self.substep(state, t, sub_dt, dt, dt_old, 0, first_step)
 
@@ -201,6 +208,52 @@ class SplitOperatorBase(TensorSolver):
             for i in range(n)
         ]
         self.history_size = 0  # set by subclasses via request_history
+
+        # marlin_tpu extension (perf): when the deck's only producer of
+        # ū is `ForwardFFT(input = u)`, that transform is redundant — the
+        # previous substep's update already HAS ū, and u = ifft(ū), so
+        # fft(u) == ū up to fp roundoff.  `carry_reciprocal = true` prunes
+        # the ForwardFFT from the solve group and carries ū across substeps
+        # instead, cutting 1 of the 3 FFT passes of a semi-implicit
+        # Cahn-Hilliard substep (≈1.3x at 512³).  Off by default: bit-exact
+        # gold parity requires the reference's recompute.
+        self.carry_reciprocal = params.get_bool("carry_reciprocal", False)
+
+    def prune_reciprocal_ffts(self):
+        """Remove the ForwardFFT members producing each variable's ū
+        (carry_reciprocal mode).  Errors if ū has a different producer."""
+        from ..computes.base import ComputeGroup
+        from ..computes.core import ForwardFFT
+
+        targets = {v.reciprocal_buffer: v.buffer for v in self.variables}
+        found = set()
+
+        def prune(group):
+            kept = []
+            for m in group.members:
+                if isinstance(m, ComputeGroup):
+                    prune(m)
+                    kept.append(m)
+                elif (
+                    isinstance(m, ForwardFFT)
+                    and m.out in targets
+                    and m.input == targets[m.out]
+                ):
+                    found.add(m.out)
+                else:
+                    kept.append(m)
+            group.members = kept
+            group._update_io()
+
+        prune(self.compute)
+        missing = set(targets) - found
+        if missing:
+            raise ValueError(
+                f"carry_reciprocal = true requires each reciprocal_buffer to "
+                f"be produced by a ForwardFFT of its buffer; not found for "
+                f"{sorted(missing)}"
+            )
+        self.compute.sort()
 
     def request_history(self, history_size: int):
         self.history_size = history_size
