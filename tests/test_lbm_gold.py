@@ -42,3 +42,17 @@ def test_lbm(deck):
         pytest.skip(f"no gold for {deck}")
     _, tmp = run_ref_deck(f"test/tests/lbm/{deck}.i")
     h5_diff(gold, f"{tmp}/{deck}.h5", abs_tol=1e-10)
+
+
+def test_lbm_smagorinsky_jit_flag():
+    """reference spec `smagorinsky_mrt_jit`: same gold with enable_jit=true
+    (a no-op knob here — every compute chain is jitted — but the deck
+    surface must accept it)."""
+    gold = "test/tests/lbm/gold/smagorinsky_mrt.h5"
+    if not os.path.exists(os.path.join(REF, gold)):
+        pytest.skip("no gold")
+    _, tmp = run_ref_deck(
+        "test/tests/lbm/smagorinsky_mrt.i",
+        ["TensorComputes/Solve/root/enable_jit=true"],
+    )
+    h5_diff(gold, f"{tmp}/smagorinsky_mrt.h5", abs_tol=1e-10)

@@ -15,6 +15,7 @@ CSV_CASES = [
     ("test/tests/parsed_tensor/local_vars_derivative.i", [], "test/tests/parsed_tensor/gold/local_vars_derivative_out.csv", "local_vars_derivative_out.csv"),
     ("test/tests/misc/shiftedfunction.i", [], "test/tests/misc/gold/shiftedfunction_out.csv", "shiftedfunction_out.csv"),
     ("test/tests/real_space/diffusion.i", [], "test/tests/real_space/gold/diffusion_out.csv", "diffusion_out.csv"),
+    ("test/tests/kks/KKS_no_flux_bc.i", [], "test/tests/kks/gold/KKS_no_flux_bc_out.csv", "KKS_no_flux_bc_out.csv"),
     ("test/tests/real_space/laplacian.i", [], "test/tests/real_space/gold/laplacian_out.csv", "laplacian_out.csv"),
     ("test/tests/real_space/laplacian.i", ["TensorComputes/Solve/lap_compute/stencil_width=5", "Outputs/file_base=laplacian_5pt_out"], "test/tests/real_space/gold/laplacian_5pt_out.csv", "laplacian_5pt_out.csv"),
     ("test/tests/real_space/laplacian3d.i", [], "test/tests/real_space/gold/laplacian3d_out.csv", "laplacian3d_out.csv"),
@@ -23,6 +24,9 @@ CSV_CASES = [
     ("test/tests/tensor_compute/backandforth.i", ["Domain/dim=1", "Domain/nx=11"], "test/tests/tensor_compute/gold/backandforth_out.csv", "backandforth_out.csv"),
     ("test/tests/tensor_compute/backandforth.i", ["Domain/dim=2", "Domain/nx=10", "Domain/ny=12"], "test/tests/tensor_compute/gold/backandforth_out.csv", "backandforth_out.csv"),
     ("test/tests/tensor_compute/backandforth.i", ["Domain/dim=3", "Domain/nx=10", "Domain/ny=12", "Domain/nz=6"], "test/tests/tensor_compute/gold/backandforth_out.csv", "backandforth_out.csv"),
+    # reference spec's odd-size cases (rfft half-spectrum bookkeeping)
+    ("test/tests/tensor_compute/backandforth.i", ["Domain/dim=2", "Domain/nx=9", "Domain/ny=11"], "test/tests/tensor_compute/gold/backandforth_out.csv", "backandforth_out.csv"),
+    ("test/tests/tensor_compute/backandforth.i", ["Domain/dim=3", "Domain/nx=9", "Domain/ny=13", "Domain/nz=11"], "test/tests/tensor_compute/gold/backandforth_out.csv", "backandforth_out.csv"),
 ]
 
 

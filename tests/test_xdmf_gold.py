@@ -194,3 +194,30 @@ def test_oversized_nodal(tmp_path):
     attr = tree.getroot().find(".//Attribute[@Name='c']")
     assert attr.get("Center") == "Node"
     assert attr.find("DataItem").get("Dimensions") == "8 8"
+
+
+def test_xdmf_output_hdf5_parallel_jit(tmp_path):
+    """reference spec `xdmf_output_hdf5_parallel_jit`: the slab-parallel
+    run with enable_jit=true reproduces the same per-rank gold."""
+    from marlin_tpu import hit, parallel
+    from marlin_tpu.domain import ParallelMode
+    from marlin_tpu.executioner import run_deck
+
+    mesh = parallel.make_mesh(ParallelMode.FFT_SLAB, jax.devices()[:2])
+    root = hit.load(
+        os.path.join(REF, "test/tests/cahnhilliard/cahnhilliard.i"),
+        [
+            "TensorOutputs/active=xdmf2",
+            "Domain/parallel_mode=FFT_SLAB",
+            "TensorComputes/Solve/cahn_hilliard/enable_jit=true",
+        ],
+    )
+    run_deck(
+        root, file_base="cahnhilliard_out", output_dir=str(tmp_path),
+        deck_stem="cahnhilliard", mesh=mesh,
+    )
+    h5_diff(
+        "test/tests/cahnhilliard/gold/cahnhilliard.rank0001.h5",
+        os.path.join(str(tmp_path), "cahnhilliard.rank0001.h5"),
+        abs_tol=1e-13,
+    )
