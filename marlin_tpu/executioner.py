@@ -432,5 +432,14 @@ def run_deck(
         transient.tensor_outputs.extend(build_tensor_outputs(
             tout, problem, output_dir=output_dir, default_file_base=deck_stem
         ))
+    # unknown-parameter audit (MOOSE validParams analog): after init_state
+    # every object (incl. buffer specs, read during IC setup) has consumed
+    # its keys, so any never-read key is a typo or an unsupported feature
+    from .params import check_unused
+
+    transient.init()
+    check_unused(
+        root, strict=problem.problem_params.get_bool("strict_params", False)
+    )
     transient.run()
     return transient

@@ -38,7 +38,16 @@ def main(argv=None):
     if deck is None:
         parser.error("no input deck given")
 
-    device = ns.compute_device or os.environ.get("MARLIN_TPU_DEVICE")
+    # --compute-device / MARLIN_TPU_DEVICE, with the reference's env var
+    # accepted as an alias (reference src/base/MarlinApp.C:28-41); torch
+    # device names map onto JAX platforms
+    device = (
+        ns.compute_device
+        or os.environ.get("MARLIN_TPU_DEVICE")
+        or os.environ.get("MARLIN_TORCH_DEVICE")
+    )
+    if device:
+        device = {"cuda": "gpu", "mps": "cpu"}.get(device, device)
     import jax
 
     if device:

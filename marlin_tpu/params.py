@@ -30,6 +30,7 @@ class Params:
 
     def _raw(self, key: str) -> Optional[str]:
         if self.node is not None and key in self.node.params:
+            mark_accessed(self.node, key)
             return self.node.params[key]
         if key in self.global_params:
             return self.global_params[key]
@@ -126,3 +127,71 @@ class Params:
 
     def blocks(self) -> List[HitNode]:
         return self.node.blocks() if self.node is not None else []
+
+
+# ---------------------------------------------------------------------------
+# unused-parameter detection (MOOSE rejects unknown parameters at parse time
+# via validParams; here every Params access is recorded on the node and the
+# deck is audited after the problem is fully built — a typo'd or unsupported
+# key is reported instead of silently ignored)
+# ---------------------------------------------------------------------------
+
+#: parameters that are legal in reference decks but deliberately inert here
+#: (device assignment collapses to JAX's platform; jit is always on; MOOSE
+#: harness-only knobs)
+INERT_PARAMS = {
+    "device_names", "device_weights", "gpu_aware_mpi", "debug",
+    "enable_jit", "mesh_mode", "parallel_partitioner",
+    "torch_num_threads", "allow_renumbering",
+    # output cadence control — outputs run INITIAL + TIMESTEP_END, the only
+    # cadences the reference decks use
+    "execute_on",
+    # REAL_SPACE halos are periodic-only (README divergences)
+    "periodic_directions",
+}
+
+#: structural keys consumed by the HIT layer itself
+_STRUCTURAL = {"active", "inactive", "type"}
+
+
+def mark_accessed(node: HitNode, key: str):
+    if not hasattr(node, "_accessed"):
+        node._accessed = set()
+    node._accessed.add(key)
+
+
+def find_unused(root: HitNode) -> List[str]:
+    """All `path/key` deck parameters that no object ever read."""
+    out: List[str] = []
+
+    def walk(node: HitNode, is_root: bool):
+        if node.name == "GlobalParams":
+            return  # fallback pool: unused entries are legal
+        if not is_root:  # root-level keys are ${...} brace variables
+            accessed = getattr(node, "_accessed", set())
+            for key in node.params:
+                if key in _STRUCTURAL or key in INERT_PARAMS:
+                    continue
+                if key not in accessed:
+                    out.append(f"{node.path()}/{key}")
+        # blocks() honors active/inactive: disabled blocks are never built,
+        # so their params are legitimately unread
+        for child in node.blocks():
+            walk(child, False)
+
+    walk(root, True)
+    return out
+
+
+def check_unused(root: HitNode, strict: bool = False):
+    """Warn (or raise, strict mode) about parameters nothing consumed —
+    the unknown-parameter rejection MOOSE performs via validParams."""
+    unused = find_unused(root)
+    if not unused:
+        return
+    msg = "Unused (unknown?) input parameters: " + ", ".join(sorted(unused))
+    if strict:
+        raise ParamError(msg)
+    import sys
+
+    sys.stderr.write(f"[marlin_tpu] WARNING: {msg}\n")

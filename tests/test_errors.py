@@ -49,3 +49,69 @@ def test_declared_constants_ok():
     )
     p = TensorProblem(root)
     p.init_state()
+
+
+class TestUnusedParams:
+    """Unknown-parameter rejection (MOOSE validParams analog): every deck
+    key must be consumed by some object; typos warn by default and raise
+    under [Problem] strict_params = true."""
+
+    DECK = """
+[Domain]
+  dim = 1
+  nx = 8
+  {domain_extra}
+[]
+[TensorComputes]
+  [Initialize]
+    [u]
+      type = ConstantTensor
+      buffer = u
+      real = 1
+      {ic_extra}
+    []
+  []
+[]
+[Problem]
+  type = TensorProblem
+  {problem_extra}
+[]
+[Executioner]
+  type = Transient
+  num_steps = 1
+[]
+"""
+
+    def _run(self, **kw):
+        from marlin_tpu import hit
+        from marlin_tpu.executioner import run_deck
+
+        args = {"domain_extra": "", "ic_extra": "", "problem_extra": ""}
+        args.update(kw)
+        return run_deck(hit.parse(self.DECK.format(**args)), output_dir="/tmp")
+
+    def test_typo_raises_in_strict_mode(self):
+        from marlin_tpu.params import ParamError
+
+        with pytest.raises(ParamError, match="reel"):
+            self._run(
+                ic_extra="reel = 2",
+                problem_extra="strict_params = true",
+            )
+
+    def test_typo_warns_by_default(self, capsys):
+        self._run(ic_extra="reel = 2")
+        err = capsys.readouterr().err
+        assert "Unused" in err and "reel" in err
+
+    def test_clean_deck_is_silent(self, capsys):
+        self._run(problem_extra="strict_params = true")
+        assert "Unused" not in capsys.readouterr().err
+
+    def test_inert_reference_params_accepted(self):
+        # device_names etc. are legal reference-deck knobs that collapse to
+        # JAX platform selection — never reported
+        self._run(
+            domain_extra="device_names = cuda",
+            problem_extra="strict_params = true",
+        )
