@@ -148,6 +148,9 @@ INERT_PARAMS = {
     "execute_on",
     # REAL_SPACE halos are periodic-only (README divergences)
     "periodic_directions",
+    # declared by the reference but its wiring is commented out
+    # (reference src/tensor_buffers/TensorBufferBase.C:53)
+    "map_from_aux_variable",
 }
 
 #: structural keys consumed by the HIT layer itself
