@@ -84,7 +84,10 @@ class AuxSystem:
             for b in ak.blocks():
                 p = Params(b, problem.global_params)
                 t = p.get_str("type", required=True)
-                if t != "ProjectTensorAux":
+                if t not in ("ProjectTensorAux", "ProjectVectorTensorAux"):
+                    # ProjectVectorTensorAux: component-wise projection of a
+                    # vector buffer (reference ProjectVectorTensorAux.C —
+                    # upstream marks it "under development and not tested")
                     raise AuxError(f"Unknown AuxKernel type '{t}'")
                 var = p.get_str("variable", required=True)
                 buf = p.get_str("buffer", required=True)
@@ -123,6 +126,16 @@ class AuxSystem:
             shape = tuple(x + 1 for x in n) if self.is_nodal(var) else n
             return np.zeros(shape)
         arr = np.asarray(state["buffers"][buf])
+        if arr.ndim == dom.dim + 1 and var in self.kernel_execute_on:
+            # ProjectVectorTensorAux: component-wise sampling of a vector
+            # buffer (periodic wrap applies to the spatial axes only)
+            if not self.is_nodal(var):
+                return arr
+            for d in range(dom.dim):
+                idx = [slice(None)] * arr.ndim
+                idx[d] = np.arange(n[d] + 1) % n[d]
+                arr = arr[tuple(idx)]
+            return arr
         if arr.ndim != dom.dim:
             raise AuxError(
                 f"Buffer '{buf}' is not a scalar field; cannot map to aux "

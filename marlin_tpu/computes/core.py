@@ -130,7 +130,10 @@ class ConstantTensor(TensorCompute):
 
     def apply(self, state, ctx):
         dom = self.domain
-        return {self.out: jnp.full(dom.shape, self.real, dtype=dom.dtype)}
+        # honor the declared buffer shape (value_dimensions / NEML2 types):
+        # the reference fills the buffer's own allocation
+        shape = self.problem.declared_buffer_shape(self.out) or dom.shape
+        return {self.out: jnp.full(shape, self.real, dtype=dom.dtype)}
 
 
 @computes.register("ConstantReciprocalTensor")

@@ -233,11 +233,18 @@ class ExodusOutput:
 
     def output(self, problem, state, time, initial=False, pp_values=None):
         aux = problem.aux
+        dim = problem.domain.dim
         self.times.append(float(time))
         for var in aux.variables:
             vals = aux.values(state, var)
             target = self.nodal if aux.is_nodal(var) else self.elem
-            target.setdefault(var, []).append(vals)
+            if vals.ndim == dim + 1:  # vector variable -> per-component
+                comps = "xyz" if vals.shape[-1] <= 3 else None
+                for i in range(vals.shape[-1]):
+                    suffix = comps[i] if comps else str(i)
+                    target.setdefault(f"{var}_{suffix}", []).append(vals[..., i])
+            else:
+                target.setdefault(var, []).append(vals)
         for name, val in (pp_values or {}).items():
             self.glo.setdefault(name, []).append(float(val))
 

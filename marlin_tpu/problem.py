@@ -444,6 +444,24 @@ class TensorProblem:
     def local_tensor_shape(self, extra_dims=()):
         return self.domain.shape + tuple(extra_dims)
 
+    def declared_buffer_shape(self, name: str):
+        """Full declared shape of an explicitly declared buffer, or None
+        (implicit buffers take the compute's natural output shape)."""
+        spec = self.buffer_specs.get(name)
+        if spec is None:
+            return None
+        btype = spec.get_str("type", "PlainTensorBuffer")
+        if btype == "LBMTensorBuffer" or spec.has("buffer_type"):
+            return self._lbm_buffer_shape(spec)
+        vdims = spec.get_int_vector("value_dimensions", [])
+        if btype == "VectorTensor":
+            vdims = vdims or [3]
+        elif btype == "SR2Tensor":
+            vdims = vdims or [6]
+        if spec.get_bool("reciprocal", False):
+            return self.domain.reciprocal_value_shape(vdims)
+        return self.domain.value_shape(vdims)
+
     def _lbm_buffer_shape(self, spec: Params):
         dom = self.domain
         btype = spec.get_str("buffer_type", required=True)

@@ -154,3 +154,69 @@ def test_neml2_buffer_types(tmp_path):
     state = p.init_state()
     assert state["buffers"]["v"].shape == (4, 4, 3)
     assert state["buffers"]["s"].shape == (4, 4, 6)
+
+
+def test_project_vector_tensor_aux(tmp_path):
+    """ProjectVectorTensorAux: component-wise projection of a vector buffer
+    onto an aux variable (reference ProjectVectorTensorAux.C — upstream
+    marks it untested; here it round-trips through Exodus components)."""
+    from marlin_tpu import hit
+    from marlin_tpu.executioner import run_deck
+    from marlin_tpu.exodus import read_exodus
+
+    (tmp_path / "deck.i").write_text(
+        """
+[Domain]
+  dim = 2
+  nx = 4
+  ny = 4
+  xmax = 4
+  ymax = 4
+[]
+[TensorBuffers]
+  [v]
+    type = VectorTensor
+  []
+[]
+[TensorComputes]
+  [Initialize]
+    [v]
+      type = ConstantTensor
+      buffer = v
+      real = 2
+    []
+  []
+[]
+[AuxVariables]
+  [v]
+    family = MONOMIAL
+    order = CONSTANT
+  []
+[]
+[AuxKernels]
+  [v]
+    type = ProjectVectorTensorAux
+    buffer = v
+    variable = v
+  []
+[]
+[Problem]
+  type = TensorProblem
+[]
+[Executioner]
+  type = Transient
+  num_steps = 1
+[]
+[Outputs]
+  exodus = true
+[]
+"""
+    )
+    run_deck(
+        hit.load(str(tmp_path / "deck.i")), file_base="vec_out",
+        output_dir=str(tmp_path), deck_stem="deck",
+    )
+    e = read_exodus(tmp_path / "vec_out.e")
+    assert set(e["elem"]) == {"v_x", "v_y", "v_z"}
+    for comp in e["elem"].values():
+        np.testing.assert_allclose(comp, 2.0)
