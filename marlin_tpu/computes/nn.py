@@ -43,6 +43,14 @@ def resolve_data_file(path: str, deck_dir=None) -> str:
         candidate = os.path.join(base, path)
         if os.path.exists(candidate):
             return candidate
+    # MOOSE's installed-data search: a bare filename resolves anywhere
+    # under the registered data roots (used by examples/libtorch_kks)
+    import glob as _glob
+
+    for root in DATA_ROOTS:
+        hits = _glob.glob(os.path.join(root, "**", os.path.basename(path)), recursive=True)
+        if hits:
+            return hits[0]
     raise ComputeError(f"Data file '{path}' not found")
 
 

@@ -54,6 +54,13 @@ def main(argv=None):
         jax.config.update("jax_platforms", device)
     if ns.x64 or (device == "cpu"):
         jax.config.update("jax_enable_x64", True)
+    # persistent compilation cache (the reference's trace-once story maps
+    # onto XLA's compile cache; opt-in because the axon remote-TPU backend
+    # cannot deserialize cached executables)
+    cache_dir = os.environ.get("MARLIN_TPU_COMPILE_CACHE")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from . import hit
     from .executioner import run_deck

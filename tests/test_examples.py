@@ -120,3 +120,47 @@ def test_lbm_examples(deck, cli):
     tr, _ = run_ref_deck(deck, cli + ["Executioner/num_steps=2", "Problem/substeps=5"])
     assert tr.step_count >= 1
     assert _finite(tr.pp_values)
+
+
+def test_libtorch_kks_example():
+    """examples/libtorch_kks/KKS_libtorch.i: the TorchScript-surrogate KKS
+    example (bare model filename resolved through the data roots)."""
+    tr, _ = run_ref_deck("examples/libtorch_kks/KKS_libtorch.i", ["Executioner/num_steps=2"])
+    assert tr.step_count == 2
+    assert _finite(tr.pp_values)
+
+
+def test_deck_census():
+    """EVERY reference deck must build into a TensorProblem (full deck-
+    surface compatibility).  Exempt: impact/ (plain MOOSE-FEM, out of scope
+    per SURVEY §7), !include fragments, NEML2 model files, and decks that
+    require cli-supplied parameters by design."""
+    import glob
+
+    from marlin_tpu import hit
+    from marlin_tpu.problem import TensorProblem
+
+    skip = (
+        "examples/impact",          # MOOSE-FEM solid mechanics, no tensor path
+        "neml2_input.i",            # NEML2 model file, not a deck
+        "cahnhilliard_fem.i",       # plain MOOSE-FEM variant of the example
+        "Rayleigh-Benard/boundary.i",  # !include fragments of
+        "Rayleigh-Benard/buffers.i",   # rayleigh-benard.i (built below as
+        "Rayleigh-Benard/solve.i",     # part of the whole deck)
+        "cahnhilliard_explicit_smooth.i",  # requires cli method= (spec does)
+        "tensor_compute/backandforth.i",   # requires cli dim= (spec does)
+    )
+    decks = sorted(glob.glob(os.path.join(REF, "**", "*.i"), recursive=True))
+    failures = []
+    for d in decks:
+        if any(s in d for s in skip):
+            continue
+        try:
+            root = hit.load(d, ["ss=2", "cs=0", "order=1",
+                                "solver=AdamsBashforthMoulton",
+                                "corrector_steps=0", "predictor_order=1",
+                                "dt=0.1"])
+            TensorProblem(root, deck_dir=os.path.dirname(d))
+        except Exception as e:
+            failures.append(f"{d.replace(REF + '/', '')}: {type(e).__name__}: {e}")
+    assert not failures, "unbuildable decks:\n" + "\n".join(failures)
