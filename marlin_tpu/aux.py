@@ -67,6 +67,21 @@ class AuxSystem:
             for b in av.blocks():
                 self.variables[b.name] = AuxVariable(b.name, Params(b, problem.global_params))
 
+        # buffer names that can exist at runtime: declared + any compute
+        # output (implicit buffers are auto-created on first write)
+        known_buffers = set(problem.buffer_specs)
+        for group in (
+            problem.ic_computes.members
+            + problem.solve_computes
+            + problem.pp_computes.members
+            + problem.bc_computes
+        ):
+            stack = [group]
+            while stack:
+                m = stack.pop()
+                known_buffers.update(getattr(m, "outputs", []))
+                stack.extend(getattr(m, "members", []))
+
         # fast path: map_to_aux_variable on buffers
         for bname, spec in problem.buffer_specs.items():
             var = spec.get_str("map_to_aux_variable", None)
@@ -94,6 +109,11 @@ class AuxSystem:
                 if var not in self.variables:
                     raise AuxError(
                         f"AuxKernel '{b.name}': unknown variable '{var}'"
+                    )
+                if buf not in known_buffers:
+                    raise AuxError(
+                        f"AuxKernel '{b.name}': unknown buffer '{buf}' "
+                        f"(not declared and not produced by any compute)"
                     )
                 self._map.setdefault(var, buf)
                 self.kernel_execute_on[var] = set(

@@ -136,6 +136,20 @@ class ConstantTensor(TensorCompute):
         return {self.out: jnp.full(shape, self.real, dtype=dom.dtype)}
 
 
+def _trace_state_clean() -> bool:
+    """True when no jax trace is active.  Prefers the internal helper but
+    survives jax._src reshuffles with a public-API probe (ops on constants
+    are staged to tracers inside a trace)."""
+    try:
+        from jax._src.core import trace_state_clean
+
+        return trace_state_clean()
+    except Exception:
+        import jax
+
+        return not isinstance(jnp.zeros(()), jax.core.Tracer)
+
+
 @computes.register("ConstantReciprocalTensor")
 class ConstantReciprocalTensor(TensorCompute):
     """Constant reciprocal-space tensor (complex)
@@ -148,11 +162,10 @@ class ConstantReciprocalTensor(TensorCompute):
 
     def apply(self, state, ctx):
         import jax
-        from jax._src.core import trace_state_clean
 
         dom = self.domain
         value = complex(self.real, self.imaginary)
-        if not trace_state_clean():
+        if not _trace_state_clean():
             # under trace: a scalar broadcast in the program (never a full
             # materialized constant — at 512³ that would be a ~1 GB HLO)
             return {self.out: jnp.full(dom.reciprocal_shape, value, dtype=dom.cdtype)}

@@ -71,11 +71,20 @@ class IterationAdaptiveDT(TimeStepper):
         allow_growth = not self.cutback_occurred
         self.cutback_occurred = False
         dt = dt_old
-        if solver_info is not None and self.max_iterations is not None:
+        iteration_based = (
+            self.min_iterations is not None or self.max_iterations is not None
+        )
+        if solver_info is not None and iteration_based:
+            # reference computeAdaptiveDT: cut when its > max_iterations,
+            # grow ONLY when its < min_iterations, else hold
             its = solver_info.get("iterations", 0)
-            if its > self.max_iterations:
+            if self.max_iterations is not None and its > self.max_iterations:
                 dt = dt_old * self.cutback_factor
-            elif its < (self.min_iterations or 0) and allow_growth:
+            elif (
+                allow_growth
+                and self.min_iterations is not None
+                and its < self.min_iterations
+            ):
                 dt = dt_old * self.growth_factor
         elif allow_growth:
             dt = dt_old * self.growth_factor
@@ -190,7 +199,10 @@ class Transient:
         os.makedirs(output_dir or ".", exist_ok=True)
         self.csv = None
         op = Params(outputs_node, gp)
-        self.file_base = file_base or op.get_str("file_base", "out")
+        # always read the deck's file_base through Params (even when the
+        # caller supplies one) so the unused-parameter audit sees the access
+        deck_file_base = op.get_str("file_base", None)
+        self.file_base = file_base or deck_file_base or "out"
         csv_enabled = op.get_bool("csv", False)
         if outputs_node is not None:
             # MOOSE also allows `[Outputs] [name] type = CSV []` sub-blocks

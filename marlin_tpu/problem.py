@@ -576,23 +576,12 @@ class TensorProblem:
         # load (reference LBMTensorBuffer.C:96-233)
         for name, spec in self.buffer_specs.items():
             btype = spec.get_str("type", "PlainTensorBuffer")
-            if btype == "LBMTensorBuffer":
+            if btype == "LBMTensorBuffer" or (self.is_lbm and spec.has("buffer_type")):
                 buffers[name] = self._init_lbm_buffer(spec)
                 continue
-            vdims = spec.get_int_vector("value_dimensions", [])
-            # NEML2 primitive-typed buffers (reference NEML2TensorBuffer.C:
-            # VectorTensor = neml2::Vec (3,), SR2Tensor = symmetric rank-2
-            # in Mandel notation (6,))
-            if btype == "VectorTensor":
-                vdims = vdims or [3]
-            elif btype == "SR2Tensor":
-                vdims = vdims or [6]
-            if spec.get_bool("reciprocal", False):
-                buffers[name] = host_zeros(
-                    dom.reciprocal_value_shape(vdims), dom.cdtype
-                )
-            else:
-                buffers[name] = host_zeros(dom.value_shape(vdims), dom.dtype)
+            shape = self.declared_buffer_shape(name)
+            dtype = dom.cdtype if spec.get_bool("reciprocal", False) else dom.dtype
+            buffers[name] = host_zeros(shape, dtype)
 
         state = {
             "buffers": buffers,
@@ -651,7 +640,9 @@ class TensorProblem:
         # here the canonical shape must hold before entering the jit loop
         if self.is_lbm:
             for name, spec in self.buffer_specs.items():
-                if spec.get_str("type", "") != "LBMTensorBuffer":
+                if spec.get_str("type", "") != "LBMTensorBuffer" and not spec.has(
+                    "buffer_type"
+                ):
                     continue
                 want = self._lbm_buffer_shape(spec)
                 cur = state["buffers"].get(name)

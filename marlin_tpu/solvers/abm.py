@@ -41,6 +41,8 @@ ALPHA = [
 
 @solvers.register("AdamsBashforthMoulton", "SemiImplicitSolver")
 class AdamsBashforthMoulton(SplitOperatorBase):
+    supports_carry_reciprocal = True  # substep writes the updated ū back
+
     def __init__(self, name, params: Params, problem):
         super().__init__(name, params, problem)
         porder = params.get_int("predictor_order", 2)

@@ -218,6 +218,15 @@ class SplitOperatorBase(TensorSolver):
         # Cahn-Hilliard substep (≈1.3x at 512³).  Off by default: bit-exact
         # gold parity requires the reference's recompute.
         self.carry_reciprocal = params.get_bool("carry_reciprocal", False)
+        if self.carry_reciprocal and not getattr(
+            self, "supports_carry_reciprocal", False
+        ):
+            params.error(
+                "carry_reciprocal",
+                f"not supported by {type(self).__name__}: the solver must "
+                "write the updated ū back each substep (currently only "
+                "AdamsBashforthMoulton does)",
+            )
 
     def prune_reciprocal_ffts(self):
         """Remove the ForwardFFT members producing each variable's ū

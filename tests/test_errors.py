@@ -115,3 +115,78 @@ class TestUnusedParams:
             domain_extra="device_names = cuda",
             problem_extra="strict_params = true",
         )
+
+
+def test_aux_kernel_unknown_buffer():
+    """A typo'd AuxKernel buffer fails at build with a named error, not a
+    KeyError at output time (code-review r2 finding)."""
+    from marlin_tpu.aux import AuxError
+
+    deck = """
+[Domain]
+  dim = 1
+  nx = 8
+[]
+[TensorComputes]
+  [Initialize]
+    [c]
+      type = ConstantTensor
+      buffer = c
+      real = 1
+    []
+  []
+[]
+[AuxVariables]
+  [c]
+  []
+[]
+[AuxKernels]
+  [c]
+    type = ProjectTensorAux
+    buffer = cc
+    variable = c
+  []
+[]
+[Problem]
+  type = TensorProblem
+[]
+"""
+    with pytest.raises(AuxError, match="unknown buffer 'cc'"):
+        TensorProblem(hit.parse(deck))
+
+
+def test_file_base_not_reported_unused(capsys):
+    """Outputs/file_base must never trip the unused-parameter audit
+    (code-review r2 finding)."""
+    from marlin_tpu import hit as _hit
+    from marlin_tpu.executioner import run_deck
+
+    deck = """
+[Domain]
+  dim = 1
+  nx = 8
+[]
+[TensorComputes]
+  [Initialize]
+    [c]
+      type = ConstantTensor
+      buffer = c
+      real = 1
+    []
+  []
+[]
+[Problem]
+  type = TensorProblem
+  strict_params = true
+[]
+[Executioner]
+  type = Transient
+  num_steps = 1
+[]
+[Outputs]
+  file_base = custom_base
+  csv = true
+[]
+"""
+    run_deck(_hit.parse(deck), file_base="override", output_dir="/tmp")
+    assert "Unused" not in capsys.readouterr().err

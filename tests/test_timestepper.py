@@ -236,3 +236,29 @@ def test_perf_graph(capsys):
     assert "Performance Graph:" in out
     assert "solver::step (first; incl. compile)" in out
     assert "problem::init_state" in out
+
+
+def test_min_iterations_only_holds_dt():
+    """With only min_iterations set, dt must NOT grow when iterations >=
+    min (reference computeAdaptiveDT grows only when its < min_iterations;
+    code-review r2 finding)."""
+    from marlin_tpu.executioner import IterationAdaptiveDT
+    from marlin_tpu.params import Params
+
+    node = hit.parse("[TimeStepper]\n  dt = 1\n  min_iterations = 5\n  growth_factor = 2\n[]").children["TimeStepper"]
+    ts = IterationAdaptiveDT(Params(node))
+    # 8 iterations >= min 5 -> hold
+    assert ts.dt(2, 1.0, {"iterations": 8, "converged": True}) == 1.0
+    # 3 iterations < min 5 -> grow
+    assert ts.dt(3, 1.0, {"iterations": 3, "converged": True}) == 2.0
+
+
+def test_carry_reciprocal_rejected_for_non_abm():
+    """carry_reciprocal is ABM-only (other solvers never write ū back;
+    code-review r2 finding)."""
+    from marlin_tpu.params import ParamError
+
+    deck = _SECANT_DECK.format(dt=1e-3, cutback=0.5, max_its=5, num_steps=1)
+    deck = deck.replace("substeps = 1", "substeps = 1\n  carry_reciprocal = true")
+    with pytest.raises(ParamError, match="carry_reciprocal"):
+        TensorProblem(hit.parse(deck))
