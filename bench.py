@@ -371,6 +371,46 @@ def bench_lbm(n=128, substeps=20, reps=3):
     }
 
 
+def bench_degeus(steps=10, reps=2):
+    """deGeus FFT-micromechanics RVE wall-clock (BASELINE.json metric #2):
+    the shipped 32^3 hyperelastic RVE (reference
+    examples/degeus_mechanics/mech.i — Newton + matrix-free CG per substep,
+    10 substeps/step, shear ramp), timed over `steps` load steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from marlin_tpu import hit
+    from marlin_tpu.problem import TensorProblem
+
+    root = hit.load("/root/reference/examples/degeus_mechanics/mech.i")
+    problem = TensorProblem(root)
+    state = problem.init_state()
+    step = jax.jit(problem._step_impl)
+    dt = jnp.asarray(0.01, problem.domain.dtype)
+
+    t0 = time.time()
+    out = step(state, 0.0, dt, dt, jnp.asarray(True))
+    _sync(out["buffers"]["F"])
+    first = time.time() - t0
+
+    def run(k):
+        s, t = out, dt
+        for i in range(k):
+            s = step(s, (i + 1) * 0.01, dt, dt, jnp.asarray(False))
+        _sync(s["buffers"]["F"])
+
+    t0 = time.time()
+    run(steps)
+    wall = time.time() - t0
+    return {
+        "rve": "32^3 hyperelastic (mech.i)",
+        "steps": steps,
+        "wall_s": round(wall, 3),
+        "step_ms": round(wall / steps * 1e3, 1),
+        "compile_s": round(first, 1),
+    }
+
+
 def _run_child(name):
     if name == "1a":
         print(json.dumps(bench_1a()))
@@ -378,6 +418,8 @@ def _run_child(name):
         print(json.dumps(bench_ch3d(int(name.split("_")[1]))))
     elif name == "lbm":
         print(json.dumps(bench_lbm()))
+    elif name == "degeus":
+        print(json.dumps(bench_degeus()))
     else:
         raise SystemExit(f"unknown benchmark {name}")
 
@@ -422,6 +464,7 @@ def main():
         sub = _spawn(f"ch3d_{n}", attempts=2)
         result[f"ch3d_{n}"] = sub
     result["lbm_channel3d_128"] = _spawn("lbm", attempts=2)
+    result["degeus_rve_32"] = _spawn("degeus", attempts=2)
 
     print(json.dumps(result))
 
