@@ -309,8 +309,9 @@ def bench_ch3d(n, substeps=10, reps=3):
         out2 = step2(out2, 0.0, dt, dt, jnp.asarray(False))
     _sync(out2["buffers"]["c"])
     carry_substep_s = max((time.time() - t0 - rt) / reps, 1e-9) / substeps
+    del out, out2  # free HBM before the PALLAS config (512^3 is tight)
 
-    return {
+    out_d = {
         "cells": n ** 3,
         "substep_ms": round(substep_s * 1e3, 3),
         "cell_updates_per_s": round(n ** 3 / substep_s),
@@ -321,6 +322,28 @@ def bench_ch3d(n, substeps=10, reps=3):
         "carry_cell_updates_per_s": round(n ** 3 / carry_substep_s),
         "dtype": jnp.dtype(problem.domain.dtype).name,
     }
+
+    # fft_backend = PALLAS (unordered Pallas FFT kernels, pallas_fft.py):
+    # wins at 512-extents where XLA's FFT is far off the memory ceiling;
+    # at 256 XLA's half-spectrum rfftn is already efficient, so skip
+    if n == 512:
+        root3 = hit.parse(
+            _CH3D_DECK.format(n=n, substeps=substeps)
+            .replace("substeps =", "carry_reciprocal = true\n  substeps =")
+            .replace("[Domain]", "[Domain]\n  fft_backend = PALLAS")
+        )
+        problem3 = TensorProblem(root3)
+        step3 = jax.jit(problem3._step_impl, donate_argnums=(0,))
+        out3 = step3(problem3.init_state(), 0.0, dt, dt, jnp.asarray(False))
+        _sync(out3["buffers"]["c"])
+        t0 = time.time()
+        for _ in range(reps):
+            out3 = step3(out3, 0.0, dt, dt, jnp.asarray(False))
+        _sync(out3["buffers"]["c"])
+        pallas_substep_s = max((time.time() - t0 - rt) / reps, 1e-9) / substeps
+        out_d["pallas_substep_ms"] = round(pallas_substep_s * 1e3, 3)
+        out_d["pallas_cell_updates_per_s"] = round(n ** 3 / pallas_substep_s)
+    return out_d
 
 
 def bench_lbm(n=128, substeps=20, reps=3):

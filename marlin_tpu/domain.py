@@ -46,6 +46,11 @@ class Precision(Enum):
     DOUBLE = "DOUBLE"
 
 
+class FFTBackend(Enum):
+    DEFAULT = "DEFAULT"  # jnp.fft (XLA)
+    PALLAS = "PALLAS"    # unordered Pallas kernels (marlin_tpu.pallas_fft)
+
+
 def _default_float_dtype(precision: Precision):
     """Mirror the reference's device-default precision rule
     (reference: src/utils/MarlinUtils.C:38-42 — double where supported)."""
@@ -86,6 +91,7 @@ class Domain:
         floating_precision: Precision = Precision.DEVICE_DEFAULT,
         mesh: Optional[jax.sharding.Mesh] = None,
         periodic: Tuple[bool, bool, bool] = (True, True, True),
+        fft_backend: FFTBackend = FFTBackend.DEFAULT,
     ):
         if dim not in (1, 2, 3):
             raise ValueError(f"Unsupported dimension {dim}")
@@ -96,6 +102,21 @@ class Domain:
         self.parallel_mode = parallel_mode
         self.periodic = periodic
         self.mesh = mesh
+        self.fft_backend = fft_backend
+        if fft_backend == FFTBackend.PALLAS:
+            from . import pallas_fft
+
+            if parallel_mode != ParallelMode.NONE:
+                raise ValueError(
+                    "[Domain] fft_backend = PALLAS supports serial mode only "
+                    "(distributed FFTs use the shard_map slab/pencil paths)"
+                )
+            bad = [x for x in self.n_global if not pallas_fft.supported(x)]
+            if bad:
+                raise ValueError(
+                    f"[Domain] fft_backend = PALLAS requires every grid "
+                    f"extent in {list(pallas_fft._SUPPORTED)}; got {bad}"
+                )
 
         for d in range(dim):
             if self.maxs[d] <= self.mins[d]:
@@ -166,6 +187,13 @@ class Domain:
             self.axes.append(self._np_align_new(ax, d))
             if self.parallel_mode == ParallelMode.REAL_SPACE:
                 freq = np.zeros((0,))
+            elif self.fft_backend == FFTBackend.PALLAS:
+                # full complex spectrum in the kernels' permuted (t-major)
+                # storage order — every pointwise k-space operator built from
+                # these axes is automatically consistent (pallas_fft.py)
+                from .pallas_fft import permuted_freqs
+
+                freq = permuted_freqs(n, d=h)
             elif self._use_rfft(d):
                 freq = np.fft.rfftfreq(n, d=h)
             else:
@@ -277,6 +305,19 @@ class Domain:
         if self.parallel_mode == ParallelMode.REAL_SPACE:
             raise RuntimeError("FFT is not available in REAL_SPACE parallel mode.")
         spatial = tuple(range(self.dim))
+        if self.fft_backend == FFTBackend.PALLAS:
+            from . import pallas_fft
+
+            if t.ndim != self.dim:
+                raise RuntimeError(
+                    "fft_backend = PALLAS supports scalar fields only "
+                    f"(got a rank-{t.ndim} tensor on a {self.dim}-D grid)"
+                )
+            if jnp.iscomplexobj(t):
+                u = (pallas_fft.fftn_unordered(jnp.real(t).astype(jnp.float32))
+                     + 1j * pallas_fft.fftn_unordered(jnp.imag(t).astype(jnp.float32)))
+                return u.astype(self.cdtype)
+            return pallas_fft.fftn_unordered(t.astype(jnp.float32)).astype(self.cdtype)
         if self.parallel_mode == ParallelMode.NONE:
             if jnp.iscomplexobj(t):
                 return jnp.fft.fftn(t, axes=spatial).astype(self.cdtype)
@@ -294,6 +335,10 @@ class Domain:
         if self.parallel_mode == ParallelMode.REAL_SPACE:
             raise RuntimeError("IFFT is not available in REAL_SPACE parallel mode.")
         spatial = tuple(range(self.dim))
+        if self.fft_backend == FFTBackend.PALLAS:
+            from . import pallas_fft
+
+            return pallas_fft.ifftn_unordered(t, self.shape).astype(self.dtype)
         if self.parallel_mode == ParallelMode.NONE:
             return jnp.fft.irfftn(t, s=self.shape, axes=spatial).astype(self.dtype)
         if self.mesh is None:

@@ -100,9 +100,13 @@ def build_domain(node: Optional[HitNode], mesh=None, mesh_node: Optional[HitNode
         "parallel_mode", [m.value for m in ParallelMode], "NONE"))
     precision = Precision(p.get_enum(
         "floating_precision", [x.value for x in Precision], "DEVICE_DEFAULT"))
+    from .domain import FFTBackend
+
+    backend = FFTBackend(p.get_enum(
+        "fft_backend", [b.value for b in FFTBackend], "DEFAULT"))
     return Domain(
         dim=dim, n=n, mins=mins, maxs=maxs, parallel_mode=mode,
-        floating_precision=precision, mesh=mesh,
+        floating_precision=precision, mesh=mesh, fft_backend=backend,
     )
 
 

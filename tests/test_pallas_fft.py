@@ -1,0 +1,169 @@
+"""Pallas unordered-FFT fast path (marlin_tpu/pallas_fft.py + the
+`[Domain] fft_backend = PALLAS` knob).  On CPU the kernels run in Pallas
+interpret mode; the TPU perf numbers live in PERF.md (2.2x over XLA's
+rfftn/irfftn pair at 512³)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import marlin_tpu.pallas_fft as pf
+from marlin_tpu import hit
+from marlin_tpu.problem import TensorProblem
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    old = pf._INTERPRET
+    pf._INTERPRET = True
+    yield
+    pf._INTERPRET = old
+
+
+@pytest.mark.parametrize("n", [128, 256, 512])
+def test_lanes_roundtrip_and_order(n):
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, n).astype(np.float32)
+    rr, ri = jax.jit(lambda a: pf.fft_lanes(a, None, n))(jnp.asarray(x))
+    got = np.asarray(rr) + 1j * np.asarray(ri)
+    ref = np.fft.fft(x, axis=1)[:, pf.true_k_order(n)]
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+    back = jax.jit(lambda a, b: pf.ifft_lanes(a, b, n))(rr, ri)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-4)
+
+
+@pytest.mark.parametrize("n", [128, 256])
+def test_sublanes_roundtrip_and_order(n):
+    rng = np.random.RandomState(1)
+    x = rng.randn(n, 128).astype(np.float32)
+    rr, ri = jax.jit(lambda a: pf.fft_sublanes(a, None, n))(jnp.asarray(x))
+    got = np.asarray(rr) + 1j * np.asarray(ri)
+    ref = np.fft.fft(x, axis=0)[pf.true_k_order(n), :]
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+    br, bi = jax.jit(lambda a, b: pf.ifft_sublanes(a, b, n))(rr, ri)
+    np.testing.assert_allclose(np.asarray(br), x, atol=1e-4)
+
+
+def test_2d_matches_fftn_under_permutation():
+    rng = np.random.RandomState(2)
+    x = rng.randn(128, 256).astype(np.float32)
+    u = jax.jit(pf.fftn_unordered)(jnp.asarray(x))
+    ref = np.fft.fftn(x)
+    perm = np.ix_(pf.true_k_order(128), pf.true_k_order(256))
+    assert np.abs(np.asarray(u) - ref[perm]).max() / np.abs(ref).max() < 1e-5
+    back = jax.jit(lambda v: pf.ifftn_unordered(v, (128, 256)))(u)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-4)
+
+
+def test_permuted_freqs_consistency():
+    """k-axis arrays built with permuted_freqs line up with the spectrum
+    storage order: differentiating sin(x) via the unordered transform."""
+    n = 128
+    L = 2 * np.pi
+    h = L / n
+    x = (np.arange(n) + 0.5) * h
+    f = np.sin(x).astype(np.float32)
+    field = np.tile(f, (128, 1)).T.astype(np.float32)  # vary along axis 0
+    u = jax.jit(pf.fftn_unordered)(jnp.asarray(field))
+    k0 = 2 * np.pi * pf.permuted_freqs(n, d=h)
+    du = jax.jit(lambda v: pf.ifftn_unordered(v * (1j * jnp.asarray(k0))[:, None], (n, 128)))(u)
+    np.testing.assert_allclose(np.asarray(du)[:, 0], np.cos(x), atol=1e-4)
+
+
+_CH = """
+[Domain]
+  dim = 2
+  nx = 128
+  ny = 128
+  xmax = 128
+  ymax = 128
+  {backend}
+[]
+[TensorComputes]
+  [Initialize]
+    [c]
+      type = ParsedCompute
+      buffer = c
+      extra_symbols = true
+      expression = 'c0+epsilon*(cos(0.196349540849362*x)*cos(0.14726215563702*y)+(cos(0.098174770424681*x)*cos(0.245436926061703*y))^2)'
+      constant_names = 'c0 epsilon'
+      constant_expressions = '0.5 0.01'
+    []
+    [Mbar]
+      type = ReciprocalLaplacianFactor
+      factor = 5
+      buffer = Mbar
+    []
+    [kappabarbar]
+      type = ReciprocalLaplacianSquareFactor
+      factor = -10
+      buffer = kappabarbar
+    []
+  []
+  [Solve]
+    [mu]
+      type = ParsedCompute
+      buffer = mu
+      expression = 'rho_s*(c-c_alpha)^2*(c_beta-c)^2'
+      constant_names = 'rho_s c_alpha c_beta'
+      constant_expressions = '5 0.3 0.7'
+      derivatives = c
+      inputs = c
+    []
+    [mubar]
+      type = ForwardFFT
+      buffer = mubar
+      input = mu
+    []
+    [Mbarmubar]
+      type = ParsedCompute
+      buffer = Mbarmubar
+      expression = 'Mbar*mubar'
+      inputs = 'Mbar mubar'
+    []
+    [cbar]
+      type = ForwardFFT
+      buffer = cbar
+      input = c
+    []
+  []
+[]
+[TensorSolver]
+  type = AdamsBashforthMoulton
+  buffer = c
+  reciprocal_buffer = cbar
+  linear_reciprocal = kappabarbar
+  nonlinear_reciprocal = Mbarmubar
+  substeps = 5
+[]
+[Problem]
+  type = TensorProblem
+[]
+"""
+
+
+def test_ch_solver_physics_parity():
+    """The full semi-implicit Cahn-Hilliard step produces the same REAL-space
+    trajectory under the PALLAS unordered spectrum as under jnp.fft — the
+    permutation is internal and never observable in physics."""
+
+    def run(backend):
+        root = hit.parse(_CH.format(backend=backend))
+        p = TensorProblem(root)
+        s = p.init_state()
+        step = jax.jit(p._step_impl)
+        out = step(s, 0.0, 1.0, 1.0, jnp.asarray(True))
+        out = step(out, 1.0, 1.0, 1.0, jnp.asarray(False))
+        return np.asarray(out["buffers"]["c"])
+
+    c_ref = run("")
+    c_pal = run("fft_backend = PALLAS")
+    np.testing.assert_allclose(c_pal, c_ref, atol=5e-5)
+
+
+def test_pallas_rejects_unsupported():
+    with pytest.raises(Exception, match="PALLAS requires"):
+        TensorProblem(hit.parse(_CH.format(backend="fft_backend = PALLAS")
+                                .replace("nx = 128", "nx = 200")
+                                .replace("xmax = 128", "xmax = 200")))
