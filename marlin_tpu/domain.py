@@ -92,6 +92,7 @@ class Domain:
         mesh: Optional[jax.sharding.Mesh] = None,
         periodic: Tuple[bool, bool, bool] = (True, True, True),
         fft_backend: FFTBackend = FFTBackend.DEFAULT,
+        debug: bool = False,
     ):
         if dim not in (1, 2, 3):
             raise ValueError(f"Unsupported dimension {dim}")
@@ -103,6 +104,7 @@ class Domain:
         self.periodic = periodic
         self.mesh = mesh
         self.fft_backend = fft_backend
+        self.debug = debug  # reference Domain/debug=true introspection
         if fft_backend == FFTBackend.PALLAS:
             from . import pallas_fft
 

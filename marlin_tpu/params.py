@@ -140,7 +140,7 @@ class Params:
 #: (device assignment collapses to JAX's platform; jit is always on; MOOSE
 #: harness-only knobs)
 INERT_PARAMS = {
-    "device_names", "device_weights", "gpu_aware_mpi", "debug",
+    "device_names", "device_weights", "gpu_aware_mpi",
     "enable_jit", "mesh_mode", "parallel_partitioner",
     "torch_num_threads", "allow_renumbering",
     # output cadence control — outputs run INITIAL + TIMESTEP_END, the only

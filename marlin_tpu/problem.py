@@ -107,6 +107,7 @@ def build_domain(node: Optional[HitNode], mesh=None, mesh_node: Optional[HitNode
     return Domain(
         dim=dim, n=n, mins=mins, maxs=maxs, parallel_mode=mode,
         floating_precision=precision, mesh=mesh, fft_backend=backend,
+        debug=p.get_bool("debug", False),
     )
 
 
@@ -717,7 +718,7 @@ class TensorProblem:
 
         # debug introspection: compute execution order with in/out buffers
         # (reference TensorProblem.C:117-130 print_debug_output)
-        if self.print_debug_output:
+        if self.print_debug_output or self.domain.debug:
             def dump(tag, group):
                 members = group.sorted_members or group.members
                 print(f"[marlin_tpu] {tag} execution order:")
@@ -731,6 +732,19 @@ class TensorProblem:
             if self.solver is not None and isinstance(self.solver.compute, ComputeGroup):
                 dump("Solve", self.solver.compute)
             dump("Postprocess", self.pp_computes)
+            if self.domain.debug:
+                # reference Domain/debug=true also reports the JIT plan and
+                # decomposition (ComputeGroup.C:146-153, halo traffic
+                # TensorProblem.C:721-735); here: one program per step +
+                # the mesh/sharding layout
+                print(f"[marlin_tpu] domain: {self.domain!r}")
+                print(f"[marlin_tpu] fft_backend: {self.domain.fft_backend.name}; "
+                      f"one XLA program per timestep ({self.spectral_solve_substeps} substeps fused)")
+                if self.domain.mesh is not None:
+                    from . import parallel as _par
+                    print(f"[marlin_tpu] mesh: {self.domain.mesh}; real spec "
+                          f"{_par.real_spec(self.domain, self.domain.dim)}; reciprocal spec "
+                          f"{_par.reciprocal_spec(self.domain, self.domain.dim)}")
 
         # distribute the state over the mesh
         if self.domain.mesh is not None:

@@ -167,3 +167,15 @@ def test_pallas_rejects_unsupported():
         TensorProblem(hit.parse(_CH.format(backend="fft_backend = PALLAS")
                                 .replace("nx = 128", "nx = 200")
                                 .replace("xmax = 128", "xmax = 200")))
+
+
+def test_anisotropic_grid():
+    """Mixed supported extents (512 not required on every axis)."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(256, 128).astype(np.float32)
+    u = jax.jit(pf.fftn_unordered)(jnp.asarray(x))
+    ref = np.fft.fftn(x)
+    perm = np.ix_(pf.true_k_order(256), pf.true_k_order(128))
+    assert np.abs(np.asarray(u) - ref[perm]).max() / np.abs(ref).max() < 1e-5
+    back = jax.jit(lambda v: pf.ifftn_unordered(v, (256, 128)))(u)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-4)
