@@ -119,6 +119,12 @@ class Domain:
                     f"[Domain] fft_backend = PALLAS requires every grid "
                     f"extent in {list(pallas_fft._SUPPORTED)}; got {bad}"
                 )
+            if floating_precision == Precision.DOUBLE:
+                raise ValueError(
+                    "[Domain] fft_backend = PALLAS is single-precision "
+                    "(MXU f32 matmuls); use floating_precision = SINGLE "
+                    "or the DEFAULT backend for f64"
+                )
 
         for d in range(dim):
             if self.maxs[d] <= self.mins[d]:
