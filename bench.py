@@ -346,11 +346,12 @@ def bench_ch3d(n, substeps=10, reps=3):
     return out_d
 
 
-def bench_lbm(n=128, substeps=20, reps=3):
+def bench_lbm(n=128, substeps=20, reps=3, backend="JNP"):
     """3-D lattice Boltzmann channel flow (reference test/tests/lbm/
-    channel3D.i, D3Q19 BGK + Zou-He in/outlet + bounce-back walls) scaled to
-    n^3 — reports MLUPS (million lattice-site updates per second), the
-    standard LBM throughput metric."""
+    channel3D.i, D3Q19 BGK + bounce-back walls) scaled to n^3 — reports
+    MLUPS (million lattice-site updates per second), the standard LBM
+    throughput metric.  backend=PALLAS runs the fused stream+collide
+    kernel (marlin_tpu/pallas_lbm.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -360,7 +361,7 @@ def bench_lbm(n=128, substeps=20, reps=3):
     root = hit.load(
         "/root/reference/test/tests/lbm/channel3D.i",
         [f"Domain/nx={n}", f"Domain/ny={n}", f"Domain/nz={n}",
-         f"Problem/substeps={substeps}"],
+         f"Problem/substeps={substeps}", f"Problem/lbm_backend={backend}"],
     )
     problem = TensorProblem(root)
     state = problem.init_state()
@@ -387,6 +388,7 @@ def bench_lbm(n=128, substeps=20, reps=3):
     return {
         "cells": n ** 3,
         "stencil": "D3Q19",
+        "backend": backend,
         "substep_ms": round(step_s / substeps * 1e3, 3),
         "mlups": round(mlups, 1),
         "compile_s": round(first - step_s, 1),
@@ -441,6 +443,8 @@ def _run_child(name):
         print(json.dumps(bench_ch3d(int(name.split("_")[1]))))
     elif name == "lbm":
         print(json.dumps(bench_lbm()))
+    elif name == "lbm_pallas":
+        print(json.dumps(bench_lbm(backend="PALLAS")))
     elif name == "degeus":
         print(json.dumps(bench_degeus()))
     else:
@@ -487,6 +491,7 @@ def main():
         sub = _spawn(f"ch3d_{n}", attempts=2)
         result[f"ch3d_{n}"] = sub
     result["lbm_channel3d_128"] = _spawn("lbm", attempts=2)
+    result["lbm_channel3d_128_pallas"] = _spawn("lbm_pallas", attempts=2)
     result["degeus_rve_32"] = _spawn("degeus", attempts=2)
 
     print(json.dumps(result))

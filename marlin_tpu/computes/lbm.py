@@ -359,7 +359,10 @@ class LBMStackTensors(LatticeBoltzmannOperator):
             params.error("inputs", "Duplicate buffer name.")
 
     def apply(self, state, ctx):
-        return {self.out: jnp.stack([state[n] for n in self.stack_inputs], -1)}
+        # inputs may be lazily broadcast axis shapes (e.g. ParsedCompute of
+        # a single coordinate); align them before stacking
+        comps = jnp.broadcast_arrays(*[state[n] for n in self.stack_inputs])
+        return {self.out: jnp.stack(comps, -1)}
 
 
 @computes.register("LBMTensorUnitConverter")

@@ -1,0 +1,411 @@
+"""Fused LBM substep — one Pallas pass over HBM per lattice update.
+
+The jnp LBM substep (problem._lbm_step_impl, mirroring reference
+LatticeBoltzmannProblem::execute :103-131) materializes every stage:
+stream (roll gather), face bounce-back, density, velocity, equilibrium,
+BGK collision — ≥460 B of HBM traffic per cell per substep (measured,
+PERF.md).  The only data that must actually cross a substep boundary is
+the post-collision distribution (fpc) and, for the convergence residual,
+the previous speed field.  This kernel therefore performs the WHOLE
+substep as a single fused pass:
+
+    read  fpc_old (pull-stream with halo), speed_old
+    write fpc_new, speed_new, residual partial sums
+
+i.e. ~(2q + 2) * itemsize bytes/cell — the memory-bandwidth floor for an
+AB-pattern LBM update.  The distribution is held q-MAJOR (q, nx, ny, nz)
+inside the substep loop so each direction is a well-tiled (block, ny, nz)
+plane on the VPU (the reference's trailing q axis wastes 109/128 lanes);
+the layout transpose happens once per outer MOOSE step, amortized over
+`substeps` lattice updates.
+
+Streaming is the classic "pull" scheme: f_q(x) = fpc_old(x - e_q).  The
+x-shift crosses block boundaries, provided by two single-plane halo
+inputs with periodic index maps; y/z shifts are in-VMEM rolls.  Face
+bounce-back (reference LBMBounceBack.C) is applied with static face
+masks before the moments, exactly like the deck's Boundary chain.
+
+Only the final substep of each MOOSE step runs through the regular jnp
+chain, so every deck buffer (f, density, velocity, feq, speed) and the
+old-state ring leave the step bit-consistent with the unfused path.
+
+Enabled per-deck with `[Problem] lbm_backend = PALLAS` for chains that
+pattern-match stream -> bounce-back -> density/velocity -> equilibrium ->
+BGK (anything else raises a named error; the default JNP path is the
+fully general one).  CPU tests run the kernel in interpret mode.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CS2 = 1.0 / 3.0
+CS4 = CS2 * CS2
+
+_INTERPRET = False  # flipped by the CPU test harness
+
+
+class FusedChainError(Exception):
+    """The deck's LBM chain does not match the fused-kernel pattern."""
+
+
+@dataclass(frozen=True)
+class FusedLBMConfig:
+    q: int
+    e: Tuple[Tuple[int, int, int], ...]
+    w: Tuple[float, ...]
+    op: Tuple[int, ...]
+    nx: int
+    ny: int
+    nz: int
+    block: int
+    tau: float
+    body_force: Tuple[float, float, float]
+    # (axis, side, replaced_dirs) per bounce-back face, in deck order
+    faces: Tuple[Tuple[int, int, Tuple[int, ...]], ...]
+
+
+@dataclass(frozen=True)
+class FusedLBMPlan:
+    config: FusedLBMConfig
+    f: str  # streamed-distribution buffer (recomputed by the final substep)
+    fpc: str  # post-collision distribution (the carried state)
+    speed: Optional[str]  # velocity-magnitude buffer (residual input)
+    has_residual: bool
+
+
+def _roll(a, s, axis):
+    """Periodic roll by s in {-1, 0, 1} via static slices (Mosaic-safe)."""
+    if s == 0:
+        return a
+    n = a.shape[axis]
+    lo = jax.lax.slice_in_dim(a, 0, n - 1, axis=axis)
+    hi = jax.lax.slice_in_dim(a, n - 1, n, axis=axis)
+    first = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
+    rest = jax.lax.slice_in_dim(a, 1, n, axis=axis)
+    if s > 0:  # f_new[i] = f_old[i-1]
+        return jnp.concatenate([hi, lo], axis=axis)
+    return jnp.concatenate([rest, first], axis=axis)
+
+
+def _make_kernel(cfg: FusedLBMConfig):
+    B, q, ny, nz = cfg.block, cfg.q, cfg.ny, cfg.nz
+    inv_tau = 1.0 / cfg.tau
+    bfx, bfy, bfz = cfg.body_force
+
+    def kernel(center, left, right, speed_old, fpc_out, speed_out, acc):
+        i = pl.program_id(0)
+        xg0 = i * B  # global x index of the block's first plane
+
+        # static face masks (x faces depend on the block index)
+        masks = {}
+        for axis, side, _dirs in cfg.faces:
+            key = (axis, side)
+            if key in masks:
+                continue
+            io = jax.lax.broadcasted_iota(jnp.int32, (B, ny, nz), axis)
+            if axis == 0:
+                io = io + xg0
+            n_ax = (cfg.nx, ny, nz)[axis]
+            masks[key] = io == (0 if side == 0 else n_ax - 1)
+
+        def streamed(qi):
+            """Pull-streamed direction qi with face bounce-back applied
+            (reference LBMStream.C:51-80 + LBMBounceBack.C)."""
+            ex, ey, ez = cfg.e[qi]
+            if ex == 1:
+                if B > 1:
+                    a = jnp.concatenate([left[qi], center[qi, : B - 1]], axis=0)
+                else:
+                    a = left[qi]
+            elif ex == -1:
+                if B > 1:
+                    a = jnp.concatenate([center[qi, 1:], right[qi]], axis=0)
+                else:
+                    a = right[qi]
+            else:
+                a = center[qi]
+            a = _roll(a, ey, 1)
+            a = _roll(a, ez, 2)
+            # bounce-back: replaced dirs at a face read the OPPOSITE
+            # direction of the unstreamed old distribution at the same node
+            for axis, side, dirs in cfg.faces:
+                if qi in dirs:
+                    a = jnp.where(masks[(axis, side)], center[cfg.op[qi]], a)
+            return a
+
+        # pass 1: moments (reference LBMComputeDensity/LBMComputeVelocity)
+        rho = None
+        mx = my = mz = None
+        for qi in range(q):
+            a = streamed(qi)
+            rho = a if rho is None else rho + a
+            ex, ey, ez = cfg.e[qi]
+            if ex:
+                t = a if ex > 0 else -a
+                mx = t if mx is None else mx + t
+            if ey:
+                t = a if ey > 0 else -a
+                my = t if my is None else my + t
+            if ez:
+                t = a if ez > 0 else -a
+                mz = t if mz is None else mz + t
+        inv_rho = 1.0 / rho
+        ux = mx * inv_rho + bfx * (0.5 * inv_rho)
+        uy = my * inv_rho + bfy * (0.5 * inv_rho)
+        uz = mz * inv_rho + bfz * (0.5 * inv_rho)
+        usqr = ux * ux + uy * uy + uz * uz
+
+        # speed + residual partials (reference LBMComputeVelocityMagnitude,
+        # LBMComputeResidual: num = sum|s - s_old|, den = sum s)
+        speed = jnp.sqrt(usqr)
+        speed_out[...] = speed
+        num = jnp.sum(jnp.abs(speed - speed_old[...]))
+        den = jnp.sum(speed)
+
+        @pl.when(i == 0)
+        def _():
+            acc[0, 0] = jnp.zeros((), acc.dtype)
+            acc[0, 1] = jnp.zeros((), acc.dtype)
+
+        acc[0, 0] += num
+        acc[0, 1] += den
+
+        # pass 2: equilibrium + BGK collision (reference LBMEquilibrium.C
+        # :42-66, LBMBGKCollision); streamed() recomputed per direction to
+        # keep VMEM at one live (B,ny,nz) temp instead of q of them
+        for qi in range(q):
+            a = streamed(qi)
+            ex, ey, ez = cfg.e[qi]
+            edotu = 0.0
+            if ex:
+                edotu = ux if ex > 0 else -ux
+            if ey:
+                t = uy if ey > 0 else -uy
+                edotu = t if isinstance(edotu, float) else edotu + t
+            if ez:
+                t = uz if ez > 0 else -uz
+                edotu = t if isinstance(edotu, float) else edotu + t
+            if isinstance(edotu, float):
+                feq = cfg.w[qi] * rho * (1.0 - 0.5 * usqr / CS2)
+            else:
+                feq = (
+                    cfg.w[qi]
+                    * rho
+                    * (1.0 + edotu / CS2 + 0.5 * edotu * edotu / CS4
+                       - 0.5 * usqr / CS2)
+                )
+            fneq = a - feq
+            fpc_out[qi] = feq + fneq - fneq * inv_tau
+
+    return kernel
+
+
+def _pick_block(nx: int, ny: int, nz: int, q: int, itemsize: int) -> int:
+    """Largest x-block whose double-buffered pipeline footprint fits a
+    conservative VMEM budget (same ~16 MB assumption as pallas_fft).
+    MARLIN_TPU_LBM_BLOCK overrides (tuning knob)."""
+    import os
+
+    forced = os.environ.get("MARLIN_TPU_LBM_BLOCK")
+    if forced:
+        b = int(forced)
+        if nx % b:
+            raise ValueError(f"MARLIN_TPU_LBM_BLOCK={b} does not divide nx={nx}")
+        return b
+    # the kernel raises the scoped-VMEM limit to 64 MB (v5e has 128 MB);
+    # blocks larger than 4 measured SLOWER at 128^3 (B=8: 1507 vs B=4's
+    # 1805 MLUPS, with a 10-minute Mosaic compile), so prefer 4
+    budget = 64 * 2 ** 20
+    for b in (4, 2, 1):
+        if nx % b:
+            continue
+        # in: q*(b+2)+b cells; out: (q+1)*b cells; x2 for double buffering
+        cells = (q * (b + 2) + b + (q + 1) * b) * ny * nz
+        if cells * itemsize * 2 <= budget:
+            return b
+    return 1
+
+
+def fused_substep(fpc_qm, speed, cfg: FusedLBMConfig):
+    """One lattice update.  fpc_qm: (q, nx, ny, nz) post-collision
+    distribution from the previous substep; speed: (nx, ny, nz) previous
+    speed.  Returns (fpc_new_qm, speed_new, residual)."""
+    q, nx, ny, nz, B = cfg.q, cfg.nx, cfg.ny, cfg.nz, cfg.block
+    dt = fpc_qm.dtype
+    grid = (nx // B,)
+
+    blk = pl.BlockSpec(
+        (q, B, ny, nz), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    halo_l = pl.BlockSpec(
+        (q, 1, ny, nz), lambda i: (0, (i * B - 1) % nx, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    halo_r = pl.BlockSpec(
+        (q, 1, ny, nz), lambda i: (0, ((i + 1) * B) % nx, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    sp_blk = pl.BlockSpec((B, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    import os
+
+    # raise the scoped-VMEM limit from the 16 MB default; v5e has 128 MB
+    # and the B=4 pipeline needs ~24 MB at 128-extent grids
+    vmem_mb = int(os.environ.get("MARLIN_TPU_LBM_VMEM_MB", "64"))
+    params = (
+        pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 2 ** 20)
+        if not _INTERPRET else None
+    )
+    fpc_new, speed_new, acc = pl.pallas_call(
+        _make_kernel(cfg),
+        out_shape=(
+            jax.ShapeDtypeStruct((q, nx, ny, nz), dt),
+            jax.ShapeDtypeStruct((nx, ny, nz), dt),
+            jax.ShapeDtypeStruct((1, 2), dt),
+        ),
+        grid=grid,
+        in_specs=[blk, halo_l, halo_r, sp_blk],
+        out_specs=(blk, sp_blk, acc_spec),
+        compiler_params=params,
+        interpret=_INTERPRET,
+    )(fpc_qm, fpc_qm, fpc_qm, speed)
+
+    num, den = acc[0, 0], acc[0, 1]
+    residual = jnp.where((den == 0) | (num == 0), jnp.ones((), dt), num / den)
+    return fpc_new, speed_new, residual
+
+
+# ---------------------------------------------------------------------------
+# deck-chain pattern matching
+# ---------------------------------------------------------------------------
+
+_FACE_AXIS_SIDE = {
+    "left": (0, 0), "right": (0, 1),
+    "bottom": (1, 0), "top": (1, 1),
+    "front": (2, 0), "back": (2, 1),
+}
+
+
+def _reject(msg):
+    raise FusedChainError(f"lbm_backend = PALLAS: {msg} (use the default JNP backend)")
+
+
+def match_chain(problem) -> FusedLBMPlan:
+    """Validate the deck's LBM chain against the fused pattern and build the
+    kernel plan.  Raises FusedChainError naming the unsupported feature."""
+    from .computes import lbm as L
+    from .computes import lbm_bc as LB
+    from .solvers.lbm_stream import LBMStream
+
+    dom = problem.domain
+    if dom.dim != 3:
+        _reject("only 3-D decks are supported")
+    mode = getattr(dom, "parallel_mode", None)
+    if mode is not None and getattr(mode, "name", str(mode)) != "NONE":
+        _reject("only serial (single-device) domains are supported")
+    if problem.lbm_solid_mask() is not None:
+        _reject("binary media / solid masks are not supported")
+
+    solver = problem.solver
+    if not isinstance(solver, LBMStream):
+        _reject("the solver must be LBMStream")
+    if len(solver.buffers_) != 1:
+        _reject("exactly one streamed buffer is supported")
+    f_name, fpc_name = solver.buffers_[0], solver.f_old[0]
+
+    st = problem.lbm_stencil()
+    faces = []
+    for bc in problem.bc_computes:
+        if not isinstance(bc, LB.LBMBounceBack):
+            _reject(f"boundary compute '{bc.name}' is not LBMBounceBack")
+        if bc.boundary not in _FACE_AXIS_SIDE:
+            _reject(f"bounce-back boundary '{bc.boundary}' is not a domain face")
+        if (bc.xsel, bc.ysel, bc.zsel) != (slice(None),) * 3:
+            _reject("exclude_corners_* options are not supported")
+        if bc.f_old != fpc_name or bc.out != f_name:
+            _reject(f"bounce-back '{bc.name}' must act on the streamed pair")
+        axis, side = _FACE_AXIS_SIDE[bc.boundary]
+        incoming = {"left": st.left, "bottom": st.bottom, "front": st.front}
+        if side == 0:
+            dirs = incoming[bc.boundary]
+        else:
+            low = {"right": "left", "top": "bottom", "back": "front"}[bc.boundary]
+            dirs = st.op[incoming[low]]
+        faces.append((axis, side, tuple(int(d) for d in dirs)))
+
+    density = velocity = equilibrium = collision = speed = residual = None
+    for c in problem.solve_computes:
+        if isinstance(c, L.LBMComputeDensity) and density is None:
+            density = c
+        elif isinstance(c, L.LBMComputeVelocity) and velocity is None:
+            velocity = c
+        elif isinstance(c, L.LBMEquilibrium) and equilibrium is None:
+            equilibrium = c
+        elif isinstance(c, L.LBMBGKCollision) and collision is None:
+            collision = c
+        elif isinstance(c, L.LBMComputeVelocityMagnitude) and speed is None:
+            speed = c
+        elif isinstance(c, L.LBMComputeResidual) and residual is None:
+            residual = c
+        else:
+            _reject(f"solve compute '{c.name}' ({type(c).__name__}) is not fusable")
+    for what, c in (("LBMComputeDensity", density), ("LBMComputeVelocity", velocity),
+                    ("LBMEquilibrium", equilibrium), ("LBMBGKCollision", collision)):
+        if c is None:
+            _reject(f"the chain requires a {what} compute")
+
+    if density.f != f_name:
+        _reject("density must be computed from the streamed distribution")
+    if velocity.f != f_name or velocity.rho != density.out:
+        _reject("velocity must be computed from the streamed distribution/density")
+    if velocity.enable_forces:
+        _reject("enable_forces (force-field coupling) is not supported")
+    if equilibrium.rho != density.out or equilibrium.velocity != velocity.out:
+        _reject("equilibrium must consume the chain's density and velocity")
+    if collision.f != f_name or collision.feq != equilibrium.out:
+        _reject("collision must consume the streamed distribution and equilibrium")
+    if collision.out != fpc_name:
+        _reject("collision must write the solver's f_old buffer")
+    if collision.projection:
+        _reject("Hermite projection is not supported")
+    if speed is not None and speed.velocity != velocity.out:
+        _reject("velocity magnitude must consume the chain's velocity")
+    if residual is not None and (speed is None or residual.speed != speed.out):
+        _reject("the residual must consume the chain's velocity magnitude")
+
+    bf = velocity.body_force if velocity.add_body_force else [0.0, 0.0, 0.0]
+    nx, ny, nz = (list(dom.shape) + [1, 1])[:3]
+    dtype = np.dtype(dom.dtype)
+    cfg = FusedLBMConfig(
+        q=int(st.q),
+        e=tuple((int(st.ex[i]), int(st.ey[i]), int(st.ez[i])) for i in range(st.q)),
+        w=tuple(float(w) for w in st.weights),
+        op=tuple(int(o) for o in st.op),
+        nx=int(nx), ny=int(ny), nz=int(nz),
+        block=_pick_block(int(nx), int(ny), int(nz), int(st.q), dtype.itemsize),
+        tau=float(collision.tau_0),
+        body_force=(float(bf[0]), float(bf[1]), float(bf[2])),
+        faces=tuple(faces),
+    )
+    old_keys = set()
+    for c in [solver] + list(problem.bc_computes) + list(problem.solve_computes):
+        old_keys |= set(getattr(c, "history_requests", dict)())
+    if not old_keys <= {fpc_name, speed.out if speed else None}:
+        _reject(f"unsupported old-state history on {sorted(old_keys)}")
+    return FusedLBMPlan(
+        config=cfg,
+        f=f_name,
+        fpc=fpc_name,
+        speed=speed.out if speed is not None else None,
+        has_residual=residual is not None,
+    )

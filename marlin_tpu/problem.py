@@ -148,6 +148,12 @@ class TensorProblem:
         self.lbm_substeps = self.problem_params.get_int("substeps", 1)
         self.lbm_tolerance = self.problem_params.get_float("tolerance", 1.0e-15)
         self.lbm_binary_media = self.problem_params.get_str("binary_media", None)
+        # opt-in fused stream+collide Pallas kernel (marlin_tpu extension;
+        # pallas_lbm.py — the hot path for production LBM on TPU)
+        self.lbm_backend = self.problem_params.get_enum(
+            "lbm_backend", ["JNP", "PALLAS"], "JNP"
+        )
+        self._lbm_fused_plan = None
         self._lbm_solid_mask = None
         self._lbm_binary_np = None
 
@@ -884,10 +890,80 @@ class TensorProblem:
 
         def run(state):
             state = advance_state(state, dt)  # MOOSE-level advance
+            if self.lbm_backend == "PALLAS" and self.lbm_substeps > 1:
+                state = self._lbm_fused_substeps(state, dt)
+                # the LAST substep runs the regular jnp chain so every deck
+                # buffer (f, density, velocity, feq, speed) and the old-state
+                # ring are exactly as the unfused path leaves them
+                return substep(self.lbm_substeps - 1, state)
             return jax.lax.fori_loop(0, self.lbm_substeps, substep, state)
 
         # reference: substeps only run from MOOSE step 2 (`timeStep() > 1`)
         return jax.lax.cond(first_step, lambda s: s, run, state)
+
+    def _lbm_fused_substeps(self, state, dt):
+        """Run substeps 0..n-2 through the fused Pallas kernel
+        (pallas_lbm.py), carrying only fpc (q-major) and speed."""
+        from . import pallas_lbm
+
+        if self._lbm_fused_plan is None:
+            self._lbm_fused_plan = pallas_lbm.match_chain(self)
+        plan = self._lbm_fused_plan
+        cfg = plan.config
+        n_fused = self.lbm_substeps - 1
+
+        # the trailing jnp substep refreshes slot 0 of every depth-1 ring,
+        # so skipping the fused substeps' pushes is invisible; deeper rings
+        # would retain skipped history and are rejected
+        if state["old_dt"].shape[0] > 1:
+            raise pallas_lbm.FusedChainError(
+                "lbm_backend = PALLAS supports dt-history depth <= 1"
+            )
+        for name, stack in state["old"].items():
+            if stack.shape[0] != 1:
+                raise pallas_lbm.FusedChainError(
+                    f"lbm_backend = PALLAS supports history depth 1 (got "
+                    f"{stack.shape[0]} for '{name}')"
+                )
+
+        fpc_qm = jnp.transpose(state["buffers"][plan.fpc], (3, 0, 1, 2))
+        if plan.speed is not None:
+            speed = state["buffers"][plan.speed]
+        else:
+            speed = jnp.zeros((cfg.nx, cfg.ny, cfg.nz),
+                              state["buffers"][plan.fpc].dtype)
+
+        def sub(_i, carry):
+            cur, _prev, sp_cur, _sp_prev, _res = carry
+            new, sp_new, res = pallas_lbm.fused_substep(cur, sp_cur, cfg)
+            return (new, cur, sp_new, sp_cur, res)
+
+        resid0 = jnp.ones((), fpc_qm.dtype)
+        cur, prev, sp_cur, sp_prev, resid = jax.lax.fori_loop(
+            0, n_fused, sub, (fpc_qm, fpc_qm, speed, speed, resid0)
+        )
+
+        buffers = dict(state["buffers"])
+        buffers[plan.fpc] = jnp.transpose(cur, (1, 2, 3, 0))
+        old = dict(state["old"])
+        if plan.fpc in old:
+            old[plan.fpc] = jnp.transpose(prev, (1, 2, 3, 0))[None]
+        if plan.speed is not None:
+            buffers[plan.speed] = sp_cur
+            if plan.speed in old:
+                old[plan.speed] = sp_prev[None]
+        solver_state = dict(state["solver"])
+        if plan.has_residual:
+            solver_state["residual"] = resid.astype(
+                solver_state.get("residual", resid).dtype
+            )
+        return {
+            **state,
+            "buffers": buffers,
+            "old": old,
+            "n_advances": state["n_advances"] + n_fused,
+            "solver": solver_state,
+        }
 
     #: fuse the timestep and postprocessors into one XLA program (fastest);
     #: set False to run them as two programs (the axon remote-TPU backend

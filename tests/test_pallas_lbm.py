@@ -1,0 +1,306 @@
+"""Fused LBM stream+collide Pallas kernel (marlin_tpu/pallas_lbm.py,
+deck knob `[Problem] lbm_backend = PALLAS`).
+
+Verifies, in interpret mode on the CPU backend:
+  - full state-pytree parity (buffers, old ring, residual, n_advances)
+    against the default JNP chain on the reference channel3D deck,
+  - reference gold parity (HDF5Diff 1e-10, same gold as the JNP path),
+  - face bounce-back on all six faces incl. the x-face program-id masks
+    and the odd-extent block=1 path,
+  - named rejection of non-fusable chains (Zou-He BCs, 2-D decks).
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import marlin_tpu.pallas_lbm as PL
+from marlin_tpu import hit
+from marlin_tpu.problem import TensorProblem
+
+from .gold import REF, h5_diff, run_ref_deck
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    PL._INTERPRET = True
+    yield
+    PL._INTERPRET = False
+
+
+def _run_deck(root, steps=3):
+    p = TensorProblem(root)
+    s = p.init_state()
+    dt = jnp.asarray(1.0, p.domain.dtype)
+    for i in range(steps):
+        s = p.step(s, float(i), dt, dt, i == 0)
+    return p, s
+
+
+def _assert_state_parity(s1, s2, tol=1e-12):
+    for name in s1["buffers"]:
+        d = np.max(np.abs(np.asarray(s1["buffers"][name])
+                          - np.asarray(s2["buffers"][name])))
+        assert d < tol, f"buffer {name}: maxdiff {d}"
+    for name in s1["old"]:
+        d = np.max(np.abs(np.asarray(s1["old"][name])
+                          - np.asarray(s2["old"][name])))
+        assert d < tol, f"old[{name}]: maxdiff {d}"
+    r1 = float(s1["solver"]["residual"])
+    r2 = float(s2["solver"]["residual"])
+    assert abs(r1 - r2) < tol, f"residual {r1} vs {r2}"
+    assert int(s1["n_advances"]) == int(s2["n_advances"])
+
+
+def test_fused_state_parity_channel3d():
+    """Fused path leaves the ENTIRE state pytree equal to the jnp chain
+    (reference test/tests/lbm/channel3D.i, y-face bounce-back)."""
+    deck = os.path.join(REF, "test/tests/lbm/channel3D.i")
+    over = ["Problem/substeps=7"]
+    _, s1 = _run_deck(hit.load(deck, over + ["Problem/lbm_backend=JNP"]))
+    _, s2 = _run_deck(hit.load(deck, over + ["Problem/lbm_backend=PALLAS"]))
+    _assert_state_parity(s1, s2)
+
+
+_ALLFACE_DECK = """
+[Domain]
+  dim = 3
+  nx = {n}
+  ny = 10
+  nz = 12
+  mesh_mode = DUMMY
+[]
+[Stencil]
+  [s]
+    type = {stencil}
+  []
+[]
+[TensorBuffers]
+  [f]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [feq]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [fpc]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [velocity]
+    type = LBMTensorBuffer
+    buffer_type = mv
+  []
+  [density]
+    type = LBMTensorBuffer
+    buffer_type = ms
+  []
+  [speed]
+    type = LBMTensorBuffer
+    buffer_type = ms
+  []
+  [vx]
+    type = LBMTensorBuffer
+    buffer_type = ms
+  []
+  [vy]
+    type = LBMTensorBuffer
+    buffer_type = ms
+  []
+  [vz]
+    type = LBMTensorBuffer
+    buffer_type = ms
+  []
+[]
+[TensorComputes]
+  [Initialize]
+    [initial_density]
+      type = LBMConstantTensor
+      buffer = density
+      constants = 1.0
+    []
+    [vx]
+      type = ParsedCompute
+      buffer = vx
+      extra_symbols = true
+      expression = '0.01*sin(x*6.28)'
+    []
+    [vy]
+      type = ParsedCompute
+      buffer = vy
+      extra_symbols = true
+      expression = '0.02*cos(y*6.28)'
+    []
+    [vz]
+      type = LBMConstantTensor
+      buffer = vz
+      constants = 0.0
+    []
+    [initial_velocity]
+      type = LBMStackTensors
+      buffer = velocity
+      inputs = 'vx vy vz'
+    []
+    [initial_equilibrium]
+      type = LBMEquilibrium
+      buffer = feq
+      bulk = density
+      velocity = velocity
+    []
+    [initial_distribution]
+      type = LBMEquilibrium
+      buffer = f
+      bulk = density
+      velocity = velocity
+    []
+    [initial_distribution_pc]
+      type = LBMEquilibrium
+      buffer = fpc
+      bulk = density
+      velocity = velocity
+    []
+  []
+  [Solve]
+    [equilibrium]
+      type = LBMEquilibrium
+      buffer = feq
+      bulk = density
+      velocity = velocity
+    []
+    [collision]
+      type = LBMBGKCollision
+      buffer = fpc
+      f = f
+      feq = feq
+      tau0 = 0.8
+    []
+    [density]
+      type = LBMComputeDensity
+      buffer = density
+      f = f
+    []
+    [velocity]
+      type = LBMComputeVelocity
+      buffer = velocity
+      f = f
+      rho = density
+      add_body_force = true
+      body_force_x = 0.0001
+      body_force_z = -0.00005
+    []
+    [speed]
+      type = LBMComputeVelocityMagnitude
+      buffer = speed
+      velocity = velocity
+    []
+    [residual]
+      type = LBMComputeResidual
+      buffer = speed
+      speed = speed
+    []
+  []
+  [Boundary]
+    [top]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = top
+    []
+    [bottom]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = bottom
+    []
+    [left]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = left
+    []
+    [right]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = right
+    []
+    [front]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = front
+    []
+    [back]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = back
+    []
+  []
+[]
+[TensorSolver]
+  type = LBMStream
+  buffer = f
+  f_old = fpc
+[]
+[Problem]
+  type = LatticeBoltzmannProblem
+  substeps = 6
+  lbm_backend = {backend}
+[]
+"""
+
+
+@pytest.mark.parametrize("n,stencil", [(9, "LBMD3Q19"), (8, "LBMD3Q27")])
+def test_fused_all_faces(n, stencil):
+    """Bounce-back on all six faces: exercises the x-face program-id masks,
+    overlapping-corner BC ordering, a z body force, the odd-extent
+    block=1 path (n=9), and the D3Q27 stencil."""
+    _, s1 = _run_deck(hit.parse(_ALLFACE_DECK.format(
+        n=n, stencil=stencil, backend="JNP")))
+    _, s2 = _run_deck(hit.parse(_ALLFACE_DECK.format(
+        n=n, stencil=stencil, backend="PALLAS")))
+    _assert_state_parity(s1, s2)
+
+
+def test_fused_gold_channel3d():
+    """The fused backend reproduces the reference gold
+    (test/tests/lbm/gold/channel3D.h5, HDF5Diff abs_tol 1e-10)."""
+    gold = "test/tests/lbm/gold/channel3D.h5"
+    if not os.path.exists(os.path.join(REF, gold)):
+        pytest.skip("no gold")
+    _, tmp = run_ref_deck(
+        "test/tests/lbm/channel3D.i",
+        ["Problem/lbm_backend=PALLAS"],
+        tmpdir="/tmp/marlin_tpu_gold_pallas_lbm",
+    )
+    h5_diff(gold, f"{tmp}/channel3D.h5", abs_tol=1e-10)
+
+
+def test_fused_rejects_zou_he():
+    """mixed_bcs_d3q19.i uses Zou-He (fixed-order) BCs — not fusable; the
+    error names the offending compute."""
+    root = hit.load(
+        os.path.join(REF, "test/tests/lbm/mixed_bcs_d3q19.i"),
+        ["Problem/lbm_backend=PALLAS"],
+    )
+    p = TensorProblem(root)
+    s = p.init_state()
+    dt = jnp.asarray(1.0, p.domain.dtype)
+    with pytest.raises(PL.FusedChainError, match="not LBMBounceBack"):
+        p.step(s, 0.0, dt, dt, False)
+
+
+def test_fused_rejects_2d():
+    root = hit.load(
+        os.path.join(REF, "test/tests/lbm/channel2D.i"),
+        ["Problem/lbm_backend=PALLAS"],
+    )
+    p = TensorProblem(root)
+    s = p.init_state()
+    dt = jnp.asarray(1.0, p.domain.dtype)
+    with pytest.raises(PL.FusedChainError, match="3-D"):
+        p.step(s, 0.0, dt, dt, False)
