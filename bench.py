@@ -396,6 +396,208 @@ def bench_lbm(n=128, substeps=20, reps=3, backend="JNP"):
     }
 
 
+_POROUS_DECK = """
+[Domain]
+  dim = 3
+  nx = {n}
+  ny = {n}
+  nz = {n}
+  mesh_mode = DUMMY
+[]
+[Stencil]
+  [s]
+    type = LBMD3Q19
+  []
+[]
+[TensorBuffers]
+  [f]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [feq]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [fpc]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [velocity]
+    type = LBMTensorBuffer
+    buffer_type = mv
+  []
+  [density]
+    type = LBMTensorBuffer
+    buffer_type = ms
+  []
+  [speed]
+    type = LBMTensorBuffer
+    buffer_type = ms
+  []
+  [media]
+    type = LBMTensorBuffer
+    buffer_type = ms
+    is_integer = true
+    file = {media_h5}
+  []
+[]
+[TensorComputes]
+  [Initialize]
+    [initial_density]
+      type = LBMConstantTensor
+      buffer = density
+      constants = 1.0
+    []
+    [initial_velocity]
+      type = LBMConstantTensor
+      buffer = velocity
+      constants = '0.0 0.0 0.0'
+    []
+    [initial_equilibrium]
+      type = LBMEquilibrium
+      buffer = feq
+      bulk = density
+      velocity = velocity
+    []
+    [initial_distribution]
+      type = LBMEquilibrium
+      buffer = f
+      bulk = density
+      velocity = velocity
+    []
+    [initial_distribution_pc]
+      type = LBMEquilibrium
+      buffer = fpc
+      bulk = density
+      velocity = velocity
+    []
+  []
+  [Solve]
+    [equilibrium]
+      type = LBMEquilibrium
+      buffer = feq
+      bulk = density
+      velocity = velocity
+    []
+    [collision]
+      type = LBMBGKCollision
+      buffer = fpc
+      f = f
+      feq = feq
+      tau0 = 0.8
+    []
+    [density]
+      type = LBMComputeDensity
+      buffer = density
+      f = f
+    []
+    [velocity]
+      type = LBMComputeVelocity
+      buffer = velocity
+      f = f
+      rho = density
+      add_body_force = true
+      body_force_x = 0.0001
+    []
+    [speed]
+      type = LBMComputeVelocityMagnitude
+      buffer = speed
+      velocity = velocity
+    []
+    [residual]
+      type = LBMComputeResidual
+      buffer = speed
+      speed = speed
+    []
+  []
+  [Boundary]
+    [wall]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = wall
+    []
+  []
+[]
+[TensorSolver]
+  type = LBMStream
+  buffer = f
+  f_old = fpc
+[]
+[Problem]
+  type = LatticeBoltzmannProblem
+  substeps = {substeps}
+  binary_media = media
+  lbm_backend = {backend}
+[]
+"""
+
+
+def bench_lbm_porous(n=128, substeps=20, reps=3, backend="PALLAS"):
+    """Porous-media LBM (D3Q19 BGK, random sphere pack ~15% solid, obstacle
+    bounce-back, body-force-driven flow) — the production LBM workload.
+    Fused kernel computes the per-direction obstacle masks in-kernel from
+    the media halo."""
+    import tempfile
+
+    import h5py
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from marlin_tpu import hit
+    from marlin_tpu.problem import TensorProblem
+
+    rng = np.random.RandomState(42)
+    media = np.ones((n, n, n), dtype=np.int64)
+    idx = np.indices((n, n, n))
+    r = max(2, n // 16)
+    for _ in range(max(8, (n // r) ** 3 // 24)):
+        c = rng.randint(0, n, 3)
+        d2 = sum(np.minimum(np.abs(idx[k] - c[k]), n - np.abs(idx[k] - c[k])) ** 2
+                 for k in range(3))
+        media[d2 <= r * r] = 0
+
+    tmp = tempfile.mkdtemp()
+    h5path = os.path.join(tmp, "media.h5")
+    with h5py.File(h5path, "w") as f:
+        f.create_dataset("media", data=media)
+
+    root = hit.parse(_POROUS_DECK.format(
+        n=n, substeps=substeps, backend=backend, media_h5=h5path))
+    problem = TensorProblem(root)
+    state = problem.init_state()
+    step = jax.jit(problem._step_impl, donate_argnums=(0,))
+    dt = jnp.asarray(1.0, problem.domain.dtype)
+
+    t0 = time.time()
+    out = step(state, 0.0, dt, dt, jnp.asarray(False))
+    _sync(out["buffers"]["speed"])
+    first = time.time() - t0
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    _sync(tiny(jnp.zeros(())))
+    t0 = time.time()
+    _sync(tiny(jnp.zeros(())))
+    rt = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(reps):
+        out = step(out, 0.0, dt, dt, jnp.asarray(False))
+    _sync(out["buffers"]["speed"])
+    step_s = max((time.time() - t0 - rt) / reps, 1e-9)
+    return {
+        "cells": n ** 3,
+        "stencil": "D3Q19",
+        "backend": backend,
+        "solid_frac": round(float((media == 0).mean()), 3),
+        "substep_ms": round(step_s / substeps * 1e3, 3),
+        "mlups": round(n ** 3 * substeps / step_s / 1e6, 1),
+        "compile_s": round(first - step_s, 1),
+        "dtype": jnp.dtype(problem.domain.dtype).name,
+    }
+
+
 def bench_degeus(steps=10, reps=2):
     """deGeus FFT-micromechanics RVE wall-clock (BASELINE.json metric #2):
     the shipped 32^3 hyperelastic RVE (reference
@@ -445,6 +647,10 @@ def _run_child(name):
         print(json.dumps(bench_lbm()))
     elif name == "lbm_pallas":
         print(json.dumps(bench_lbm(backend="PALLAS")))
+    elif name == "lbm_porous":
+        print(json.dumps(bench_lbm_porous(backend="PALLAS")))
+    elif name == "lbm_porous_jnp":
+        print(json.dumps(bench_lbm_porous(backend="JNP")))
     elif name == "degeus":
         print(json.dumps(bench_degeus()))
     else:
@@ -492,6 +698,7 @@ def main():
         result[f"ch3d_{n}"] = sub
     result["lbm_channel3d_128"] = _spawn("lbm", attempts=2)
     result["lbm_channel3d_128_pallas"] = _spawn("lbm_pallas", attempts=2)
+    result["lbm_porous_128_pallas"] = _spawn("lbm_porous", attempts=2)
     result["degeus_rve_32"] = _spawn("degeus", attempts=2)
 
     print(json.dumps(result))

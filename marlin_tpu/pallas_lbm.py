@@ -69,8 +69,11 @@ class FusedLBMConfig:
     block: int
     tau: float
     body_force: Tuple[float, float, float]
-    # (axis, side, replaced_dirs) per bounce-back face, in deck order
+    # (axis, side, replaced_dirs) per bounce-back face, in deck order;
+    # axis == -1 marks the obstacle ("wall") bounce-back slot
     faces: Tuple[Tuple[int, int, Tuple[int, ...]], ...]
+    # binary media: solid masking + optional obstacle bounce-back
+    has_media: bool = False
 
 
 @dataclass(frozen=True)
@@ -80,6 +83,7 @@ class FusedLBMPlan:
     fpc: str  # post-collision distribution (the carried state)
     speed: Optional[str]  # velocity-magnitude buffer (residual input)
     has_residual: bool
+    media: Optional[str] = None  # binary-media buffer name
 
 
 def _roll(a, s, axis):
@@ -101,15 +105,46 @@ def _make_kernel(cfg: FusedLBMConfig):
     inv_tau = 1.0 / cfg.tau
     bfx, bfy, bfz = cfg.body_force
 
-    def kernel(center, left, right, speed_old, fpc_out, speed_out, acc):
+    def kernel(*refs):
+        if cfg.has_media:
+            (center, left, right, m_center, m_left, m_right,
+             speed_old, fpc_out, speed_out, acc) = refs
+        else:
+            center, left, right, speed_old, fpc_out, speed_out, acc = refs
+            m_center = m_left = m_right = None
         i = pl.program_id(0)
         xg0 = i * B  # global x index of the block's first plane
+
+        def window(ref_c, ref_l, ref_r, qi, ex, ey, ez):
+            """(B,ny,nz) view shifted by -e (pull): value at x is the
+            source field at x - e, periodic.  qi=None for 3-D refs."""
+            sel = (lambda r, s: r[s]) if qi is None else (lambda r, s: r[qi, s])
+            if ex == 1:
+                if B > 1:
+                    a = jnp.concatenate(
+                        [sel(ref_l, slice(None)), sel(ref_c, slice(0, B - 1))],
+                        axis=0,
+                    )
+                else:
+                    a = sel(ref_l, slice(None))
+            elif ex == -1:
+                if B > 1:
+                    a = jnp.concatenate(
+                        [sel(ref_c, slice(1, B)), sel(ref_r, slice(None))],
+                        axis=0,
+                    )
+                else:
+                    a = sel(ref_r, slice(None))
+            else:
+                a = sel(ref_c, slice(None))
+            a = _roll(a, ey, 1)
+            return _roll(a, ez, 2)
 
         # static face masks (x faces depend on the block index)
         masks = {}
         for axis, side, _dirs in cfg.faces:
             key = (axis, side)
-            if key in masks:
+            if axis < 0 or key in masks:
                 continue
             io = jax.lax.broadcasted_iota(jnp.int32, (B, ny, nz), axis)
             if axis == 0:
@@ -117,29 +152,33 @@ def _make_kernel(cfg: FusedLBMConfig):
             n_ax = (cfg.nx, ny, nz)[axis]
             masks[key] = io == (0 if side == 0 else n_ax - 1)
 
+        if cfg.has_media:
+            solid = m_center[...] == 0
+            fluid = jnp.logical_not(solid)
+
         def streamed(qi):
-            """Pull-streamed direction qi with face bounce-back applied
-            (reference LBMStream.C:51-80 + LBMBounceBack.C)."""
+            """Pull-streamed direction qi with face + obstacle bounce-back
+            and solid masking applied (reference LBMStream.C:51-80 +
+            LBMBounceBack.C + LatticeBoltzmannProblem::maskedFillSolids)."""
             ex, ey, ez = cfg.e[qi]
-            if ex == 1:
-                if B > 1:
-                    a = jnp.concatenate([left[qi], center[qi, : B - 1]], axis=0)
-                else:
-                    a = left[qi]
-            elif ex == -1:
-                if B > 1:
-                    a = jnp.concatenate([center[qi, 1:], right[qi]], axis=0)
-                else:
-                    a = right[qi]
-            else:
-                a = center[qi]
-            a = _roll(a, ey, 1)
-            a = _roll(a, ez, 2)
-            # bounce-back: replaced dirs at a face read the OPPOSITE
-            # direction of the unstreamed old distribution at the same node
+            a = window(center, left, right, qi, ex, ey, ez)
             for axis, side, dirs in cfg.faces:
-                if qi in dirs:
+                if axis < 0:
+                    # obstacle bounce-back: fluid cells whose upstream
+                    # neighbor along e is solid (reference wallBoundary3D /
+                    # the static per-direction mask in lbm_bc.py)
+                    if qi != 0:
+                        m_up = window(m_center, m_left, m_right, None,
+                                      ex, ey, ez)
+                        a = jnp.where((m_up == 0) & fluid,
+                                      center[cfg.op[qi]], a)
+                elif qi in dirs:
+                    # face bounce-back: replaced dirs at a face read the
+                    # OPPOSITE direction of the unstreamed old distribution
+                    # at the same node
                     a = jnp.where(masks[(axis, side)], center[cfg.op[qi]], a)
+            if cfg.has_media:
+                a = jnp.where(solid, jnp.zeros((), a.dtype), a)
             return a
 
         # pass 1: moments (reference LBMComputeDensity/LBMComputeVelocity)
@@ -158,7 +197,12 @@ def _make_kernel(cfg: FusedLBMConfig):
             if ez:
                 t = a if ez > 0 else -a
                 mz = t if mz is None else mz + t
-        inv_rho = 1.0 / rho
+        if cfg.has_media:
+            # solids carry rho = 0 (all f masked); make the division safe
+            # and zero the velocity exactly as the jnp masked_fill chain
+            inv_rho = jnp.where(solid, jnp.zeros((), rho.dtype), 1.0 / rho)
+        else:
+            inv_rho = 1.0 / rho
         ux = mx * inv_rho + bfx * (0.5 * inv_rho)
         uy = my * inv_rho + bfy * (0.5 * inv_rho)
         uz = mz * inv_rho + bfz * (0.5 * inv_rho)
@@ -235,10 +279,11 @@ def _pick_block(nx: int, ny: int, nz: int, q: int, itemsize: int) -> int:
     return 1
 
 
-def fused_substep(fpc_qm, speed, cfg: FusedLBMConfig):
+def fused_substep(fpc_qm, speed, media, cfg: FusedLBMConfig):
     """One lattice update.  fpc_qm: (q, nx, ny, nz) post-collision
     distribution from the previous substep; speed: (nx, ny, nz) previous
-    speed.  Returns (fpc_new_qm, speed_new, residual)."""
+    speed; media: (nx, ny, nz) binary media cast to the field dtype, or
+    None.  Returns (fpc_new_qm, speed_new, residual)."""
     q, nx, ny, nz, B = cfg.q, cfg.nx, cfg.ny, cfg.nz, cfg.block
     dt = fpc_qm.dtype
     grid = (nx // B,)
@@ -255,7 +300,21 @@ def fused_substep(fpc_qm, speed, cfg: FusedLBMConfig):
         memory_space=pltpu.VMEM,
     )
     sp_blk = pl.BlockSpec((B, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    m_halo_l = pl.BlockSpec(
+        (1, ny, nz), lambda i: ((i * B - 1) % nx, 0, 0), memory_space=pltpu.VMEM
+    )
+    m_halo_r = pl.BlockSpec(
+        (1, ny, nz), lambda i: (((i + 1) * B) % nx, 0, 0), memory_space=pltpu.VMEM
+    )
     acc_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    in_specs = [blk, halo_l, halo_r]
+    args = [fpc_qm, fpc_qm, fpc_qm]
+    if cfg.has_media:
+        in_specs += [sp_blk, m_halo_l, m_halo_r]
+        args += [media, media, media]
+    in_specs.append(sp_blk)
+    args.append(speed)
 
     import os
 
@@ -274,11 +333,11 @@ def fused_substep(fpc_qm, speed, cfg: FusedLBMConfig):
             jax.ShapeDtypeStruct((1, 2), dt),
         ),
         grid=grid,
-        in_specs=[blk, halo_l, halo_r, sp_blk],
+        in_specs=in_specs,
         out_specs=(blk, sp_blk, acc_spec),
         compiler_params=params,
         interpret=_INTERPRET,
-    )(fpc_qm, fpc_qm, fpc_qm, speed)
+    )(*args)
 
     num, den = acc[0, 0], acc[0, 1]
     residual = jnp.where((den == 0) | (num == 0), jnp.ones((), dt), num / den)
@@ -313,8 +372,7 @@ def match_chain(problem) -> FusedLBMPlan:
     mode = getattr(dom, "parallel_mode", None)
     if mode is not None and getattr(mode, "name", str(mode)) != "NONE":
         _reject("only serial (single-device) domains are supported")
-    if problem.lbm_solid_mask() is not None:
-        _reject("binary media / solid masks are not supported")
+    has_media = problem.lbm_solid_mask() is not None
 
     solver = problem.solver
     if not isinstance(solver, LBMStream):
@@ -325,15 +383,22 @@ def match_chain(problem) -> FusedLBMPlan:
 
     st = problem.lbm_stencil()
     faces = []
+    wall_bounce_back = False
     for bc in problem.bc_computes:
         if not isinstance(bc, LB.LBMBounceBack):
             _reject(f"boundary compute '{bc.name}' is not LBMBounceBack")
+        if bc.f_old != fpc_name or bc.out != f_name:
+            _reject(f"bounce-back '{bc.name}' must act on the streamed pair")
+        if bc.boundary == "wall":
+            if not has_media:
+                _reject("wall bounce-back requires binary media")
+            wall_bounce_back = True
+            faces.append((-1, 0, ()))  # keep the deck's BC ordering
+            continue
         if bc.boundary not in _FACE_AXIS_SIDE:
             _reject(f"bounce-back boundary '{bc.boundary}' is not a domain face")
         if (bc.xsel, bc.ysel, bc.zsel) != (slice(None),) * 3:
             _reject("exclude_corners_* options are not supported")
-        if bc.f_old != fpc_name or bc.out != f_name:
-            _reject(f"bounce-back '{bc.name}' must act on the streamed pair")
         axis, side = _FACE_AXIS_SIDE[bc.boundary]
         incoming = {"left": st.left, "bottom": st.bottom, "front": st.front}
         if side == 0:
@@ -396,6 +461,7 @@ def match_chain(problem) -> FusedLBMPlan:
         tau=float(collision.tau_0),
         body_force=(float(bf[0]), float(bf[1]), float(bf[2])),
         faces=tuple(faces),
+        has_media=has_media,
     )
     old_keys = set()
     for c in [solver] + list(problem.bc_computes) + list(problem.solve_computes):
@@ -408,4 +474,5 @@ def match_chain(problem) -> FusedLBMPlan:
         fpc=fpc_name,
         speed=speed.out if speed is not None else None,
         has_residual=residual is not None,
+        media=problem.lbm_binary_media if has_media else None,
     )

@@ -933,9 +933,13 @@ class TensorProblem:
             speed = jnp.zeros((cfg.nx, cfg.ny, cfg.nz),
                               state["buffers"][plan.fpc].dtype)
 
+        media = None
+        if plan.media is not None:
+            media = state["buffers"][plan.media].astype(fpc_qm.dtype)
+
         def sub(_i, carry):
             cur, _prev, sp_cur, _sp_prev, _res = carry
-            new, sp_new, res = pallas_lbm.fused_substep(cur, sp_cur, cfg)
+            new, sp_new, res = pallas_lbm.fused_substep(cur, sp_cur, media, cfg)
             return (new, cur, sp_new, sp_cur, res)
 
         resid0 = jnp.ones((), fpc_qm.dtype)

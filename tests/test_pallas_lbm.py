@@ -266,6 +266,179 @@ def test_fused_all_faces(n, stencil):
     _assert_state_parity(s1, s2)
 
 
+_MEDIA_DECK = """
+[Domain]
+  dim = 3
+  nx = 8
+  ny = 12
+  nz = 10
+  mesh_mode = DUMMY
+[]
+[Stencil]
+  [s]
+    type = LBMD3Q19
+  []
+[]
+[TensorBuffers]
+  [f]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [feq]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [fpc]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [velocity]
+    type = LBMTensorBuffer
+    buffer_type = mv
+  []
+  [density]
+    type = LBMTensorBuffer
+    buffer_type = ms
+  []
+  [speed]
+    type = LBMTensorBuffer
+    buffer_type = ms
+  []
+  [media]
+    type = LBMTensorBuffer
+    buffer_type = ms
+    is_integer = true
+    file = {media_h5}
+  []
+[]
+[TensorComputes]
+  [Initialize]
+    [initial_density]
+      type = LBMConstantTensor
+      buffer = density
+      constants = 1.0
+    []
+    [initial_velocity]
+      type = LBMConstantTensor
+      buffer = velocity
+      constants = '0.01 0.0 0.0'
+    []
+    [initial_equilibrium]
+      type = LBMEquilibrium
+      buffer = feq
+      bulk = density
+      velocity = velocity
+    []
+    [initial_distribution]
+      type = LBMEquilibrium
+      buffer = f
+      bulk = density
+      velocity = velocity
+    []
+    [initial_distribution_pc]
+      type = LBMEquilibrium
+      buffer = fpc
+      bulk = density
+      velocity = velocity
+    []
+  []
+  [Solve]
+    [equilibrium]
+      type = LBMEquilibrium
+      buffer = feq
+      bulk = density
+      velocity = velocity
+    []
+    [collision]
+      type = LBMBGKCollision
+      buffer = fpc
+      f = f
+      feq = feq
+      tau0 = 0.9
+    []
+    [density]
+      type = LBMComputeDensity
+      buffer = density
+      f = f
+    []
+    [velocity]
+      type = LBMComputeVelocity
+      buffer = velocity
+      f = f
+      rho = density
+      add_body_force = true
+      body_force_x = 0.0002
+    []
+    [speed]
+      type = LBMComputeVelocityMagnitude
+      buffer = speed
+      velocity = velocity
+    []
+    [residual]
+      type = LBMComputeResidual
+      buffer = speed
+      speed = speed
+    []
+  []
+  [Boundary]
+    [top]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = top
+    []
+    [bottom]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = bottom
+    []
+    [wall]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = wall
+    []
+  []
+[]
+[TensorSolver]
+  type = LBMStream
+  buffer = f
+  f_old = fpc
+[]
+[Problem]
+  type = LatticeBoltzmannProblem
+  substeps = 6
+  binary_media = media
+  lbm_backend = {backend}
+[]
+"""
+
+
+def test_fused_media_wall_parity(tmp_path):
+    """Binary media (box obstacle, h5-loaded like the reference decks) +
+    wall bounce-back + face bounce-back: the fused kernel computes the
+    obstacle masks in-kernel from the media halo and must match the jnp
+    chain's static-mask path."""
+    import h5py
+
+    media = np.ones((8, 12, 10), dtype=np.int64)
+    media[3:6, 4:8, 2:6] = 0
+    h5 = tmp_path / "media.h5"
+    with h5py.File(h5, "w") as f:
+        f.create_dataset("media", data=media)
+
+    _, s1 = _run_deck(hit.parse(_MEDIA_DECK.format(backend="JNP", media_h5=h5)))
+    _, s2 = _run_deck(hit.parse(_MEDIA_DECK.format(backend="PALLAS", media_h5=h5)))
+    # solids produce exact zeros in both paths; NaN would poison the diff
+    assert np.isfinite(np.asarray(s2["buffers"]["velocity"])).all()
+    assert np.isfinite(np.asarray(s1["buffers"]["velocity"])).all()
+    # the obstacle must actually deflect the flow (wall BC active)
+    v = np.asarray(s1["buffers"]["velocity"])
+    assert np.abs(v[..., 1]).max() > 0
+    _assert_state_parity(s1, s2)
+
+
 def test_fused_gold_channel3d():
     """The fused backend reproduces the reference gold
     (test/tests/lbm/gold/channel3D.h5, HDF5Diff abs_tol 1e-10)."""
