@@ -327,22 +327,30 @@ def bench_ch3d(n, substeps=10, reps=3):
     # wins at 512-extents where XLA's FFT is far off the memory ceiling;
     # at 256 XLA's half-spectrum rfftn is already efficient, so skip
     if n == 512:
-        root3 = hit.parse(
-            _CH3D_DECK.format(n=n, substeps=substeps)
-            .replace("substeps =", "carry_reciprocal = true\n  substeps =")
-            .replace("[Domain]", "[Domain]\n  fft_backend = PALLAS")
-        )
-        problem3 = TensorProblem(root3)
-        step3 = jax.jit(problem3._step_impl, donate_argnums=(0,))
-        out3 = step3(problem3.init_state(), 0.0, dt, dt, jnp.asarray(False))
-        _sync(out3["buffers"]["c"])
-        t0 = time.time()
-        for _ in range(reps):
-            out3 = step3(out3, 0.0, dt, dt, jnp.asarray(False))
-        _sync(out3["buffers"]["c"])
-        pallas_substep_s = max((time.time() - t0 - rt) / reps, 1e-9) / substeps
-        out_d["pallas_substep_ms"] = round(pallas_substep_s * 1e3, 3)
-        out_d["pallas_cell_updates_per_s"] = round(n ** 3 / pallas_substep_s)
+        for key, solver_extra in (
+            ("pallas", "carry_reciprocal = true"),
+            # fused_spectral: the whole predictor substep as 5 Pallas
+            # passes (pallas_spectral.py) — µ, N̄ and the k-space update
+            # never touch HBM as separate stages
+            ("fused", "carry_reciprocal = true\n  fused_spectral = true"),
+        ):
+            root3 = hit.parse(
+                _CH3D_DECK.format(n=n, substeps=substeps)
+                .replace("substeps =", solver_extra + "\n  substeps =")
+                .replace("[Domain]", "[Domain]\n  fft_backend = PALLAS")
+            )
+            problem3 = TensorProblem(root3)
+            step3 = jax.jit(problem3._step_impl, donate_argnums=(0,))
+            out3 = step3(problem3.init_state(), 0.0, dt, dt, jnp.asarray(False))
+            _sync(out3["buffers"]["c"])
+            t0 = time.time()
+            for _ in range(reps):
+                out3 = step3(out3, 0.0, dt, dt, jnp.asarray(False))
+            _sync(out3["buffers"]["c"])
+            sub_s = max((time.time() - t0 - rt) / reps, 1e-9) / substeps
+            out_d[f"{key}_substep_ms"] = round(sub_s * 1e3, 3)
+            out_d[f"{key}_cell_updates_per_s"] = round(n ** 3 / sub_s)
+            del out3, step3, problem3
     return out_d
 
 

@@ -122,7 +122,10 @@ def _radix_inv(parts_r, parts_i, r):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_lanes_kernel(n, tb, real_input):
+def _fwd_lanes_kernel(n, tb, real_input, pre=None):
+    """pre: optional elementwise jnp function applied to the (real) input
+    block before the transform — fuses a pointwise producer (e.g. µ = f'(c)
+    in a Cahn-Hilliard substep) into the first-axis kernel's HBM read."""
     r = n // P
 
     def kernel(*refs):
@@ -131,7 +134,10 @@ def _fwd_lanes_kernel(n, tb, real_input):
         else:
             (xr_ref, xi_ref, wr_ref, wi_ref, twr_ref, twi_ref, or_ref, oi_ref) = refs
         # input x[b, n], n_index = p + P q  →  (TB, r, P): q major, p lanes
-        xr = xr_ref[:].reshape(tb, r, P)
+        xin = xr_ref[:]
+        if pre is not None:
+            xin = pre(xin)
+        xr = xin.reshape(tb, r, P)
         parts_r = [xr[:, q, :] for q in range(r)]
         if real_input:
             parts_i = [jnp.zeros_like(parts_r[0]) for _ in range(r)]
@@ -290,12 +296,15 @@ def _pick_tb(B, n):
     return max(tb, 1)
 
 
-def fft_lanes(xr, xi, n):
+def fft_lanes(xr, xi, n, pre=None):
     """Forward along the last axis of (B, n). xi=None for real input.
-    Returns permuted-order (re, im)."""
+    Returns permuted-order (re, im).  `pre`: optional elementwise function
+    fused into the kernel's input read (real input only)."""
     B = xr.shape[0]
     tb = _pick_tb(B, n)
-    k = _fwd_lanes_kernel(n, tb, xi is None)
+    if pre is not None and xi is not None:
+        raise ValueError("pre-op fusion requires real input")
+    k = _fwd_lanes_kernel(n, tb, xi is None, pre=pre)
     args = ([xr] if xi is None else [xr, xi]) + list(_consts(n, False))
     return _call_lanes(k, n, tb, 1 if xi is None else 2, 2, args, B)
 
@@ -347,9 +356,11 @@ def ifft_sublanes(xr, xi, n, real_output=False):
 # ---------------------------------------------------------------------------
 
 
-def fftn_unordered(x: jnp.ndarray) -> jnp.ndarray:
-    """Forward n-D FFT of a REAL array; returns complex64/128 with every
-    axis in permuted (t-major) order.  All axis extents must be supported."""
+def fftn_unordered_planar(x: jnp.ndarray, pre=None, skip_axis0=False):
+    """Forward n-D FFT of a REAL array; returns planar (re, im) f32 arrays
+    with every axis in permuted (t-major) order.  `pre` fuses an elementwise
+    function into the first-axis kernel's read; `skip_axis0` leaves axis 0
+    untransformed (a caller fusing its own final-axis kernel)."""
     shape = x.shape
     dim = len(shape)
     for s in shape:
@@ -358,36 +369,43 @@ def fftn_unordered(x: jnp.ndarray) -> jnp.ndarray:
     # axis -1 (lanes), real input
     n = shape[-1]
     xr = x.astype(jnp.float32).reshape(-1, n)
-    rr, ri = fft_lanes(xr, None, n)
+    rr, ri = fft_lanes(xr, None, n, pre=pre)
     rr = rr.reshape(shape)
     ri = ri.reshape(shape)
     # remaining axes: operate on axis 0 of a (n_d, rest) view
     for d in range(dim - 2, -1, -1):
+        if d == 0 and skip_axis0:
+            break
         n_d = shape[d]
         # move nothing: view (prefix, n_d, suffix) → loop handled by folding
         # prefix into the grid via reshape to (n_d, -1) per prefix block.
         # Simplest correct approach: transpose-free requires prefix==1, so
         # fold prefix axes by vmapping the sublane kernel over them.
-        pre = int(np.prod(shape[:d], dtype=int)) if d > 0 else 1
+        pre_n = int(np.prod(shape[:d], dtype=int)) if d > 0 else 1
         suf = int(np.prod(shape[d + 1:], dtype=int))
-        rr2 = rr.reshape(pre, n_d, suf)
-        ri2 = ri.reshape(pre, n_d, suf)
-        if pre == 1:
+        rr2 = rr.reshape(pre_n, n_d, suf)
+        ri2 = ri.reshape(pre_n, n_d, suf)
+        if pre_n == 1:
             orr, ori = fft_sublanes(rr2[0], ri2[0], n_d)
             rr, ri = orr.reshape(shape), ori.reshape(shape)
         else:
             f = jax.vmap(lambda a, b: fft_sublanes(a, b, n_d))
             orr, ori = f(rr2, ri2)
             rr, ri = orr.reshape(shape), ori.reshape(shape)
+    return rr, ri
+
+
+def fftn_unordered(x: jnp.ndarray) -> jnp.ndarray:
+    """Forward n-D FFT of a REAL array; returns complex64/128 with every
+    axis in permuted (t-major) order.  All axis extents must be supported."""
+    rr, ri = fftn_unordered_planar(x)
     return rr + 1j * ri
 
 
-def ifftn_unordered(u: jnp.ndarray, shape) -> jnp.ndarray:
-    """Inverse of fftn_unordered; returns the REAL array (imaginary part of
-    the final axis inverse is discarded, as in irfftn)."""
+def ifftn_unordered_planar(rr: jnp.ndarray, ri: jnp.ndarray, shape):
+    """Inverse of fftn_unordered_planar; returns the REAL array (imaginary
+    part of the final axis inverse is discarded, as in irfftn)."""
     dim = len(shape)
-    rr = jnp.real(u).astype(jnp.float32)
-    ri = jnp.imag(u).astype(jnp.float32)
     # leading axes first (complex→complex), last axis last (complex→real)
     for d in range(0, dim - 1):
         n_d = shape[d]
@@ -404,3 +422,10 @@ def ifftn_unordered(u: jnp.ndarray, shape) -> jnp.ndarray:
     n = shape[-1]
     out = ifft_lanes(rr.reshape(-1, n), ri.reshape(-1, n), n, real_output=True)
     return out.reshape(shape)
+
+
+def ifftn_unordered(u: jnp.ndarray, shape) -> jnp.ndarray:
+    """Inverse of fftn_unordered; returns the REAL array."""
+    rr = jnp.real(u).astype(jnp.float32)
+    ri = jnp.imag(u).astype(jnp.float32)
+    return ifftn_unordered_planar(rr, ri, shape)

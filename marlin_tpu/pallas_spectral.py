@@ -1,0 +1,293 @@
+"""Fused semi-implicit spectral substep (Cahn-Hilliard class) — the
+whole ABM predictor substep as five Pallas passes over HBM.
+
+The jnp substep with `carry_reciprocal` + `fft_backend = PALLAS` already
+runs 2 FFT-equivalent transforms, but still materializes every pointwise
+stage between them: µ = f'(c), N̄ = M̄·µ̄, the semi-implicit update
+ū = (ū + dt·Σβ N̄)/(1 − dt·L̄), and the N̄ history push — ~10 GB of
+pointwise HBM traffic per 512³ substep on top of the ~12 GB the six
+axis transforms move.  This module removes ALL of it (SURVEY §7.7, the
+"fused semi-implicit k-space update" candidate):
+
+  1. µ = f'(c) evaluates INSIDE the first forward-axis kernel's read
+     (pallas_fft.fft_lanes `pre=`): µ never exists in HBM.
+  2. The LAST forward axis (x, sublanes) transforms µ̄ and applies the
+     whole k-space update in its epilogue: M̄ = −k²·mobility and
+     L̄ = k⁴·κ are rebuilt in-registers from two tiny 1-D permuted-|k|²
+     tables (never materialized — the same rule domain.k_square follows),
+     the AB order-β weights arrive as SMEM scalars, and the kernel emits
+     the updated ū and the new N̄ (next substep's history) directly.
+  3. The inverse transform consumes ū and emits c.
+
+ū and N̄ stay as planar f32 (re, im) pairs across the substep loop —
+complex<->planar conversion happens once per MOOSE step.  The LAST
+substep of each step runs the regular jnp chain, leaving every deck
+buffer (mu, mubar, N̄, ū complex, c) and the old-state ring exactly as
+the unfused solver does.
+
+Enabled per-deck with `[TensorSolver] fused_spectral = true` (requires
+`carry_reciprocal = true` and `[Domain] fft_backend = PALLAS`); the
+chain is pattern-matched (single variable, pointwise µ(c), N̄ = M̄·µ̄
+with M̄ from ReciprocalLaplacianFactor, L̄ from
+ReciprocalLaplacianSquareFactor, no corrector) and anything else raises
+a named error.  Numerics: identical formula to AdamsBashforthMoulton
+.substep at f32; parity tested in interpret mode (tests/test_pallas_spectral.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pallas_fft as pf
+
+
+class SpectralChainError(Exception):
+    """The deck's solve chain does not match the fused-substep pattern."""
+
+
+@dataclass
+class SpectralPlan:
+    mu_fn: Callable  # pointwise µ = f'(u)
+    mobility: float  # M̄ = -k² · mobility
+    kappa: float  # L̄ = k⁴ · kappa (sign per ReciprocalLaplacianSquareFactor)
+    buffer: str  # u
+    reciprocal: str  # ū
+    nonlinear: str  # N̄
+    linear: str  # L̄ buffer name (recomputed lazily in-kernel)
+    mu: str  # µ buffer name
+    mubar: str  # µ̄ buffer name
+    shape: tuple
+    kx2: np.ndarray  # (nx, 1) permuted kx², f32
+    kyz2: np.ndarray  # (1, ny·nz) permuted ky²+kz² flattened, f32
+
+
+def _reject(msg):
+    raise SpectralChainError(
+        f"fused_spectral = true: {msg} (drop the flag for the general path)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# the final-forward-axis + k-space-update kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_x_update_kernel(n, tl, mobility, kappa):
+    """Forward sublane transform of (µ̄r, µ̄i) along axis 0 fused with the
+    ABM predictor update.  Emits (ūr, ūi, N̄r, N̄i)."""
+    r = n // pf.P
+    HIGHEST = pf.HIGHEST
+
+    def kernel(xr_ref, xi_ref, wr_ref, wi_ref, twr_ref, twi_ref,
+               cr_ref, ci_ref, onr_ref, oni_ref, kx2_ref, kyz2_ref, scal_ref,
+               ur_ref, ui_ref, nr_ref, ni_ref):
+        xr = xr_ref[:].reshape(r, pf.P, tl)
+        xi = xi_ref[:].reshape(r, pf.P, tl)
+        wr, wi = wr_ref[:], wi_ref[:]
+        twr, twi = twr_ref[:], twi_ref[:]
+        mml = lambda w, x: jax.lax.dot_general(
+            w, x, (((1,), (0,)), ((), ())), precision=HIGHEST,
+            preferred_element_type=jnp.float32)
+        parts_r = [xr[q] for q in range(r)]
+        parts_i = [xi[q] for q in range(r)]
+        ar, ai = pf._radix_fwd(parts_r, parts_i, r)
+        wrT, wiT = wr.T, wi.T
+        outs_r, outs_i = [], []
+        for t in range(r):
+            tr = twr[t, :].reshape(pf.P, 1)
+            ti = twi[t, :].reshape(pf.P, 1)
+            br = ar[t] * tr - ai[t] * ti
+            bi = ar[t] * ti + ai[t] * tr
+            outs_r.append(mml(wrT, br) - mml(wiT, bi))
+            outs_i.append(mml(wrT, bi) + mml(wiT, br))
+        mr = jnp.concatenate(outs_r, axis=0)  # µ̄ (x-axis transformed)
+        mi = jnp.concatenate(outs_i, axis=0)
+
+        # -- fused ABM predictor update (solvers/abm.py substep) ----------
+        sub_dt = scal_ref[0, 0]
+        b0 = scal_ref[0, 1]
+        b1 = scal_ref[0, 2]
+        k2 = kx2_ref[:] + kyz2_ref[:]  # (n,1) + (1,tl) → (n,tl)
+        Mb = -k2 * mobility  # ReciprocalLaplacianFactor
+        Lb = (k2 * k2) * kappa  # ReciprocalLaplacianSquareFactor
+        nr = Mb * mr
+        ni = Mb * mi
+        acc_r = b0 * nr + b1 * onr_ref[:]
+        acc_i = b0 * ni + b1 * oni_ref[:]
+        den = 1.0 / (1.0 - sub_dt * Lb)
+        ur_ref[:] = (cr_ref[:] + sub_dt * acc_r) * den
+        ui_ref[:] = (ci_ref[:] + sub_dt * acc_i) * den
+        nr_ref[:] = nr
+        ni_ref[:] = ni
+
+    return kernel
+
+
+def _call_update(mr, mi, cr, ci, onr, oni, kx2, kyz2, scal, plan):
+    n, L = mr.shape
+    tl = 128
+    r = n // pf.P
+    bs = pl.BlockSpec((n, tl), lambda j: (0, j), memory_space=pltpu.VMEM)
+    fw = lambda shp: pl.BlockSpec(shp, lambda j: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = (
+        [bs, bs]
+        + [fw((pf.P, pf.P)), fw((pf.P, pf.P)), fw((r, pf.P)), fw((r, pf.P))]
+        + [bs, bs, bs, bs]
+        + [fw((n, 1)), pl.BlockSpec((1, tl), lambda j: (0, j),
+                                    memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((1, 4), lambda j: (0, 0), memory_space=pltpu.SMEM)]
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((n, L), jnp.float32) for _ in range(4)
+    )
+    kern = _fwd_x_update_kernel(n, tl, plan.mobility, plan.kappa)
+    consts = pf._consts(n, False)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        grid=(L // tl,),
+        in_specs=in_specs,
+        out_specs=tuple(bs for _ in range(4)),
+        interpret=pf._INTERPRET,
+    )(mr, mi, *consts, cr, ci, onr, oni, kx2, kyz2, scal)
+
+
+def ch_substep(c, cr, ci, onr, oni, scal, plan: SpectralPlan):
+    """One fused predictor substep.
+
+    c: (nx,ny,nz) real field; (cr, ci): planar ū; (onr, oni): planar old
+    N̄ (flattened (nx, ny·nz)); scal: (1,4) f32 [sub_dt, β0, β1, 0].
+    Returns (c', ur, ui, nr, ni)."""
+    shape = plan.shape
+    nx = shape[0]
+    L = int(np.prod(shape[1:], dtype=int))
+    # forward: µ fused into the lanes kernel; axes nz, ny; skip axis 0
+    rr, ri = pf.fftn_unordered_planar(c, pre=plan.mu_fn, skip_axis0=True)
+    ur, ui, nr, ni = _call_update(
+        rr.reshape(nx, L), ri.reshape(nx, L), cr, ci, onr, oni,
+        jnp.asarray(plan.kx2), jnp.asarray(plan.kyz2), scal, plan,
+    )
+    c_new = pf.ifftn_unordered_planar(
+        ur.reshape(shape), ui.reshape(shape), shape
+    )
+    return c_new, ur, ui, nr, ni
+
+
+# ---------------------------------------------------------------------------
+# deck-chain pattern matching
+# ---------------------------------------------------------------------------
+
+
+def match_chain(solver) -> SpectralPlan:
+    """Validate the solver's chain against the fused pattern; raises
+    SpectralChainError naming the unsupported feature."""
+    from .computes.base import ComputeGroup
+    from .computes.core import (ForwardFFT, ParsedCompute,
+                                ReciprocalLaplacianFactor,
+                                ReciprocalLaplacianSquareFactor)
+
+    problem = solver.problem
+    dom = solver.domain
+    if getattr(dom.fft_backend, "name", str(dom.fft_backend)) != "PALLAS":
+        _reject("requires [Domain] fft_backend = PALLAS")
+    if dom.dim < 2:
+        _reject("only 2-D/3-D domains are supported")
+    if not solver.carry_reciprocal:
+        _reject("requires carry_reciprocal = true")
+    if solver.corrector_steps:
+        _reject("the Adams-Moulton corrector is not fusable")
+    if solver.predictor_order > 1:  # 0-indexed; orders 1-2
+        _reject("predictor orders above 2 are not fusable (history depth 1)")
+    if len(solver.variables) != 1:
+        _reject("exactly one integrated variable is supported")
+    if solver.forwarded_buffers:
+        _reject("buffer forwarding is not supported")
+    if getattr(solver, "predictors", []):
+        _reject("predictors are not supported")
+    v = solver.variables[0]
+    if v.linear_reciprocal is None:
+        _reject("a linear_reciprocal buffer is required")
+
+    def flatten(group):
+        out = []
+        for m in group.members:
+            if isinstance(m, ComputeGroup):
+                out += flatten(m)
+            else:
+                out.append(m)
+        return out
+
+    members = flatten(solver.compute)
+    mu = fftc = nl = None
+    for m in members:
+        if isinstance(m, ForwardFFT) and fftc is None:
+            fftc = m
+        elif isinstance(m, ParsedCompute) and m.inputs == [v.buffer] and mu is None:
+            mu = m
+        elif isinstance(m, ParsedCompute) and nl is None:
+            nl = m
+        else:
+            _reject(f"solve compute '{m.name}' ({type(m).__name__}) is not fusable")
+    for what, c in (("pointwise µ(u) ParsedCompute", mu),
+                    ("ForwardFFT", fftc), ("N̄ ParsedCompute", nl)):
+        if c is None:
+            _reject(f"the chain requires a {what}")
+    if mu.extra_symbols or mu.expand != "NONE" or mu.is_integer:
+        _reject("µ must be a pure pointwise function of the variable")
+    if fftc.input != mu.out:
+        _reject("the ForwardFFT must transform µ")
+    if nl.out != v.nonlinear_reciprocal:
+        _reject("the second ParsedCompute must produce nonlinear_reciprocal")
+
+    # find the Initialize producers of M̄ and L̄
+    def find_ic(name, cls, what):
+        for m in flatten(problem.ic_computes):
+            if getattr(m, "out", None) == name:
+                if not isinstance(m, cls):
+                    _reject(f"{what} must be produced by {cls.__name__}")
+                return m
+        _reject(f"no Initialize compute produces {what} '{name}'")
+
+    mbar_in = [b for b in nl.inputs if b != fftc.out]
+    if set(nl.inputs) != {fftc.out} | set(mbar_in) or len(mbar_in) != 1:
+        _reject("N̄ must be a function of µ̄ and one k-space factor buffer")
+    mbar = find_ic(mbar_in[0], ReciprocalLaplacianFactor, "M̄")
+    lbar = find_ic(v.linear_reciprocal, ReciprocalLaplacianSquareFactor, "L̄")
+
+    # verify N̄ = M̄·µ̄ functionally (product is the only accepted form)
+    rng = np.random.RandomState(0)
+    a = rng.randn(4).astype(np.float64)
+    b = rng.randn(4) + 1j * rng.randn(4)
+    got = np.asarray(nl.expr({mbar_in[0]: a, fftc.out: b}))
+    if not np.allclose(got, a * b, rtol=1e-5, atol=1e-6):
+        _reject("N̄ expression is not the product M̄·µ̄")
+
+    mu_fn = lambda arr: mu.expr({v.buffer: arr})
+
+    shape = tuple(dom.shape)
+    kx2 = (dom._np_raxes[0] ** 2).reshape(-1, 1).astype(np.float32)
+    trailing = dom._np_raxes[1] ** 2
+    for d in range(2, dom.dim):
+        trailing = trailing[..., None] + dom._np_raxes[d] ** 2
+    kyz2 = trailing.reshape(1, -1).astype(np.float32)
+    return SpectralPlan(
+        mu_fn=mu_fn,
+        mobility=float(mbar.factor),
+        kappa=float(lbar.factor),
+        buffer=v.buffer,
+        reciprocal=v.reciprocal_buffer,
+        nonlinear=v.nonlinear_reciprocal,
+        linear=v.linear_reciprocal,
+        mu=mu.out,
+        mubar=fftc.out,
+        shape=shape,
+        kx2=kx2,
+        kyz2=kyz2,
+    )

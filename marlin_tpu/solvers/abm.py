@@ -12,6 +12,7 @@ tables, so the whole substep stays inside one jit region with no host sync.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..params import Params
@@ -55,9 +56,115 @@ class AdamsBashforthMoulton(SplitOperatorBase):
         self.request_history(max(self.predictor_order, self.corrector_order))
         self._beta = __import__("numpy").asarray(BETA)
         self._alpha = __import__("numpy").asarray(ALPHA)
+        # marlin_tpu extension (perf): run all but the last substep of each
+        # step as fused Pallas passes (pallas_spectral.py); requires
+        # carry_reciprocal and fft_backend = PALLAS, pattern-matched at
+        # first use with a named error otherwise
+        self.fused_spectral = params.get_bool("fused_spectral", False)
+        self._fused_plan = None
+        if self.fused_spectral and not self.carry_reciprocal:
+            params.error(
+                "fused_spectral", "requires carry_reciprocal = true"
+            )
 
     def group_evals_per_step(self):
         return self.substeps * (1 + self.corrector_steps)
+
+    def step(self, state, t, dt, dt_old, first_step):
+        if not self.fused_spectral or self.substeps <= 1:
+            return super().step(state, t, dt, dt_old, first_step)
+        return self._fused_step(state, t, dt, dt_old, first_step)
+
+    def _fused_step(self, state, t, dt, dt_old, first_step):
+        """Substeps 0..n-2 via pallas_spectral.ch_substep (ū and N̄ carried
+        as planar f32 pairs); the final substep runs the regular jnp chain
+        so the state pytree matches the unfused path."""
+        from .. import pallas_spectral as ps
+        from .base import advance_state
+
+        if self._fused_plan is None:
+            self._fused_plan = ps.match_chain(self)
+        plan = self._fused_plan
+        if state["old_dt"].shape[0] > 1 or any(
+            s.shape[0] != 1 for s in state["old"].values()
+        ):
+            raise ps.SpectralChainError(
+                "fused_spectral = true supports history depth 1 only"
+            )
+        if set(state["old"]) != {plan.nonlinear}:
+            raise ps.SpectralChainError(
+                f"fused_spectral = true supports old-state history on "
+                f"{plan.nonlinear} only (got {sorted(state['old'])})"
+            )
+
+        dom = self.domain
+        first_step = jnp.asarray(first_step, bool)
+        sub_dt = (dt / self.substeps).astype(jnp.float32)
+        dt_changed = dt != dt_old
+        n_adv0 = state["n_advances"]
+        nx = plan.shape[0]
+        L = 1
+        for s in plan.shape[1:]:
+            L *= s
+
+        buffers = dict(state["buffers"])
+        c = buffers[plan.buffer].astype(jnp.float32)
+        # carry_reciprocal seed: ū = fft(u) once per step
+        cbar = dom.fft(c)
+        cr = jnp.real(cbar).astype(jnp.float32).reshape(nx, L)
+        ci = jnp.imag(cbar).astype(jnp.float32).reshape(nx, L)
+        # the history slot equals buffers[N̄] here: the step-level advance
+        # just pushed it (and on the first MOOSE step both are zeros while
+        # the order selection forces β₁ = 0, so history never enters) —
+        # which makes the per-substep history push a pure carry rebinding
+        n_cur = buffers[plan.nonlinear]
+        nr = jnp.real(n_cur).astype(jnp.float32).reshape(nx, L)
+        ni = jnp.imag(n_cur).astype(jnp.float32).reshape(nx, L)
+        beta = jnp.asarray(self._beta, jnp.float32)
+
+        def body(s, carry):
+            c, cr, ci, nr_prev, ni_prev = carry
+            # AB order selection (substep(), reference :88-91)
+            n_adv = n_adv0 + jnp.where(first_step, 0, s)
+            n_old_b = jnp.minimum(n_adv, 1)
+            cond = (s < self.predictor_order) & dt_changed
+            order = jnp.minimum(
+                jnp.where(cond, 0, n_old_b), self.predictor_order
+            )
+            b_row = beta[order]
+            scal = jnp.stack(
+                [sub_dt, b_row[0], b_row[1], jnp.zeros((), jnp.float32)]
+            ).reshape(1, 4)
+            c2, ur, ui, nr2, ni2 = ps.ch_substep(
+                c, cr, ci, nr_prev, ni_prev, scal, plan
+            )
+            return (c2, ur, ui, nr2, ni2)
+
+        c, cr, ci, nr, ni = jax.lax.fori_loop(
+            0, self.substeps - 1, body, (c, cr, ci, nr, ni)
+        )
+
+        shape = plan.shape
+        buffers[plan.buffer] = c.astype(dom.dtype)
+        buffers[plan.reciprocal] = (cr + 1j * ci).reshape(shape).astype(dom.cdtype)
+        buffers[plan.nonlinear] = (nr + 1j * ni).reshape(shape).astype(dom.cdtype)
+        st = {**state, "buffers": buffers}
+        # the skipped in-loop advances (s = 1..substeps-2); the final
+        # substep's advance below refreshes the depth-1 old/old_dt slots
+        skipped = jnp.where(first_step, 0, self.substeps - 2)
+        st = {**st, "n_advances": st["n_advances"] + skipped}
+
+        # final substep through the regular jnp chain (base.step body, s = n-1)
+        st = jax.lax.cond(
+            jnp.logical_not(first_step),
+            lambda x: advance_state(x, dt),
+            lambda x: x,
+            st,
+        )
+        s_last = self.substeps - 1
+        return self.substep(
+            st, t + s_last * sub_dt, sub_dt, dt, dt_old, s_last, first_step
+        )
 
     def substep(self, state, sub_time, sub_dt, dt, dt_old, substep_index, first_step):
         state = self._run_group(state, sub_time)

@@ -1,0 +1,223 @@
+"""Fused semi-implicit spectral substep (marlin_tpu/pallas_spectral.py,
+deck knob `[TensorSolver] fused_spectral = true`).
+
+Interpret-mode parity on CPU: the fused path must reproduce the unfused
+carry_reciprocal + fft_backend=PALLAS trajectory (identical formula at
+f32) and the plain jnp.fft physics, plus named rejection of non-fusable
+chains."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import marlin_tpu.pallas_fft as pf
+import marlin_tpu.pallas_spectral as ps
+from marlin_tpu import hit
+from marlin_tpu.problem import TensorProblem
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    pf._INTERPRET = True
+    yield
+    pf._INTERPRET = False
+
+
+_CH = """
+[Domain]
+  dim = 2
+  nx = 128
+  ny = 128
+  xmax = 128
+  ymax = 128
+  {domain_extra}
+[]
+[TensorComputes]
+  [Initialize]
+    [c]
+      type = ParsedCompute
+      buffer = c
+      extra_symbols = true
+      expression = 'c0+epsilon*(cos(0.196349540849362*x)*cos(0.14726215563702*y)+(cos(0.098174770424681*x)*cos(0.245436926061703*y))^2)'
+      constant_names = 'c0 epsilon'
+      constant_expressions = '0.5 0.01'
+    []
+    [Mbar]
+      type = ReciprocalLaplacianFactor
+      factor = 5
+      buffer = Mbar
+    []
+    [kappabarbar]
+      type = ReciprocalLaplacianSquareFactor
+      factor = -10
+      buffer = kappabarbar
+    []
+  []
+  [Solve]
+    [mu]
+      type = ParsedCompute
+      buffer = mu
+      expression = 'rho_s*(c-c_alpha)^2*(c_beta-c)^2'
+      constant_names = 'rho_s c_alpha c_beta'
+      constant_expressions = '5 0.3 0.7'
+      derivatives = c
+      inputs = c
+    []
+    [mubar]
+      type = ForwardFFT
+      buffer = mubar
+      input = mu
+    []
+    [Mbarmubar]
+      type = ParsedCompute
+      buffer = Mbarmubar
+      expression = 'Mbar*mubar'
+      inputs = 'Mbar mubar'
+    []
+    [cbar]
+      type = ForwardFFT
+      buffer = cbar
+      input = c
+    []
+  []
+[]
+[TensorSolver]
+  type = AdamsBashforthMoulton
+  buffer = c
+  reciprocal_buffer = cbar
+  linear_reciprocal = kappabarbar
+  nonlinear_reciprocal = Mbarmubar
+  substeps = 5
+  {solver_extra}
+[]
+[Problem]
+  type = TensorProblem
+[]
+"""
+
+
+def _run(domain_extra, solver_extra, steps=3, dt=1.0):
+    root = hit.parse(_CH.format(domain_extra=domain_extra,
+                                solver_extra=solver_extra))
+    p = TensorProblem(root)
+    s = p.init_state()
+    step = jax.jit(p._step_impl)
+    for i in range(steps):
+        s = step(s, float(i), dt, dt, jnp.asarray(i == 0))
+    return s
+
+
+def test_fused_matches_unfused_pallas():
+    """fused_spectral reproduces the unfused carry_reciprocal trajectory
+    (same formula, same kernels for the transforms) including the carried
+    ū and N̄ state."""
+    s1 = _run("fft_backend = PALLAS", "carry_reciprocal = true")
+    s2 = _run("fft_backend = PALLAS",
+              "carry_reciprocal = true\n  fused_spectral = true")
+    # the real field (physics) stays tight; spectral buffers accumulate f32
+    # trajectory divergence through the nonlinearity over 14 substeps (the
+    # single-substep kernel-vs-manual test below pins the kernel itself at
+    # ~5e-6 relative)
+    for name, rel in (("c", None), ("mu", None), ("cbar", 5e-4),
+                      ("Mbarmubar", 5e-4), ("mubar", 5e-4)):
+        a = np.asarray(s1["buffers"][name])
+        b = np.asarray(s2["buffers"][name])
+        tol = 2e-5 if rel is None else rel * np.abs(a).max()
+        np.testing.assert_allclose(b, a, atol=tol, err_msg=name)
+    a = np.asarray(s1["old"]["Mbarmubar"])
+    b = np.asarray(s2["old"]["Mbarmubar"])
+    np.testing.assert_allclose(b, a, atol=5e-4 * np.abs(a).max())
+    assert int(s1["n_advances"]) == int(s2["n_advances"])
+
+
+def test_fused_substep_kernel_exact():
+    """ONE fused substep against the same formula spelled out in jnp with
+    the same pallas transforms — pins the kernel math itself (the k² table
+    rebuild, M̄/L̄ factors, β weighting, semi-implicit division)."""
+    import marlin_tpu.pallas_spectral as ps2
+
+    root = hit.parse(_CH.format(
+        domain_extra="fft_backend = PALLAS",
+        solver_extra="carry_reciprocal = true\n  fused_spectral = true"))
+    p = TensorProblem(root)
+    s = p.init_state()
+    plan = ps2.match_chain(p.solver)
+    dom = p.domain
+    c = s["buffers"]["c"].astype(jnp.float32)
+    cbar = dom.fft(c)
+    nx = plan.shape[0]
+    L = int(np.prod(plan.shape[1:], dtype=int))
+    cr = jnp.real(cbar).astype(jnp.float32).reshape(nx, L)
+    ci = jnp.imag(cbar).astype(jnp.float32).reshape(nx, L)
+    onr = jnp.ones((nx, L), jnp.float32) * 0.3
+    oni = jnp.ones((nx, L), jnp.float32) * -0.1
+    dt = jnp.asarray(0.2, jnp.float32)
+    b0, b1 = jnp.asarray(1.5, jnp.float32), jnp.asarray(-0.5, jnp.float32)
+    scal = jnp.stack([dt, b0, b1, jnp.zeros((), jnp.float32)]).reshape(1, 4)
+    c2, ur, ui, nr, ni = jax.jit(
+        lambda *a: ps2.ch_substep(*a, plan)
+    )(c, cr, ci, onr, oni, scal)
+
+    mu = plan.mu_fn(c)
+    mubar = pf.fftn_unordered(mu)
+    k2 = dom.k_square
+    N = -k2 * plan.mobility * mubar
+    oldN = (onr + 1j * oni).reshape(plan.shape)
+    ubar = (cbar + dt * (b0 * N + b1 * oldN)) / (
+        1.0 - dt * (k2 * k2 * plan.kappa)
+    )
+    c2_ref = pf.ifftn_unordered(ubar, plan.shape)
+
+    scale_N = float(jnp.abs(N).max())
+    scale_u = float(jnp.abs(ubar).max())
+    assert float(jnp.abs((nr + 1j * ni).reshape(plan.shape) - N).max()) < 2e-5 * scale_N
+    assert float(jnp.abs((ur + 1j * ui).reshape(plan.shape) - ubar).max()) < 2e-5 * scale_u
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c2_ref), atol=1e-5)
+
+
+def test_fused_physics_vs_jnp_fft():
+    """End-to-end physics: the fused path agrees with the plain jnp.fft
+    non-carry chain (recomputed ū each substep) to f32 accumulation."""
+    s1 = _run("", "")
+    s2 = _run("fft_backend = PALLAS",
+              "carry_reciprocal = true\n  fused_spectral = true")
+    np.testing.assert_allclose(
+        np.asarray(s2["buffers"]["c"]), np.asarray(s1["buffers"]["c"]),
+        atol=2e-4,
+    )
+
+
+def test_fused_first_step_semantics():
+    """During MOOSE step 1 no state advances happen and the AB order stays
+    0 — a single fused step must equal the unfused one exactly."""
+    s1 = _run("fft_backend = PALLAS", "carry_reciprocal = true", steps=1)
+    s2 = _run("fft_backend = PALLAS",
+              "carry_reciprocal = true\n  fused_spectral = true", steps=1)
+    np.testing.assert_allclose(
+        np.asarray(s2["buffers"]["c"]), np.asarray(s1["buffers"]["c"]),
+        atol=2e-5,
+    )
+    assert int(s1["n_advances"]) == int(s2["n_advances"]) == 0
+
+
+def test_fused_requires_pallas_backend():
+    with pytest.raises(ps.SpectralChainError, match="fft_backend = PALLAS"):
+        _run("", "carry_reciprocal = true\n  fused_spectral = true", steps=1)
+
+
+def test_fused_rejects_corrector():
+    with pytest.raises(ps.SpectralChainError, match="corrector"):
+        _run(
+            "fft_backend = PALLAS",
+            "carry_reciprocal = true\n  fused_spectral = true\n"
+            "  corrector_steps = 1",
+            steps=1,
+        )
+
+
+def test_fused_requires_carry():
+    from marlin_tpu.params import ParamError
+
+    with pytest.raises(ParamError, match="carry_reciprocal"):
+        _run("fft_backend = PALLAS", "fused_spectral = true", steps=1)
