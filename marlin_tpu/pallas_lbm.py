@@ -74,6 +74,11 @@ class FusedLBMConfig:
     faces: Tuple[Tuple[int, int, Tuple[int, ...]], ...]
     # binary media: solid masking + optional obstacle bounce-back
     has_media: bool = False
+    # x-sharded execution (REAL_SPACE 1-D mesh): nx is the LOCAL extent,
+    # x-halo planes arrive from ppermute neighbors, and x-face masks use
+    # the global coordinate (shard offset via an SMEM scalar)
+    sharded: bool = False
+    nx_global: int = 0
 
 
 @dataclass(frozen=True)
@@ -105,42 +110,68 @@ def _make_kernel(cfg: FusedLBMConfig):
     inv_tau = 1.0 / cfg.tau
     bfx, bfy, bfz = cfg.body_force
 
-    def kernel(*refs):
-        if cfg.has_media:
-            (center, left, right, m_center, m_left, m_right,
-             speed_old, fpc_out, speed_out, acc) = refs
-        else:
-            center, left, right, speed_old, fpc_out, speed_out, acc = refs
-            m_center = m_left = m_right = None
-        i = pl.program_id(0)
-        xg0 = i * B  # global x index of the block's first plane
+    n_blocks = cfg.nx // B
 
-        def window(ref_c, ref_l, ref_r, qi, ex, ey, ez):
+    def kernel(*refs):
+        refs = list(refs)
+        center, left, right = refs[:3]
+        refs = refs[3:]
+        if cfg.sharded:
+            ext_l, ext_r = refs[:2]
+            refs = refs[2:]
+        if cfg.has_media:
+            m_center, m_left, m_right = refs[:3]
+            refs = refs[3:]
+            if cfg.sharded:
+                m_ext_l, m_ext_r = refs[:2]
+                refs = refs[2:]
+        else:
+            m_center = m_left = m_right = None
+        speed_old = refs[0]
+        refs = refs[1:]
+        if cfg.sharded:
+            xoff_ref = refs[0]
+            refs = refs[1:]
+        fpc_out, speed_out, acc = refs
+        i = pl.program_id(0)
+        xg0 = i * B  # LOCAL x index of the block's first plane
+        if cfg.sharded:
+            xg0_global = xg0 + xoff_ref[0, 0]
+        else:
+            xg0_global = xg0
+
+        def window(ref_c, ref_l, ref_r, ext_lo, ext_hi, qi, ex, ey, ez):
             """(B,ny,nz) view shifted by -e (pull): value at x is the
-            source field at x - e, periodic.  qi=None for 3-D refs."""
+            source field at x - e, periodic.  qi=None for 3-D refs.
+            Sharded mode substitutes the neighbor-exchanged planes at the
+            shard's boundary blocks."""
             sel = (lambda r, s: r[s]) if qi is None else (lambda r, s: r[qi, s])
             if ex == 1:
+                plane = sel(ref_l, slice(None))
+                if cfg.sharded:
+                    plane = jnp.where(i == 0, sel(ext_lo, slice(None)), plane)
                 if B > 1:
-                    a = jnp.concatenate(
-                        [sel(ref_l, slice(None)), sel(ref_c, slice(0, B - 1))],
-                        axis=0,
-                    )
+                    a = jnp.concatenate([plane, sel(ref_c, slice(0, B - 1))],
+                                        axis=0)
                 else:
-                    a = sel(ref_l, slice(None))
+                    a = plane
             elif ex == -1:
+                plane = sel(ref_r, slice(None))
+                if cfg.sharded:
+                    plane = jnp.where(i == n_blocks - 1,
+                                      sel(ext_hi, slice(None)), plane)
                 if B > 1:
-                    a = jnp.concatenate(
-                        [sel(ref_c, slice(1, B)), sel(ref_r, slice(None))],
-                        axis=0,
-                    )
+                    a = jnp.concatenate([sel(ref_c, slice(1, B)), plane],
+                                        axis=0)
                 else:
-                    a = sel(ref_r, slice(None))
+                    a = plane
             else:
                 a = sel(ref_c, slice(None))
             a = _roll(a, ey, 1)
             return _roll(a, ez, 2)
 
         # static face masks (x faces depend on the block index)
+        nx_face = cfg.nx_global if cfg.sharded else cfg.nx
         masks = {}
         for axis, side, _dirs in cfg.faces:
             key = (axis, side)
@@ -148,8 +179,8 @@ def _make_kernel(cfg: FusedLBMConfig):
                 continue
             io = jax.lax.broadcasted_iota(jnp.int32, (B, ny, nz), axis)
             if axis == 0:
-                io = io + xg0
-            n_ax = (cfg.nx, ny, nz)[axis]
+                io = io + xg0_global
+            n_ax = (nx_face, ny, nz)[axis]
             masks[key] = io == (0 if side == 0 else n_ax - 1)
 
         if cfg.has_media:
@@ -161,15 +192,17 @@ def _make_kernel(cfg: FusedLBMConfig):
             and solid masking applied (reference LBMStream.C:51-80 +
             LBMBounceBack.C + LatticeBoltzmannProblem::maskedFillSolids)."""
             ex, ey, ez = cfg.e[qi]
-            a = window(center, left, right, qi, ex, ey, ez)
+            ql = (ext_l, ext_r) if cfg.sharded else (None, None)
+            a = window(center, left, right, ql[0], ql[1], qi, ex, ey, ez)
             for axis, side, dirs in cfg.faces:
                 if axis < 0:
                     # obstacle bounce-back: fluid cells whose upstream
                     # neighbor along e is solid (reference wallBoundary3D /
                     # the static per-direction mask in lbm_bc.py)
                     if qi != 0:
-                        m_up = window(m_center, m_left, m_right, None,
-                                      ex, ey, ez)
+                        ml = (m_ext_l, m_ext_r) if cfg.sharded else (None, None)
+                        m_up = window(m_center, m_left, m_right, ml[0], ml[1],
+                                      None, ex, ey, ez)
                         a = jnp.where((m_up == 0) & fluid,
                                       center[cfg.op[qi]], a)
                 elif qi in dirs:
@@ -279,11 +312,14 @@ def _pick_block(nx: int, ny: int, nz: int, q: int, itemsize: int) -> int:
     return 1
 
 
-def fused_substep(fpc_qm, speed, media, cfg: FusedLBMConfig):
+def fused_substep(fpc_qm, speed, media, cfg: FusedLBMConfig, ext=None):
     """One lattice update.  fpc_qm: (q, nx, ny, nz) post-collision
     distribution from the previous substep; speed: (nx, ny, nz) previous
     speed; media: (nx, ny, nz) binary media cast to the field dtype, or
-    None.  Returns (fpc_new_qm, speed_new, residual)."""
+    None.  `ext` (sharded mode): (fpc_left, fpc_right, media_left,
+    media_right, x_offset) neighbor halo planes + global shard offset.
+    Returns (fpc_new_qm, speed_new, acc) where acc = (1,2) residual
+    partial sums (caller reduces across shards)."""
     q, nx, ny, nz, B = cfg.q, cfg.nx, cfg.ny, cfg.nz, cfg.block
     dt = fpc_qm.dtype
     grid = (nx // B,)
@@ -308,13 +344,30 @@ def fused_substep(fpc_qm, speed, media, cfg: FusedLBMConfig):
     )
     acc_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
+    plane = pl.BlockSpec(
+        (q, 1, ny, nz), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    m_plane = pl.BlockSpec(
+        (1, ny, nz), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
     in_specs = [blk, halo_l, halo_r]
     args = [fpc_qm, fpc_qm, fpc_qm]
+    if cfg.sharded:
+        in_specs += [plane, plane]
+        args += [ext[0], ext[1]]
     if cfg.has_media:
         in_specs += [sp_blk, m_halo_l, m_halo_r]
         args += [media, media, media]
+        if cfg.sharded:
+            in_specs += [m_plane, m_plane]
+            args += [ext[2], ext[3]]
     in_specs.append(sp_blk)
     args.append(speed)
+    if cfg.sharded:
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args.append(ext[4])
 
     import os
 
@@ -339,9 +392,41 @@ def fused_substep(fpc_qm, speed, media, cfg: FusedLBMConfig):
         interpret=_INTERPRET,
     )(*args)
 
-    num, den = acc[0, 0], acc[0, 1]
-    residual = jnp.where((den == 0) | (num == 0), jnp.ones((), dt), num / den)
-    return fpc_new, speed_new, residual
+    return fpc_new, speed_new, acc
+
+
+def residual_from_acc(num, den):
+    """reference LBMComputeResidual: 1.0 when either sum vanishes."""
+    one = jnp.ones((), num.dtype)
+    return jnp.where((den == 0) | (num == 0), one, num / den)
+
+
+def fused_substep_sharded(fpc_qm, speed, media, cfg: FusedLBMConfig,
+                          axis_name: str, axis_size: int):
+    """One lattice update on an x-sharded distribution (inside shard_map
+    over a 1-D mesh): exchange one boundary plane with each neighbor over
+    ICI (lax.ppermute), run the local fused kernel with the received
+    planes substituted at the shard's boundary blocks, and psum the
+    residual partials."""
+    idx = jax.lax.axis_index(axis_name)
+    to_right = [(s, (s + 1) % axis_size) for s in range(axis_size)]
+    to_left = [(s, (s - 1) % axis_size) for s in range(axis_size)]
+    # my left halo = left neighbor's LAST plane; right halo = right
+    # neighbor's FIRST plane (periodic ring over the mesh axis)
+    ext_l = jax.lax.ppermute(fpc_qm[:, -1:], axis_name, to_right)
+    ext_r = jax.lax.ppermute(fpc_qm[:, :1], axis_name, to_left)
+    if cfg.has_media:
+        m_ext_l = jax.lax.ppermute(media[-1:], axis_name, to_right)
+        m_ext_r = jax.lax.ppermute(media[:1], axis_name, to_left)
+    else:
+        m_ext_l = m_ext_r = None
+    xoff = (idx * cfg.nx).astype(jnp.int32).reshape(1, 1)
+    fpc_new, speed_new, acc = fused_substep(
+        fpc_qm, speed, media, cfg, ext=(ext_l, ext_r, m_ext_l, m_ext_r, xoff)
+    )
+    num = jax.lax.psum(acc[0, 0], axis_name)
+    den = jax.lax.psum(acc[0, 1], axis_name)
+    return fpc_new, speed_new, residual_from_acc(num, den)
 
 
 # ---------------------------------------------------------------------------
@@ -369,9 +454,22 @@ def match_chain(problem) -> FusedLBMPlan:
     dom = problem.domain
     if dom.dim != 3:
         _reject("only 3-D decks are supported")
-    mode = getattr(dom, "parallel_mode", None)
-    if mode is not None and getattr(mode, "name", str(mode)) != "NONE":
-        _reject("only serial (single-device) domains are supported")
+    mode_name = getattr(dom.parallel_mode, "name", str(dom.parallel_mode))
+    sharded = False
+    n_shards = 1
+    if mode_name == "REAL_SPACE":
+        mesh = dom.mesh
+        if mesh is None or len(mesh.axis_names) != 1:
+            _reject("REAL_SPACE requires a 1-D (x-sharded) mesh")
+        sharded = True
+        n_shards = int(np.prod(list(mesh.shape.values())))
+        if dom.shape[0] % n_shards:
+            _reject(
+                f"nx = {dom.shape[0]} must divide evenly over the "
+                f"{n_shards}-device mesh"
+            )
+    elif mode_name != "NONE":
+        _reject("only serial or REAL_SPACE (1-D mesh) domains are supported")
     has_media = problem.lbm_solid_mask() is not None
 
     solver = problem.solver
@@ -450,18 +548,21 @@ def match_chain(problem) -> FusedLBMPlan:
 
     bf = velocity.body_force if velocity.add_body_force else [0.0, 0.0, 0.0]
     nx, ny, nz = (list(dom.shape) + [1, 1])[:3]
+    nx_local = int(nx) // n_shards
     dtype = np.dtype(dom.dtype)
     cfg = FusedLBMConfig(
         q=int(st.q),
         e=tuple((int(st.ex[i]), int(st.ey[i]), int(st.ez[i])) for i in range(st.q)),
         w=tuple(float(w) for w in st.weights),
         op=tuple(int(o) for o in st.op),
-        nx=int(nx), ny=int(ny), nz=int(nz),
-        block=_pick_block(int(nx), int(ny), int(nz), int(st.q), dtype.itemsize),
+        nx=nx_local, ny=int(ny), nz=int(nz),
+        block=_pick_block(nx_local, int(ny), int(nz), int(st.q), dtype.itemsize),
         tau=float(collision.tau_0),
         body_force=(float(bf[0]), float(bf[1]), float(bf[2])),
         faces=tuple(faces),
         has_media=has_media,
+        sharded=sharded,
+        nx_global=int(nx),
     )
     old_keys = set()
     for c in [solver] + list(problem.bc_computes) + list(problem.solve_computes):

@@ -937,15 +937,51 @@ class TensorProblem:
         if plan.media is not None:
             media = state["buffers"][plan.media].astype(fpc_qm.dtype)
 
-        def sub(_i, carry):
-            cur, _prev, sp_cur, _sp_prev, _res = carry
-            new, sp_new, res = pallas_lbm.fused_substep(cur, sp_cur, media, cfg)
-            return (new, cur, sp_new, sp_cur, res)
-
         resid0 = jnp.ones((), fpc_qm.dtype)
-        cur, prev, sp_cur, sp_prev, resid = jax.lax.fori_loop(
-            0, n_fused, sub, (fpc_qm, fpc_qm, speed, speed, resid0)
-        )
+
+        if cfg.sharded:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            mesh = self.domain.mesh
+            ax = mesh.axis_names[0]
+            n_dev = int(math.prod(mesh.shape.values()))
+
+            def run_shard(fpc_l, sp_l, media_l):
+                def sub(_i, carry):
+                    cur, _prev, spc, _spp, _r = carry
+                    new, sp_new, res = pallas_lbm.fused_substep_sharded(
+                        cur, spc, media_l, cfg, ax, n_dev
+                    )
+                    return (new, cur, sp_new, spc, res)
+
+                return jax.lax.fori_loop(
+                    0, n_fused, sub, (fpc_l, fpc_l, sp_l, sp_l, resid0)
+                )
+
+            fspec = P(None, ax, None, None)
+            sspec = P(ax, None, None)
+            if media is None:
+                media = jnp.ones((cfg.nx_global, cfg.ny, cfg.nz), fpc_qm.dtype)
+            cur, prev, sp_cur, sp_prev, resid = shard_map(
+                run_shard, mesh=mesh,
+                in_specs=(fspec, sspec, sspec),
+                out_specs=(fspec, fspec, sspec, sspec, P()),
+                # pallas_call outputs carry no varying-mesh-axes metadata
+                check_vma=False,
+            )(fpc_qm, speed, media)
+        else:
+            def sub(_i, carry):
+                cur, _prev, sp_cur, _sp_prev, _res = carry
+                new, sp_new, acc = pallas_lbm.fused_substep(
+                    cur, sp_cur, media, cfg
+                )
+                res = pallas_lbm.residual_from_acc(acc[0, 0], acc[0, 1])
+                return (new, cur, sp_new, sp_cur, res)
+
+            cur, prev, sp_cur, sp_prev, resid = jax.lax.fori_loop(
+                0, n_fused, sub, (fpc_qm, fpc_qm, speed, speed, resid0)
+            )
 
         buffers = dict(state["buffers"])
         buffers[plan.fpc] = jnp.transpose(cur, (1, 2, 3, 0))
