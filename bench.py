@@ -702,7 +702,9 @@ def main():
         raise SystemExit(1)
 
     for n in (256, 512):
-        sub = _spawn(f"ch3d_{n}", attempts=2)
+        # the 512 child compiles 4 whole-step programs (base / carry /
+        # pallas / fused); cold remote compiles can exceed 10 min
+        sub = _spawn(f"ch3d_{n}", attempts=2, timeout=2400 if n == 512 else 1500)
         result[f"ch3d_{n}"] = sub
     result["lbm_channel3d_128"] = _spawn("lbm", attempts=2)
     result["lbm_channel3d_128_pallas"] = _spawn("lbm_pallas", attempts=2)

@@ -79,6 +79,9 @@ class FusedLBMConfig:
     # the global coordinate (shard offset via an SMEM scalar)
     sharded: bool = False
     nx_global: int = 0
+    # 2-D decks (D2Q9): blocks are (q, B, ny) with lanes on y — the
+    # deck-level trailing nz = 1 axis is squeezed around the kernel
+    two_d: bool = False
 
 
 @dataclass(frozen=True)
@@ -168,16 +171,19 @@ def _make_kernel(cfg: FusedLBMConfig):
             else:
                 a = sel(ref_c, slice(None))
             a = _roll(a, ey, 1)
-            return _roll(a, ez, 2)
+            if not cfg.two_d:
+                a = _roll(a, ez, 2)
+            return a
 
         # static face masks (x faces depend on the block index)
         nx_face = cfg.nx_global if cfg.sharded else cfg.nx
+        pshape = (B, ny) if cfg.two_d else (B, ny, nz)
         masks = {}
         for axis, side, _dirs in cfg.faces:
             key = (axis, side)
             if axis < 0 or key in masks:
                 continue
-            io = jax.lax.broadcasted_iota(jnp.int32, (B, ny, nz), axis)
+            io = jax.lax.broadcasted_iota(jnp.int32, pshape, axis)
             if axis == 0:
                 io = io + xg0_global
             n_ax = (nx_face, ny, nz)[axis]
@@ -238,8 +244,12 @@ def _make_kernel(cfg: FusedLBMConfig):
             inv_rho = 1.0 / rho
         ux = mx * inv_rho + bfx * (0.5 * inv_rho)
         uy = my * inv_rho + bfy * (0.5 * inv_rho)
-        uz = mz * inv_rho + bfz * (0.5 * inv_rho)
-        usqr = ux * ux + uy * uy + uz * uz
+        if mz is None:  # 2-D (no ez components)
+            uz = None
+            usqr = ux * ux + uy * uy
+        else:
+            uz = mz * inv_rho + bfz * (0.5 * inv_rho)
+            usqr = ux * ux + uy * uy + uz * uz
 
         # speed + residual partials (reference LBMComputeVelocityMagnitude,
         # LBMComputeResidual: num = sum|s - s_old|, den = sum s)
@@ -268,7 +278,7 @@ def _make_kernel(cfg: FusedLBMConfig):
             if ey:
                 t = uy if ey > 0 else -uy
                 edotu = t if isinstance(edotu, float) else edotu + t
-            if ez:
+            if ez and uz is not None:
                 t = uz if ez > 0 else -uz
                 edotu = t if isinstance(edotu, float) else edotu + t
             if isinstance(edotu, float):
@@ -324,32 +334,23 @@ def fused_substep(fpc_qm, speed, media, cfg: FusedLBMConfig, ext=None):
     dt = fpc_qm.dtype
     grid = (nx // B,)
 
-    blk = pl.BlockSpec(
-        (q, B, ny, nz), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-    )
-    halo_l = pl.BlockSpec(
-        (q, 1, ny, nz), lambda i: (0, (i * B - 1) % nx, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    halo_r = pl.BlockSpec(
-        (q, 1, ny, nz), lambda i: (0, ((i + 1) * B) % nx, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    sp_blk = pl.BlockSpec((B, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    m_halo_l = pl.BlockSpec(
-        (1, ny, nz), lambda i: ((i * B - 1) % nx, 0, 0), memory_space=pltpu.VMEM
-    )
-    m_halo_r = pl.BlockSpec(
-        (1, ny, nz), lambda i: (((i + 1) * B) % nx, 0, 0), memory_space=pltpu.VMEM
-    )
+    # trailing spatial dims: (ny,) for 2-D blocks, (ny, nz) for 3-D
+    tail = (ny,) if cfg.two_d else (ny, nz)
+    zeros = (0,) * len(tail)
+
+    def bs(lead, index_map):
+        return pl.BlockSpec(lead + tail, index_map, memory_space=pltpu.VMEM)
+
+    blk = bs((q, B), lambda i: (0, i) + zeros)
+    halo_l = bs((q, 1), lambda i: (0, (i * B - 1) % nx) + zeros)
+    halo_r = bs((q, 1), lambda i: (0, ((i + 1) * B) % nx) + zeros)
+    sp_blk = bs((B,), lambda i: (i,) + zeros)
+    m_halo_l = bs((1,), lambda i: ((i * B - 1) % nx,) + zeros)
+    m_halo_r = bs((1,), lambda i: (((i + 1) * B) % nx,) + zeros)
     acc_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
-    plane = pl.BlockSpec(
-        (q, 1, ny, nz), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    m_plane = pl.BlockSpec(
-        (1, ny, nz), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-    )
+    plane = bs((q, 1), lambda i: (0, 0) + zeros)
+    m_plane = bs((1,), lambda i: (0,) + zeros)
     in_specs = [blk, halo_l, halo_r]
     args = [fpc_qm, fpc_qm, fpc_qm]
     if cfg.sharded:
@@ -381,8 +382,8 @@ def fused_substep(fpc_qm, speed, media, cfg: FusedLBMConfig, ext=None):
     fpc_new, speed_new, acc = pl.pallas_call(
         _make_kernel(cfg),
         out_shape=(
-            jax.ShapeDtypeStruct((q, nx, ny, nz), dt),
-            jax.ShapeDtypeStruct((nx, ny, nz), dt),
+            jax.ShapeDtypeStruct((q, nx) + tail, dt),
+            jax.ShapeDtypeStruct((nx,) + tail, dt),
             jax.ShapeDtypeStruct((1, 2), dt),
         ),
         grid=grid,
@@ -452,8 +453,9 @@ def match_chain(problem) -> FusedLBMPlan:
     from .solvers.lbm_stream import LBMStream
 
     dom = problem.domain
-    if dom.dim != 3:
-        _reject("only 3-D decks are supported")
+    if dom.dim not in (2, 3):
+        _reject("only 2-D/3-D decks are supported")
+    two_d = dom.dim == 2
     mode_name = getattr(dom.parallel_mode, "name", str(dom.parallel_mode))
     sharded = False
     n_shards = 1
@@ -495,10 +497,13 @@ def match_chain(problem) -> FusedLBMPlan:
             continue
         if bc.boundary not in _FACE_AXIS_SIDE:
             _reject(f"bounce-back boundary '{bc.boundary}' is not a domain face")
+        if two_d and bc.boundary in ("front", "back"):
+            _reject("front/back faces do not exist in 2-D")
         if (bc.xsel, bc.ysel, bc.zsel) != (slice(None),) * 3:
             _reject("exclude_corners_* options are not supported")
         axis, side = _FACE_AXIS_SIDE[bc.boundary]
-        incoming = {"left": st.left, "bottom": st.bottom, "front": st.front}
+        incoming = {"left": st.left, "bottom": st.bottom,
+                    "front": getattr(st, "front", None)}
         if side == 0:
             dirs = incoming[bc.boundary]
         else:
@@ -563,6 +568,7 @@ def match_chain(problem) -> FusedLBMPlan:
         has_media=has_media,
         sharded=sharded,
         nx_global=int(nx),
+        two_d=two_d,
     )
     old_keys = set()
     for c in [solver] + list(problem.bc_computes) + list(problem.solve_computes):

@@ -926,16 +926,19 @@ class TensorProblem:
                     f"{stack.shape[0]} for '{name}')"
                 )
 
-        fpc_qm = jnp.transpose(state["buffers"][plan.fpc], (3, 0, 1, 2))
+        # 2-D decks squeeze the trailing nz = 1 axis around the kernel
+        sq = (lambda a: a[..., 0]) if cfg.two_d else (lambda a: a)
+        tail = (cfg.ny,) if cfg.two_d else (cfg.ny, cfg.nz)
+        fpc_qm = sq(jnp.transpose(state["buffers"][plan.fpc], (3, 0, 1, 2)))
         if plan.speed is not None:
-            speed = state["buffers"][plan.speed]
+            speed = sq(state["buffers"][plan.speed])
         else:
-            speed = jnp.zeros((cfg.nx, cfg.ny, cfg.nz),
+            speed = jnp.zeros((cfg.nx_global,) + tail,
                               state["buffers"][plan.fpc].dtype)
 
         media = None
         if plan.media is not None:
-            media = state["buffers"][plan.media].astype(fpc_qm.dtype)
+            media = sq(state["buffers"][plan.media]).astype(fpc_qm.dtype)
 
         resid0 = jnp.ones((), fpc_qm.dtype)
 
@@ -959,10 +962,10 @@ class TensorProblem:
                     0, n_fused, sub, (fpc_l, fpc_l, sp_l, sp_l, resid0)
                 )
 
-            fspec = P(None, ax, None, None)
-            sspec = P(ax, None, None)
+            fspec = P(None, ax, *([None] * len(tail)))
+            sspec = P(ax, *([None] * len(tail)))
             if media is None:
-                media = jnp.ones((cfg.nx_global, cfg.ny, cfg.nz), fpc_qm.dtype)
+                media = jnp.ones((cfg.nx_global,) + tail, fpc_qm.dtype)
             cur, prev, sp_cur, sp_prev, resid = shard_map(
                 run_shard, mesh=mesh,
                 in_specs=(fspec, sspec, sspec),
@@ -983,15 +986,17 @@ class TensorProblem:
                 0, n_fused, sub, (fpc_qm, fpc_qm, speed, speed, resid0)
             )
 
+        unsq = (lambda a: a[..., None]) if cfg.two_d else (lambda a: a)
+        from_qm = lambda a: jnp.transpose(unsq(a), (1, 2, 3, 0))
         buffers = dict(state["buffers"])
-        buffers[plan.fpc] = jnp.transpose(cur, (1, 2, 3, 0))
+        buffers[plan.fpc] = from_qm(cur)
         old = dict(state["old"])
         if plan.fpc in old:
-            old[plan.fpc] = jnp.transpose(prev, (1, 2, 3, 0))[None]
+            old[plan.fpc] = from_qm(prev)[None]
         if plan.speed is not None:
-            buffers[plan.speed] = sp_cur
+            buffers[plan.speed] = unsq(sp_cur)
             if plan.speed in old:
-                old[plan.speed] = sp_prev[None]
+                old[plan.speed] = unsq(sp_prev)[None]
         solver_state = dict(state["solver"])
         if plan.has_residual:
             solver_state["residual"] = resid.astype(

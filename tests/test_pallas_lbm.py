@@ -453,6 +453,29 @@ def test_fused_gold_channel3d():
     h5_diff(gold, f"{tmp}/channel3D.h5", abs_tol=1e-10)
 
 
+def test_fused_state_parity_channel2d():
+    """2-D (D2Q9) fused path: blocks are (q, B, ny) with lanes on y; the
+    deck-level trailing nz = 1 axis is squeezed around the kernel
+    (reference test/tests/lbm/channel2D.i)."""
+    deck = os.path.join(REF, "test/tests/lbm/channel2D.i")
+    over = ["Problem/substeps=7"]
+    _, s1 = _run_deck(hit.load(deck, over + ["Problem/lbm_backend=JNP"]))
+    _, s2 = _run_deck(hit.load(deck, over + ["Problem/lbm_backend=PALLAS"]))
+    _assert_state_parity(s1, s2)
+
+
+def test_fused_gold_channel2d():
+    gold = "test/tests/lbm/gold/channel2D.h5"
+    if not os.path.exists(os.path.join(REF, gold)):
+        pytest.skip("no gold")
+    _, tmp = run_ref_deck(
+        "test/tests/lbm/channel2D.i",
+        ["Problem/lbm_backend=PALLAS"],
+        tmpdir="/tmp/marlin_tpu_gold_pallas_lbm2d",
+    )
+    h5_diff(gold, f"{tmp}/channel2D.h5", abs_tol=1e-10)
+
+
 def test_fused_sharded_parity():
     """Distributed fused path: REAL_SPACE 1-D mesh (4 virtual devices),
     x-halo planes exchanged via lax.ppermute around the kernel, x-face
@@ -526,13 +549,15 @@ def test_fused_rejects_zou_he():
         p.step(s, 0.0, dt, dt, False)
 
 
-def test_fused_rejects_2d():
+def test_fused_rejects_mrt():
+    """MRT collision is not in the fused pattern (the jnp chain handles it);
+    the error names the offending compute."""
     root = hit.load(
-        os.path.join(REF, "test/tests/lbm/channel2D.i"),
+        os.path.join(REF, "test/tests/lbm/isotropic_stencil_mrt.i"),
         ["Problem/lbm_backend=PALLAS"],
     )
     p = TensorProblem(root)
     s = p.init_state()
     dt = jnp.asarray(1.0, p.domain.dtype)
-    with pytest.raises(PL.FusedChainError, match="3-D"):
+    with pytest.raises(PL.FusedChainError, match="not fusable|LBM"):
         p.step(s, 0.0, dt, dt, False)
