@@ -82,6 +82,10 @@ class FusedLBMConfig:
     # 2-D decks (D2Q9): blocks are (q, B, ny) with lanes on y — the
     # deck-level trailing nz = 1 axis is squeezed around the kernel
     two_d: bool = False
+    # MRT collision: fpc = feq + fneq - MSM·fneq with the static q×q
+    # matrix MSM = M⁻¹·S'·M (S' = stencil S with the kinematic-viscosity
+    # diagonal set to 1/τ); None = BGK
+    msm: Optional[Tuple[Tuple[float, ...], ...]] = None
 
 
 @dataclass(frozen=True)
@@ -266,11 +270,9 @@ def _make_kernel(cfg: FusedLBMConfig):
         acc[0, 0] += num
         acc[0, 1] += den
 
-        # pass 2: equilibrium + BGK collision (reference LBMEquilibrium.C
-        # :42-66, LBMBGKCollision); streamed() recomputed per direction to
-        # keep VMEM at one live (B,ny,nz) temp instead of q of them
-        for qi in range(q):
-            a = streamed(qi)
+        def equilibrium(qi):
+            """feq for direction qi from the pass-1 moments (reference
+            LBMEquilibrium.C:42-66)."""
             ex, ey, ez = cfg.e[qi]
             edotu = 0.0
             if ex:
@@ -282,16 +284,38 @@ def _make_kernel(cfg: FusedLBMConfig):
                 t = uz if ez > 0 else -uz
                 edotu = t if isinstance(edotu, float) else edotu + t
             if isinstance(edotu, float):
-                feq = cfg.w[qi] * rho * (1.0 - 0.5 * usqr / CS2)
-            else:
-                feq = (
-                    cfg.w[qi]
-                    * rho
-                    * (1.0 + edotu / CS2 + 0.5 * edotu * edotu / CS4
-                       - 0.5 * usqr / CS2)
-                )
-            fneq = a - feq
-            fpc_out[qi] = feq + fneq - fneq * inv_tau
+                return cfg.w[qi] * rho * (1.0 - 0.5 * usqr / CS2)
+            return (
+                cfg.w[qi]
+                * rho
+                * (1.0 + edotu / CS2 + 0.5 * edotu * edotu / CS4
+                   - 0.5 * usqr / CS2)
+            )
+
+        # pass 2: equilibrium + collision (reference LBMBGKCollision /
+        # LBMMRTCollision)
+        if cfg.msm is None:
+            # BGK: streamed() recomputed per direction to keep VMEM at one
+            # live (B,ny,nz) temp instead of q of them
+            for qi in range(q):
+                a = streamed(qi)
+                feq = equilibrium(qi)
+                fneq = a - feq
+                fpc_out[qi] = feq + fneq - fneq * inv_tau
+        else:
+            # MRT: fpc = feq + fneq - MSM·fneq needs every direction's
+            # fneq at once — cache the q non-equilibrium planes in VMEM
+            # (q·B·ny·nz·4 B, well under the raised 64 MB limit)
+            fneqs = [streamed(qi) - equilibrium(qi) for qi in range(q)]
+            for qi in range(q):
+                relax = None
+                for qj in range(q):
+                    cji = cfg.msm[qi][qj]
+                    if cji == 0.0:
+                        continue
+                    t = fneqs[qj] * cji
+                    relax = t if relax is None else relax + t
+                fpc_out[qi] = equilibrium(qi) + fneqs[qi] - relax
 
     return kernel
 
@@ -519,7 +543,7 @@ def match_chain(problem) -> FusedLBMPlan:
             velocity = c
         elif isinstance(c, L.LBMEquilibrium) and equilibrium is None:
             equilibrium = c
-        elif isinstance(c, L.LBMBGKCollision) and collision is None:
+        elif type(c) in (L.LBMBGKCollision, L.LBMMRTCollision) and collision is None:
             collision = c
         elif isinstance(c, L.LBMComputeVelocityMagnitude) and speed is None:
             speed = c
@@ -551,6 +575,16 @@ def match_chain(problem) -> FusedLBMPlan:
     if residual is not None and (speed is None or residual.speed != speed.out):
         _reject("the residual must consume the chain's velocity magnitude")
 
+    msm = None
+    if type(collision) is L.LBMMRTCollision:
+        # MSM = M⁻¹·S'·M with the kinematic-viscosity diagonal at 1/τ₀
+        # (reference LBMMRTCollision / computeLocalRelaxationMatrix)
+        S = st.S.copy()
+        S[st.id_kinematic_visc, st.id_kinematic_visc] = 1.0 / float(collision.tau_0)
+        m = st.M_inv @ S @ st.M
+        m[np.abs(m) < 1e-14] = 0.0
+        msm = tuple(tuple(float(x) for x in row) for row in m)
+
     bf = velocity.body_force if velocity.add_body_force else [0.0, 0.0, 0.0]
     nx, ny, nz = (list(dom.shape) + [1, 1])[:3]
     nx_local = int(nx) // n_shards
@@ -569,6 +603,7 @@ def match_chain(problem) -> FusedLBMPlan:
         sharded=sharded,
         nx_global=int(nx),
         two_d=two_d,
+        msm=msm,
     )
     old_keys = set()
     for c in [solver] + list(problem.bc_computes) + list(problem.solve_computes):

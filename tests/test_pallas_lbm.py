@@ -549,11 +549,33 @@ def test_fused_rejects_zou_he():
         p.step(s, 0.0, dt, dt, False)
 
 
-def test_fused_rejects_mrt():
-    """MRT collision is not in the fused pattern (the jnp chain handles it);
-    the error names the offending compute."""
+def test_fused_gold_mrt_d3q27():
+    """MRT collision (static MSM contraction in-kernel) on the reference
+    D3Q27 deck reproduces the gold (test/tests/lbm/isotropic_stencil_mrt.i)."""
+    gold = "test/tests/lbm/gold/isotropic_stencil_mrt.h5"
+    if not os.path.exists(os.path.join(REF, gold)):
+        pytest.skip("no gold")
+    _, tmp = run_ref_deck(
+        "test/tests/lbm/isotropic_stencil_mrt.i",
+        ["Problem/lbm_backend=PALLAS"],
+        tmpdir="/tmp/marlin_tpu_gold_pallas_mrt",
+    )
+    h5_diff(gold, f"{tmp}/isotropic_stencil_mrt.h5", abs_tol=1e-10)
+
+
+def test_fused_mrt_state_parity():
+    deck = os.path.join(REF, "test/tests/lbm/isotropic_stencil_mrt.i")
+    over = ["Problem/substeps=6"]
+    _, s1 = _run_deck(hit.load(deck, over + ["Problem/lbm_backend=JNP"]))
+    _, s2 = _run_deck(hit.load(deck, over + ["Problem/lbm_backend=PALLAS"]))
+    _assert_state_parity(s1, s2)
+
+
+def test_fused_rejects_smagorinsky():
+    """Smagorinsky needs a global mean density inside the substep — not
+    fusable in one pass; the error names the offending compute."""
     root = hit.load(
-        os.path.join(REF, "test/tests/lbm/isotropic_stencil_mrt.i"),
+        os.path.join(REF, "test/tests/lbm/smagorinsky_mrt.i"),
         ["Problem/lbm_backend=PALLAS"],
     )
     p = TensorProblem(root)
