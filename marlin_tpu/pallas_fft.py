@@ -193,38 +193,46 @@ def _inv_lanes_kernel(n, tb, real_output):
     return kernel
 
 
-def _fwd_sublanes_kernel(n, tl, real_input):
+def _fwd_sublanes_transform(xr, xi, wr, wi, twr, twi, n, tl):
+    """The forward transform along the sublane axis of an (n, tl) block —
+    shared by _fwd_sublanes_kernel and the fused k-space-update kernel
+    (pallas_spectral._fwd_x_update_kernel).  xi=None for real input;
+    returns planar (re, im)."""
     r = n // P
+    xr = xr.reshape(r, P, tl)
+    parts_r = [xr[q] for q in range(r)]
+    if xi is None:
+        parts_i = [jnp.zeros_like(parts_r[0]) for _ in range(r)]
+    else:
+        xi = xi.reshape(r, P, tl)
+        parts_i = [xi[q] for q in range(r)]
+    ar, ai = _radix_fwd(parts_r, parts_i, r)
+    mml = lambda w, x: jax.lax.dot_general(
+        w, x, (((1,), (0,)), ((), ())), precision=HIGHEST,
+        preferred_element_type=jnp.float32)
+    outs_r, outs_i = [], []
+    wrT, wiT = wr.T, wi.T
+    for t in range(r):
+        tr = twr[t, :].reshape(P, 1)
+        ti = twi[t, :].reshape(P, 1)
+        br = ar[t] * tr - ai[t] * ti
+        bi = ar[t] * ti + ai[t] * tr
+        outs_r.append(mml(wrT, br) - mml(wiT, bi))
+        outs_i.append(mml(wrT, bi) + mml(wiT, br))
+    return jnp.concatenate(outs_r, axis=0), jnp.concatenate(outs_i, axis=0)
 
+
+def _fwd_sublanes_kernel(n, tl, real_input):
     def kernel(*refs):
         if real_input:
             (xr_ref, wr_ref, wi_ref, twr_ref, twi_ref, or_ref, oi_ref) = refs
+            xi = None
         else:
             (xr_ref, xi_ref, wr_ref, wi_ref, twr_ref, twi_ref, or_ref, oi_ref) = refs
-        xr = xr_ref[:].reshape(r, P, tl)
-        parts_r = [xr[q] for q in range(r)]
-        if real_input:
-            parts_i = [jnp.zeros_like(parts_r[0]) for _ in range(r)]
-        else:
-            xi = xi_ref[:].reshape(r, P, tl)
-            parts_i = [xi[q] for q in range(r)]
-        ar, ai = _radix_fwd(parts_r, parts_i, r)
-        wr, wi = wr_ref[:], wi_ref[:]
-        twr, twi = twr_ref[:], twi_ref[:]
-        mml = lambda w, x: jax.lax.dot_general(
-            w, x, (((1,), (0,)), ((), ())), precision=HIGHEST,
-            preferred_element_type=jnp.float32)
-        outs_r, outs_i = [], []
-        wrT, wiT = wr.T, wi.T
-        for t in range(r):
-            tr = twr[t, :].reshape(P, 1)
-            ti = twi[t, :].reshape(P, 1)
-            br = ar[t] * tr - ai[t] * ti
-            bi = ar[t] * ti + ai[t] * tr
-            outs_r.append(mml(wrT, br) - mml(wiT, bi))
-            outs_i.append(mml(wrT, bi) + mml(wiT, br))
-        or_ref[:] = jnp.concatenate(outs_r, axis=0)
-        oi_ref[:] = jnp.concatenate(outs_i, axis=0)
+            xi = xi_ref[:]
+        or_ref[:], oi_ref[:] = _fwd_sublanes_transform(
+            xr_ref[:], xi, wr_ref[:], wi_ref[:], twr_ref[:], twi_ref[:], n, tl
+        )
 
     return kernel
 

@@ -134,12 +134,10 @@ def _make_kernel(cfg: FusedLBMConfig):
                 refs = refs[2:]
         else:
             m_center = m_left = m_right = None
-        speed_old = refs[0]
-        refs = refs[1:]
         if cfg.sharded:
             xoff_ref = refs[0]
             refs = refs[1:]
-        fpc_out, speed_out, acc = refs
+        fpc_out, speed_out = refs
         i = pl.program_id(0)
         xg0 = i * B  # LOCAL x index of the block's first plane
         if cfg.sharded:
@@ -237,7 +235,9 @@ def _make_kernel(cfg: FusedLBMConfig):
             if ey:
                 t = a if ey > 0 else -a
                 my = t if my is None else my + t
-            if ez:
+            if ez and not cfg.two_d:
+                # 2-D domains force uz = 0 even for stencils with ez
+                # components (jnp chain: LBMComputeVelocity emits dim comps)
                 t = a if ez > 0 else -a
                 mz = t if mz is None else mz + t
         if cfg.has_media:
@@ -255,20 +255,10 @@ def _make_kernel(cfg: FusedLBMConfig):
             uz = mz * inv_rho + bfz * (0.5 * inv_rho)
             usqr = ux * ux + uy * uy + uz * uz
 
-        # speed + residual partials (reference LBMComputeVelocityMagnitude,
-        # LBMComputeResidual: num = sum|s - s_old|, den = sum s)
-        speed = jnp.sqrt(usqr)
-        speed_out[...] = speed
-        num = jnp.sum(jnp.abs(speed - speed_old[...]))
-        den = jnp.sum(speed)
-
-        @pl.when(i == 0)
-        def _():
-            acc[0, 0] = jnp.zeros((), acc.dtype)
-            acc[0, 1] = jnp.zeros((), acc.dtype)
-
-        acc[0, 0] += num
-        acc[0, 1] += den
+        # speed (reference LBMComputeVelocityMagnitude).  The residual is
+        # NOT computed here: only the LAST substep's residual survives the
+        # loop, and that one comes from the trailing jnp substep.
+        speed_out[...] = jnp.sqrt(usqr)
 
         def equilibrium(qi):
             """feq for direction qi from the pass-1 moments (reference
@@ -343,17 +333,20 @@ def _pick_block(nx: int, ny: int, nz: int, q: int, itemsize: int) -> int:
         cells = (q * (b + 2) + b + (q + 1) * b) * ny * nz
         if cells * itemsize * 2 <= budget:
             return b
-    return 1
+    raise FusedChainError(
+        f"lbm_backend = PALLAS: transverse extents {ny}x{nz} exceed the "
+        f"VMEM budget even at x-block 1 (use the default JNP backend)"
+    )
 
 
-def fused_substep(fpc_qm, speed, media, cfg: FusedLBMConfig, ext=None):
+def fused_substep(fpc_qm, media, cfg: FusedLBMConfig, ext=None):
     """One lattice update.  fpc_qm: (q, nx, ny, nz) post-collision
-    distribution from the previous substep; speed: (nx, ny, nz) previous
-    speed; media: (nx, ny, nz) binary media cast to the field dtype, or
-    None.  `ext` (sharded mode): (fpc_left, fpc_right, media_left,
-    media_right, x_offset) neighbor halo planes + global shard offset.
-    Returns (fpc_new_qm, speed_new, acc) where acc = (1,2) residual
-    partial sums (caller reduces across shards)."""
+    distribution from the previous substep; media: (nx, ny, nz) binary
+    media cast to the field dtype, or None.  `ext` (sharded mode):
+    (fpc_left, fpc_right, media_left, media_right, x_offset) neighbor
+    halo planes + global shard offset.  Returns (fpc_new_qm, speed_new).
+    Residual/history semantics live in the caller: only the trailing jnp
+    substep's residual survives, so none is computed here."""
     q, nx, ny, nz, B = cfg.q, cfg.nx, cfg.ny, cfg.nz, cfg.block
     dt = fpc_qm.dtype
     grid = (nx // B,)
@@ -371,7 +364,6 @@ def fused_substep(fpc_qm, speed, media, cfg: FusedLBMConfig, ext=None):
     sp_blk = bs((B,), lambda i: (i,) + zeros)
     m_halo_l = bs((1,), lambda i: ((i * B - 1) % nx,) + zeros)
     m_halo_r = bs((1,), lambda i: (((i + 1) * B) % nx,) + zeros)
-    acc_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
     plane = bs((q, 1), lambda i: (0, 0) + zeros)
     m_plane = bs((1,), lambda i: (0,) + zeros)
@@ -386,8 +378,6 @@ def fused_substep(fpc_qm, speed, media, cfg: FusedLBMConfig, ext=None):
         if cfg.sharded:
             in_specs += [m_plane, m_plane]
             args += [ext[2], ext[3]]
-    in_specs.append(sp_blk)
-    args.append(speed)
     if cfg.sharded:
         in_specs.append(
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
@@ -403,36 +393,28 @@ def fused_substep(fpc_qm, speed, media, cfg: FusedLBMConfig, ext=None):
         pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 2 ** 20)
         if not _INTERPRET else None
     )
-    fpc_new, speed_new, acc = pl.pallas_call(
+    fpc_new, speed_new = pl.pallas_call(
         _make_kernel(cfg),
         out_shape=(
             jax.ShapeDtypeStruct((q, nx) + tail, dt),
             jax.ShapeDtypeStruct((nx,) + tail, dt),
-            jax.ShapeDtypeStruct((1, 2), dt),
         ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=(blk, sp_blk, acc_spec),
+        out_specs=(blk, sp_blk),
         compiler_params=params,
         interpret=_INTERPRET,
     )(*args)
 
-    return fpc_new, speed_new, acc
+    return fpc_new, speed_new
 
 
-def residual_from_acc(num, den):
-    """reference LBMComputeResidual: 1.0 when either sum vanishes."""
-    one = jnp.ones((), num.dtype)
-    return jnp.where((den == 0) | (num == 0), one, num / den)
-
-
-def fused_substep_sharded(fpc_qm, speed, media, cfg: FusedLBMConfig,
+def fused_substep_sharded(fpc_qm, media, cfg: FusedLBMConfig,
                           axis_name: str, axis_size: int):
     """One lattice update on an x-sharded distribution (inside shard_map
     over a 1-D mesh): exchange one boundary plane with each neighbor over
-    ICI (lax.ppermute), run the local fused kernel with the received
-    planes substituted at the shard's boundary blocks, and psum the
-    residual partials."""
+    ICI (lax.ppermute) and run the local fused kernel with the received
+    planes substituted at the shard's boundary blocks."""
     idx = jax.lax.axis_index(axis_name)
     to_right = [(s, (s + 1) % axis_size) for s in range(axis_size)]
     to_left = [(s, (s - 1) % axis_size) for s in range(axis_size)]
@@ -446,12 +428,9 @@ def fused_substep_sharded(fpc_qm, speed, media, cfg: FusedLBMConfig,
     else:
         m_ext_l = m_ext_r = None
     xoff = (idx * cfg.nx).astype(jnp.int32).reshape(1, 1)
-    fpc_new, speed_new, acc = fused_substep(
-        fpc_qm, speed, media, cfg, ext=(ext_l, ext_r, m_ext_l, m_ext_r, xoff)
+    return fused_substep(
+        fpc_qm, media, cfg, ext=(ext_l, ext_r, m_ext_l, m_ext_r, xoff)
     )
-    num = jax.lax.psum(acc[0, 0], axis_name)
-    den = jax.lax.psum(acc[0, 1], axis_name)
-    return fpc_new, speed_new, residual_from_acc(num, den)
 
 
 # ---------------------------------------------------------------------------

@@ -82,33 +82,15 @@ def _reject(msg):
 def _fwd_x_update_kernel(n, tl, mobility, kappa):
     """Forward sublane transform of (µ̄r, µ̄i) along axis 0 fused with the
     ABM predictor update.  Emits (ūr, ūi, N̄r, N̄i)."""
-    r = n // pf.P
-    HIGHEST = pf.HIGHEST
 
     def kernel(xr_ref, xi_ref, wr_ref, wi_ref, twr_ref, twi_ref,
                cr_ref, ci_ref, onr_ref, oni_ref, kx2_ref, kyz2_ref, scal_ref,
                ur_ref, ui_ref, nr_ref, ni_ref):
-        xr = xr_ref[:].reshape(r, pf.P, tl)
-        xi = xi_ref[:].reshape(r, pf.P, tl)
-        wr, wi = wr_ref[:], wi_ref[:]
-        twr, twi = twr_ref[:], twi_ref[:]
-        mml = lambda w, x: jax.lax.dot_general(
-            w, x, (((1,), (0,)), ((), ())), precision=HIGHEST,
-            preferred_element_type=jnp.float32)
-        parts_r = [xr[q] for q in range(r)]
-        parts_i = [xi[q] for q in range(r)]
-        ar, ai = pf._radix_fwd(parts_r, parts_i, r)
-        wrT, wiT = wr.T, wi.T
-        outs_r, outs_i = [], []
-        for t in range(r):
-            tr = twr[t, :].reshape(pf.P, 1)
-            ti = twi[t, :].reshape(pf.P, 1)
-            br = ar[t] * tr - ai[t] * ti
-            bi = ar[t] * ti + ai[t] * tr
-            outs_r.append(mml(wrT, br) - mml(wiT, bi))
-            outs_i.append(mml(wrT, bi) + mml(wiT, br))
-        mr = jnp.concatenate(outs_r, axis=0)  # µ̄ (x-axis transformed)
-        mi = jnp.concatenate(outs_i, axis=0)
+        # µ̄ with the x axis transformed (the shared sublane transform)
+        mr, mi = pf._fwd_sublanes_transform(
+            xr_ref[:], xi_ref[:], wr_ref[:], wi_ref[:], twr_ref[:],
+            twi_ref[:], n, tl,
+        )
 
         # -- fused ABM predictor update (solvers/abm.py substep) ----------
         sub_dt = scal_ref[0, 0]

@@ -925,6 +925,23 @@ class TensorProblem:
                     f"lbm_backend = PALLAS supports history depth 1 (got "
                     f"{stack.shape[0]} for '{name}')"
                 )
+        # buffers other than the carried pair go stale during the fused
+        # substeps, so history on them (e.g. a TensorIntegralChange
+        # postprocessor on density) would record whole-step differences
+        allowed_old = {plan.fpc, plan.speed}
+        extra_old = set(state["old"]) - allowed_old
+        if extra_old:
+            raise pallas_lbm.FusedChainError(
+                f"lbm_backend = PALLAS supports old-state history on "
+                f"{sorted(n for n in allowed_old if n)} only "
+                f"(got {sorted(extra_old)})"
+            )
+
+        # Only fpc and speed cross the fused substeps: the trailing jnp
+        # substep recomputes every other buffer, its advance_state refreshes
+        # the depth-1 old rings from the carried values, and its residual
+        # compute overwrites the solver residual — so no history, residual,
+        # or prev-value bookkeeping is carried here.
 
         # 2-D decks squeeze the trailing nz = 1 axis around the kernel
         sq = (lambda a: a[..., 0]) if cfg.two_d else (lambda a: a)
@@ -940,8 +957,6 @@ class TensorProblem:
         if plan.media is not None:
             media = sq(state["buffers"][plan.media]).astype(fpc_qm.dtype)
 
-        resid0 = jnp.ones((), fpc_qm.dtype)
-
         if cfg.sharded:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
@@ -952,62 +967,41 @@ class TensorProblem:
 
             def run_shard(fpc_l, sp_l, media_l):
                 def sub(_i, carry):
-                    cur, _prev, spc, _spp, _r = carry
-                    new, sp_new, res = pallas_lbm.fused_substep_sharded(
-                        cur, spc, media_l, cfg, ax, n_dev
+                    cur, _spc = carry
+                    return pallas_lbm.fused_substep_sharded(
+                        cur, media_l, cfg, ax, n_dev
                     )
-                    return (new, cur, sp_new, spc, res)
 
-                return jax.lax.fori_loop(
-                    0, n_fused, sub, (fpc_l, fpc_l, sp_l, sp_l, resid0)
-                )
+                return jax.lax.fori_loop(0, n_fused, sub, (fpc_l, sp_l))
 
             fspec = P(None, ax, *([None] * len(tail)))
             sspec = P(ax, *([None] * len(tail)))
             if media is None:
                 media = jnp.ones((cfg.nx_global,) + tail, fpc_qm.dtype)
-            cur, prev, sp_cur, sp_prev, resid = shard_map(
+            cur, sp_cur = shard_map(
                 run_shard, mesh=mesh,
                 in_specs=(fspec, sspec, sspec),
-                out_specs=(fspec, fspec, sspec, sspec, P()),
+                out_specs=(fspec, sspec),
                 # pallas_call outputs carry no varying-mesh-axes metadata
                 check_vma=False,
             )(fpc_qm, speed, media)
         else:
             def sub(_i, carry):
-                cur, _prev, sp_cur, _sp_prev, _res = carry
-                new, sp_new, acc = pallas_lbm.fused_substep(
-                    cur, sp_cur, media, cfg
-                )
-                res = pallas_lbm.residual_from_acc(acc[0, 0], acc[0, 1])
-                return (new, cur, sp_new, sp_cur, res)
+                cur, _sp_cur = carry
+                return pallas_lbm.fused_substep(cur, media, cfg)
 
-            cur, prev, sp_cur, sp_prev, resid = jax.lax.fori_loop(
-                0, n_fused, sub, (fpc_qm, fpc_qm, speed, speed, resid0)
-            )
+            cur, sp_cur = jax.lax.fori_loop(0, n_fused, sub, (fpc_qm, speed))
 
         unsq = (lambda a: a[..., None]) if cfg.two_d else (lambda a: a)
         from_qm = lambda a: jnp.transpose(unsq(a), (1, 2, 3, 0))
         buffers = dict(state["buffers"])
         buffers[plan.fpc] = from_qm(cur)
-        old = dict(state["old"])
-        if plan.fpc in old:
-            old[plan.fpc] = from_qm(prev)[None]
         if plan.speed is not None:
             buffers[plan.speed] = unsq(sp_cur)
-            if plan.speed in old:
-                old[plan.speed] = unsq(sp_prev)[None]
-        solver_state = dict(state["solver"])
-        if plan.has_residual:
-            solver_state["residual"] = resid.astype(
-                solver_state.get("residual", resid).dtype
-            )
         return {
             **state,
             "buffers": buffers,
-            "old": old,
             "n_advances": state["n_advances"] + n_fused,
-            "solver": solver_state,
         }
 
     #: fuse the timestep and postprocessors into one XLA program (fastest);

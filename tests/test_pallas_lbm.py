@@ -504,6 +504,31 @@ def test_fused_sharded_parity():
     _assert_state_parity(s1, s2)
 
 
+def test_fused_sharded_xface_parity():
+    """Sharded + bounce-back on ALL faces incl. left/right: the x-face
+    masks must use the GLOBAL coordinate (SMEM shard offset), so only the
+    first/last shard's boundary blocks apply them."""
+    import jax
+
+    from marlin_tpu import parallel
+    from marlin_tpu.domain import ParallelMode
+
+    _, s1 = _run_deck(hit.parse(_ALLFACE_DECK.format(
+        n=8, stencil="LBMD3Q19", backend="JNP")))
+
+    mesh = parallel.make_mesh(
+        ParallelMode.REAL_SPACE, jax.devices()[:4], shape=(4,)
+    )
+    deck = _ALLFACE_DECK.format(n=8, stencil="LBMD3Q19", backend="PALLAS")
+    deck = deck.replace("[Domain]", "[Domain]\n  parallel_mode = REAL_SPACE")
+    p = TensorProblem(hit.parse(deck), mesh=mesh)
+    s2 = p.init_state()
+    dt = jnp.asarray(1.0, p.domain.dtype)
+    for i in range(3):
+        s2 = p.step(s2, float(i), dt, dt, i == 0)
+    _assert_state_parity(s1, s2)
+
+
 def test_fused_sharded_media_parity(tmp_path):
     """Sharded + binary media: the obstacle straddles a shard boundary so
     the wall bounce-back needs the exchanged media halo planes."""
