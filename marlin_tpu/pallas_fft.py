@@ -274,7 +274,13 @@ def _inv_sublanes_kernel(n, tl, real_output):
 # pallas_call wrappers (per-axis)
 # ---------------------------------------------------------------------------
 
-_INTERPRET = False  # flipped by the CPU test harness
+_INTERPRET = False  # force-flag (tests); CPU backends auto-interpret
+
+
+def _interpret() -> bool:
+    """Mosaic kernels only compile on TPU; on CPU (tests, CLI runs with
+    fft_backend = PALLAS) fall back to interpret mode automatically."""
+    return _INTERPRET or jax.default_backend() != "tpu"
 
 
 def _consts(n, inverse):
@@ -292,7 +298,7 @@ def _call_lanes(kernel, n, tb, n_in, n_out, args, B):
         out_shape, out_specs = out_shape[0], out_specs[0]
     return pl.pallas_call(
         kernel, out_shape=out_shape, grid=(B // tb,),
-        in_specs=in_specs, out_specs=out_specs, interpret=_INTERPRET,
+        in_specs=in_specs, out_specs=out_specs, interpret=_interpret(),
     )(*args)
 
 
@@ -337,7 +343,7 @@ def _call_sublanes(kernel, n, tl, n_in, n_out, args, L):
         out_shape, out_specs = out_shape[0], out_specs[0]
     return pl.pallas_call(
         kernel, out_shape=out_shape, grid=(L // tl,),
-        in_specs=in_specs, out_specs=out_specs, interpret=_INTERPRET,
+        in_specs=in_specs, out_specs=out_specs, interpret=_interpret(),
     )(*args)
 
 

@@ -5,14 +5,14 @@ LatticeBoltzmannProblem::execute :103-131) materializes every stage:
 stream (roll gather), face bounce-back, density, velocity, equilibrium,
 BGK collision — ≥460 B of HBM traffic per cell per substep (measured,
 PERF.md).  The only data that must actually cross a substep boundary is
-the post-collision distribution (fpc) and, for the convergence residual,
-the previous speed field.  This kernel therefore performs the WHOLE
-substep as a single fused pass:
+the post-collision distribution (fpc) plus the speed field (whose final
+value feeds the residual of the trailing jnp substep).  This kernel
+therefore performs the WHOLE substep as a single fused pass:
 
-    read  fpc_old (pull-stream with halo), speed_old
-    write fpc_new, speed_new, residual partial sums
+    read  fpc_old (pull-stream with halo)
+    write fpc_new, speed_new
 
-i.e. ~(2q + 2) * itemsize bytes/cell — the memory-bandwidth floor for an
+i.e. ~(2q + 1) * itemsize bytes/cell — the memory-bandwidth floor for an
 AB-pattern LBM update.  The distribution is held q-MAJOR (q, nx, ny, nz)
 inside the substep loop so each direction is a well-tiled (block, ny, nz)
 plane on the VPU (the reference's trailing q axis wastes 109/128 lanes);
@@ -50,7 +50,13 @@ from jax.experimental.pallas import tpu as pltpu
 CS2 = 1.0 / 3.0
 CS4 = CS2 * CS2
 
-_INTERPRET = False  # flipped by the CPU test harness
+_INTERPRET = False  # force-flag (tests); CPU backends auto-interpret
+
+
+def _interpret() -> bool:
+    """Mosaic kernels only compile on TPU; on CPU (tests, CLI runs with
+    lbm_backend = PALLAS) fall back to interpret mode automatically."""
+    return _INTERPRET or jax.default_backend() != "tpu"
 
 
 class FusedChainError(Exception):
@@ -391,7 +397,7 @@ def fused_substep(fpc_qm, media, cfg: FusedLBMConfig, ext=None):
     vmem_mb = int(os.environ.get("MARLIN_TPU_LBM_VMEM_MB", "64"))
     params = (
         pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 2 ** 20)
-        if not _INTERPRET else None
+        if not _interpret() else None
     )
     fpc_new, speed_new = pl.pallas_call(
         _make_kernel(cfg),
@@ -403,7 +409,7 @@ def fused_substep(fpc_qm, media, cfg: FusedLBMConfig, ext=None):
         in_specs=in_specs,
         out_specs=(blk, sp_blk),
         compiler_params=params,
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(*args)
 
     return fpc_new, speed_new

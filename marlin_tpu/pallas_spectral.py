@@ -137,7 +137,7 @@ def _call_update(mr, mi, cr, ci, onr, oni, kx2, kyz2, scal, plan):
         grid=(L // tl,),
         in_specs=in_specs,
         out_specs=tuple(bs for _ in range(4)),
-        interpret=pf._INTERPRET,
+        interpret=pf._interpret(),
     )(mr, mi, *consts, cr, ci, onr, oni, kx2, kyz2, scal)
 
 

@@ -99,8 +99,9 @@ class AdamsBashforthMoulton(SplitOperatorBase):
 
         dom = self.domain
         first_step = jnp.asarray(first_step, bool)
+        dt = jnp.asarray(dt)
         sub_dt = (dt / self.substeps).astype(jnp.float32)
-        dt_changed = dt != dt_old
+        dt_changed = dt != jnp.asarray(dt_old)
         n_adv0 = state["n_advances"]
         nx = plan.shape[0]
         L = 1
