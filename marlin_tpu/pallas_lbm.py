@@ -328,10 +328,12 @@ def _pick_block(nx: int, ny: int, nz: int, q: int, itemsize: int) -> int:
         if nx % b:
             raise ValueError(f"MARLIN_TPU_LBM_BLOCK={b} does not divide nx={nx}")
         return b
-    # the kernel raises the scoped-VMEM limit to 64 MB (v5e has 128 MB);
-    # blocks larger than 4 measured SLOWER at 128^3 (B=8: 1507 vs B=4's
-    # 1805 MLUPS, with a 10-minute Mosaic compile), so prefer 4
-    budget = 64 * 2 ** 20
+    # the kernel raises the scoped-VMEM limit to MARLIN_TPU_LBM_VMEM_MB
+    # (default 64 MB; v5e has 128 MB) — size blocks against the SAME
+    # budget so the two knobs compose; blocks larger than 4 measured
+    # SLOWER at 128^3 (B=8: 1507 vs B=4's 1805 MLUPS, with a 10-minute
+    # Mosaic compile), so prefer 4
+    budget = int(os.environ.get("MARLIN_TPU_LBM_VMEM_MB", "64")) * 2 ** 20
     for b in (4, 2, 1):
         if nx % b:
             continue
@@ -415,12 +417,27 @@ def fused_substep(fpc_qm, media, cfg: FusedLBMConfig, ext=None):
     return fpc_new, speed_new
 
 
-def fused_substep_sharded(fpc_qm, media, cfg: FusedLBMConfig,
+def exchange_media_halo(media, cfg: FusedLBMConfig,
+                        axis_name: str, axis_size: int):
+    """One-time neighbor exchange of the (loop-invariant) media boundary
+    planes — hoisted out of the substep loop by the caller."""
+    if not cfg.has_media:
+        return (None, None)
+    to_right = [(s, (s + 1) % axis_size) for s in range(axis_size)]
+    to_left = [(s, (s - 1) % axis_size) for s in range(axis_size)]
+    return (
+        jax.lax.ppermute(media[-1:], axis_name, to_right),
+        jax.lax.ppermute(media[:1], axis_name, to_left),
+    )
+
+
+def fused_substep_sharded(fpc_qm, media, media_ext, cfg: FusedLBMConfig,
                           axis_name: str, axis_size: int):
     """One lattice update on an x-sharded distribution (inside shard_map
-    over a 1-D mesh): exchange one boundary plane with each neighbor over
-    ICI (lax.ppermute) and run the local fused kernel with the received
-    planes substituted at the shard's boundary blocks."""
+    over a 1-D mesh): exchange one fpc boundary plane with each neighbor
+    over ICI (lax.ppermute) and run the local fused kernel with the
+    received planes substituted at the shard's boundary blocks.
+    `media_ext`: the hoisted exchange_media_halo result."""
     idx = jax.lax.axis_index(axis_name)
     to_right = [(s, (s + 1) % axis_size) for s in range(axis_size)]
     to_left = [(s, (s - 1) % axis_size) for s in range(axis_size)]
@@ -428,11 +445,7 @@ def fused_substep_sharded(fpc_qm, media, cfg: FusedLBMConfig,
     # neighbor's FIRST plane (periodic ring over the mesh axis)
     ext_l = jax.lax.ppermute(fpc_qm[:, -1:], axis_name, to_right)
     ext_r = jax.lax.ppermute(fpc_qm[:, :1], axis_name, to_left)
-    if cfg.has_media:
-        m_ext_l = jax.lax.ppermute(media[-1:], axis_name, to_right)
-        m_ext_r = jax.lax.ppermute(media[:1], axis_name, to_left)
-    else:
-        m_ext_l = m_ext_r = None
+    m_ext_l, m_ext_r = media_ext
     xoff = (idx * cfg.nx).astype(jnp.int32).reshape(1, 1)
     return fused_substep(
         fpc_qm, media, cfg, ext=(ext_l, ext_r, m_ext_l, m_ext_r, xoff)
@@ -465,6 +478,11 @@ def match_chain(problem) -> FusedLBMPlan:
     if dom.dim not in (2, 3):
         _reject("only 2-D/3-D decks are supported")
     two_d = dom.dim == 2
+    if np.dtype(dom.dtype).itemsize == 8 and jax.default_backend() == "tpu":
+        # mirror the fft PALLAS backend's guard: Mosaic has no f64 vectors
+        # (CPU runs stay allowed — they auto-interpret for parity testing)
+        _reject("float64 buffers cannot run on the TPU Mosaic compiler; "
+                "use floating_precision = SINGLE")
     mode_name = getattr(dom.parallel_mode, "name", str(dom.parallel_mode))
     sharded = False
     n_shards = 1

@@ -966,10 +966,15 @@ class TensorProblem:
             n_dev = int(math.prod(mesh.shape.values()))
 
             def run_shard(fpc_l, sp_l, media_l):
+                # media is loop-invariant: exchange its halo planes ONCE
+                media_ext = pallas_lbm.exchange_media_halo(
+                    media_l, cfg, ax, n_dev
+                )
+
                 def sub(_i, carry):
                     cur, _spc = carry
                     return pallas_lbm.fused_substep_sharded(
-                        cur, media_l, cfg, ax, n_dev
+                        cur, media_l, media_ext, cfg, ax, n_dev
                     )
 
                 return jax.lax.fori_loop(0, n_fused, sub, (fpc_l, sp_l))

@@ -91,7 +91,9 @@ class AdamsBashforthMoulton(SplitOperatorBase):
             raise ps.SpectralChainError(
                 "fused_spectral = true supports history depth 1 only"
             )
-        if set(state["old"]) != {plan.nonlinear}:
+        # depth-0 (AB1: predictor_order = corrector_order = 1) is fine —
+        # beta1 is 0 at order 0, so the history term never contributes
+        if not set(state["old"]) <= {plan.nonlinear}:
             raise ps.SpectralChainError(
                 f"fused_spectral = true supports old-state history on "
                 f"{plan.nonlinear} only (got {sorted(state['old'])})"

@@ -201,6 +201,22 @@ def test_fused_first_step_semantics():
     assert int(s1["n_advances"]) == int(s2["n_advances"]) == 0
 
 
+def test_fused_ab1_no_history():
+    """AB1 decks (predictor_order = corrector_order = 1) request history
+    depth 0 — the fused path must accept them (β₁ = 0, history unused)."""
+    extra = ("carry_reciprocal = true\n  fused_spectral = true\n"
+             "  predictor_order = 1\n  corrector_order = 1")
+    s1 = _run("fft_backend = PALLAS",
+              "carry_reciprocal = true\n  predictor_order = 1\n"
+              "  corrector_order = 1")
+    s2 = _run("fft_backend = PALLAS", extra)
+    np.testing.assert_allclose(
+        np.asarray(s2["buffers"]["c"]), np.asarray(s1["buffers"]["c"]),
+        atol=2e-5,
+    )
+    assert "Mbarmubar" not in s1["old"] and "Mbarmubar" not in s2["old"]
+
+
 def test_fused_requires_pallas_backend():
     with pytest.raises(ps.SpectralChainError, match="fft_backend = PALLAS"):
         _run("", "carry_reciprocal = true\n  fused_spectral = true", steps=1)
