@@ -28,9 +28,10 @@ the unfused solver does.
 Enabled per-deck with `[TensorSolver] fused_spectral = true` (requires
 `carry_reciprocal = true` and `[Domain] fft_backend = PALLAS`); the
 chain is pattern-matched (single variable, pointwise µ(c), N̄ = M̄·µ̄
-with M̄ from ReciprocalLaplacianFactor, L̄ from
-ReciprocalLaplacianSquareFactor, no corrector) and anything else raises
-a named error.  Numerics: identical formula to AdamsBashforthMoulton
+with M̄ from ReciprocalLaplacianFactor OR N̄ = µ̄ directly, L̄ from
+ReciprocalLaplacianSquareFactor or SwiftHohenbergLinear — i.e. the
+Cahn-Hilliard and Swift-Hohenberg families — no corrector) and anything
+else raises a named error.  Numerics: identical formula to AdamsBashforthMoulton
 .substep at f32; parity tested in interpret mode (tests/test_pallas_spectral.py).
 """
 
@@ -55,8 +56,11 @@ class SpectralChainError(Exception):
 @dataclass
 class SpectralPlan:
     mu_fn: Callable  # pointwise µ = f'(u)
-    mobility: float  # M̄ = -k² · mobility
-    kappa: float  # L̄ = k⁴ · kappa (sign per ReciprocalLaplacianSquareFactor)
+    mobility: Optional[float]  # M̄ = -k² · mobility; None → N̄ = µ̄ directly
+    # L̄ recomputed in-registers: ("lapsq", κ) → k⁴·κ
+    # (ReciprocalLaplacianSquareFactor) or ("sh", r, α) → r − α²(1−k²)²
+    # (SwiftHohenbergLinear)
+    lin: tuple
     buffer: str  # u
     reciprocal: str  # ū
     nonlinear: str  # N̄
@@ -79,7 +83,7 @@ def _reject(msg):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_x_update_kernel(n, tl, mobility, kappa):
+def _fwd_x_update_kernel(n, tl, mobility, lin):
     """Forward sublane transform of (µ̄r, µ̄i) along axis 0 fused with the
     ABM predictor update.  Emits (ūr, ūi, N̄r, N̄i)."""
 
@@ -97,10 +101,17 @@ def _fwd_x_update_kernel(n, tl, mobility, kappa):
         b0 = scal_ref[0, 1]
         b1 = scal_ref[0, 2]
         k2 = kx2_ref[:] + kyz2_ref[:]  # (n,1) + (1,tl) → (n,tl)
-        Mb = -k2 * mobility  # ReciprocalLaplacianFactor
-        Lb = (k2 * k2) * kappa  # ReciprocalLaplacianSquareFactor
-        nr = Mb * mr
-        ni = Mb * mi
+        if lin[0] == "lapsq":
+            Lb = (k2 * k2) * lin[1]  # ReciprocalLaplacianSquareFactor
+        else:  # "sh": r − α²(1−k²)² (SwiftHohenbergLinear)
+            om = 1.0 - k2
+            Lb = lin[1] - (lin[2] * lin[2]) * (om * om)
+        if mobility is None:  # N̄ = µ̄ (Swift-Hohenberg class)
+            nr, ni = mr, mi
+        else:
+            Mb = -k2 * mobility  # ReciprocalLaplacianFactor
+            nr = Mb * mr
+            ni = Mb * mi
         acc_r = b0 * nr + b1 * onr_ref[:]
         acc_i = b0 * ni + b1 * oni_ref[:]
         den = 1.0 / (1.0 - sub_dt * Lb)
@@ -129,7 +140,7 @@ def _call_update(mr, mi, cr, ci, onr, oni, kx2, kyz2, scal, plan):
     out_shape = tuple(
         jax.ShapeDtypeStruct((n, L), jnp.float32) for _ in range(4)
     )
-    kern = _fwd_x_update_kernel(n, tl, plan.mobility, plan.kappa)
+    kern = _fwd_x_update_kernel(n, tl, plan.mobility, plan.lin)
     consts = pf._consts(n, False)
     return pl.pallas_call(
         kern,
@@ -217,39 +228,59 @@ def match_chain(solver) -> SpectralPlan:
             nl = m
         else:
             _reject(f"solve compute '{m.name}' ({type(m).__name__}) is not fusable")
+    from .computes.core import SwiftHohenbergLinear
+
     for what, c in (("pointwise µ(u) ParsedCompute", mu),
-                    ("ForwardFFT", fftc), ("N̄ ParsedCompute", nl)):
+                    ("ForwardFFT", fftc)):
         if c is None:
             _reject(f"the chain requires a {what}")
     if mu.extra_symbols or mu.expand != "NONE" or mu.is_integer:
         _reject("µ must be a pure pointwise function of the variable")
     if fftc.input != mu.out:
         _reject("the ForwardFFT must transform µ")
-    if nl.out != v.nonlinear_reciprocal:
-        _reject("the second ParsedCompute must produce nonlinear_reciprocal")
 
     # find the Initialize producers of M̄ and L̄
-    def find_ic(name, cls, what):
+    def find_ic(name, classes, what):
         for m in flatten(problem.ic_computes):
             if getattr(m, "out", None) == name:
-                if not isinstance(m, cls):
-                    _reject(f"{what} must be produced by {cls.__name__}")
+                if not isinstance(m, classes):
+                    _reject(f"{what} must be produced by one of "
+                            f"{[c.__name__ for c in classes]}")
                 return m
         _reject(f"no Initialize compute produces {what} '{name}'")
 
-    mbar_in = [b for b in nl.inputs if b != fftc.out]
-    if set(nl.inputs) != {fftc.out} | set(mbar_in) or len(mbar_in) != 1:
-        _reject("N̄ must be a function of µ̄ and one k-space factor buffer")
-    mbar = find_ic(mbar_in[0], ReciprocalLaplacianFactor, "M̄")
-    lbar = find_ic(v.linear_reciprocal, ReciprocalLaplacianSquareFactor, "L̄")
+    if nl is None:
+        # Swift-Hohenberg class: N̄ IS the transform of the pointwise
+        # nonlinearity — no mobility factor
+        if fftc.out != v.nonlinear_reciprocal:
+            _reject("without an N̄ ParsedCompute, the ForwardFFT must "
+                    "produce nonlinear_reciprocal directly")
+        mobility = None
+    else:
+        if nl.out != v.nonlinear_reciprocal:
+            _reject("the second ParsedCompute must produce nonlinear_reciprocal")
+        mbar_in = [b for b in nl.inputs if b != fftc.out]
+        if set(nl.inputs) != {fftc.out} | set(mbar_in) or len(mbar_in) != 1:
+            _reject("N̄ must be a function of µ̄ and one k-space factor buffer")
+        mbar = find_ic(mbar_in[0], (ReciprocalLaplacianFactor,), "M̄")
 
-    # verify N̄ = M̄·µ̄ functionally (product is the only accepted form)
-    rng = np.random.RandomState(0)
-    a = rng.randn(4).astype(np.float64)
-    b = rng.randn(4) + 1j * rng.randn(4)
-    got = np.asarray(nl.expr({mbar_in[0]: a, fftc.out: b}))
-    if not np.allclose(got, a * b, rtol=1e-5, atol=1e-6):
-        _reject("N̄ expression is not the product M̄·µ̄")
+        # verify N̄ = M̄·µ̄ functionally (product is the only accepted form)
+        rng = np.random.RandomState(0)
+        a = rng.randn(4).astype(np.float64)
+        b = rng.randn(4) + 1j * rng.randn(4)
+        got = np.asarray(nl.expr({mbar_in[0]: a, fftc.out: b}))
+        if not np.allclose(got, a * b, rtol=1e-5, atol=1e-6):
+            _reject("N̄ expression is not the product M̄·µ̄")
+        mobility = float(mbar.factor)
+
+    lbar = find_ic(
+        v.linear_reciprocal,
+        (ReciprocalLaplacianSquareFactor, SwiftHohenbergLinear), "L̄",
+    )
+    if isinstance(lbar, ReciprocalLaplacianSquareFactor):
+        lin = ("lapsq", float(lbar.factor))
+    else:
+        lin = ("sh", float(lbar.r), float(lbar.alpha))
 
     mu_fn = lambda arr: mu.expr({v.buffer: arr})
 
@@ -261,8 +292,8 @@ def match_chain(solver) -> SpectralPlan:
     kyz2 = trailing.reshape(1, -1).astype(np.float32)
     return SpectralPlan(
         mu_fn=mu_fn,
-        mobility=float(mbar.factor),
-        kappa=float(lbar.factor),
+        mobility=mobility,
+        lin=lin,
         buffer=v.buffer,
         reciprocal=v.reciprocal_buffer,
         nonlinear=v.nonlinear_reciprocal,

@@ -165,7 +165,7 @@ def test_fused_substep_kernel_exact():
     N = -k2 * plan.mobility * mubar
     oldN = (onr + 1j * oni).reshape(plan.shape)
     ubar = (cbar + dt * (b0 * N + b1 * oldN)) / (
-        1.0 - dt * (k2 * k2 * plan.kappa)
+        1.0 - dt * (k2 * k2 * plan.lin[1])
     )
     c2_ref = pf.ifftn_unordered(ubar, plan.shape)
 
@@ -199,6 +199,90 @@ def test_fused_first_step_semantics():
         atol=2e-5,
     )
     assert int(s1["n_advances"]) == int(s2["n_advances"]) == 0
+
+
+_SH = """
+[Domain]
+  dim = 2
+  nx = 128
+  ny = 128
+  xmax = 188.49555921538757
+  ymax = 188.49555921538757
+  {domain_extra}
+[]
+[TensorComputes]
+  [Initialize]
+    [psi]
+      type = ParsedCompute
+      buffer = psi
+      extra_symbols = true
+      expression = '0.035+0.03*cos(0.3*x)*cos(0.4*y)+0.02*(cos(0.23*x+0.11*y))^2'
+    []
+    [linear]
+      type = SwiftHohenbergLinear
+      buffer = linear
+      alpha = 1
+      r = 0.025
+    []
+  []
+  [Solve]
+    [psi3]
+      type = ParsedCompute
+      buffer = psi3
+      expression = '0.20*psi^2-psi^3'
+      inputs = psi
+    []
+    [psibar]
+      type = ForwardFFT
+      buffer = psibar
+      input = psi
+    []
+    [psi3bar]
+      type = ForwardFFT
+      buffer = psi3bar
+      input = psi3
+    []
+  []
+[]
+[TensorSolver]
+  type = AdamsBashforthMoulton
+  buffer = psi
+  reciprocal_buffer = psibar
+  linear_reciprocal = linear
+  nonlinear_reciprocal = psi3bar
+  substeps = 5
+  {solver_extra}
+[]
+[Problem]
+  type = TensorProblem
+[]
+"""
+
+
+def test_fused_swift_hohenberg():
+    """Swift-Hohenberg class: N̄ = fft(g(ψ)) directly (no M̄ factor) and
+    L̄ = r − α²(1−k²)² from SwiftHohenbergLinear — both rebuilt in-kernel
+    (reference examples/swift_hohenberg/swifthohenberg.i chain)."""
+
+    def run(solver_extra, steps=3):
+        root = hit.parse(_SH.format(domain_extra="fft_backend = PALLAS",
+                                    solver_extra=solver_extra))
+        p = TensorProblem(root)
+        s = p.init_state()
+        step = jax.jit(p._step_impl)
+        for i in range(steps):
+            s = step(s, float(i), 1.0, 1.0, jnp.asarray(i == 0))
+        return s
+
+    s1 = run("carry_reciprocal = true")
+    s2 = run("carry_reciprocal = true\n  fused_spectral = true")
+    np.testing.assert_allclose(
+        np.asarray(s2["buffers"]["psi"]), np.asarray(s1["buffers"]["psi"]),
+        atol=2e-5,
+    )
+    a = np.asarray(s1["buffers"]["psi3bar"])
+    b = np.asarray(s2["buffers"]["psi3bar"])
+    np.testing.assert_allclose(b, a, atol=max(5e-4 * np.abs(a).max(), 2e-5))
 
 
 def test_fused_ab1_no_history():
