@@ -30,8 +30,10 @@ Enabled per-deck with `[TensorSolver] fused_spectral = true` (requires
 chain is pattern-matched (single variable, pointwise µ(c), N̄ = M̄·µ̄
 with M̄ from ReciprocalLaplacianFactor OR N̄ = µ̄ directly, L̄ from
 ReciprocalLaplacianSquareFactor or SwiftHohenbergLinear — i.e. the
-Cahn-Hilliard and Swift-Hohenberg families — no corrector) and anything
-else raises a named error.  Numerics: identical formula to AdamsBashforthMoulton
+Cahn-Hilliard and Swift-Hohenberg families — predictor/corrector orders
+≤ 2) and anything else raises a named error.  The Adams-Moulton
+corrector reuses the SAME update kernel per corrector step: ū base =
+the pre-predictor ū, α-weights in the SMEM scalars, N_n frozen.  Numerics: identical formula to AdamsBashforthMoulton
 .substep at f32; parity tested in interpret mode (tests/test_pallas_spectral.py).
 """
 
@@ -194,10 +196,10 @@ def match_chain(solver) -> SpectralPlan:
         _reject("only 2-D/3-D domains are supported")
     if not solver.carry_reciprocal:
         _reject("requires carry_reciprocal = true")
-    if solver.corrector_steps:
-        _reject("the Adams-Moulton corrector is not fusable")
     if solver.predictor_order > 1:  # 0-indexed; orders 1-2
         _reject("predictor orders above 2 are not fusable (history depth 1)")
+    if solver.corrector_steps and solver.corrector_order > 1:
+        _reject("corrector orders above 2 are not fusable (history depth 1)")
     if len(solver.variables) != 1:
         _reject("exactly one integrated variable is supported")
     if solver.forwarded_buffers:

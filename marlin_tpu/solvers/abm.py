@@ -124,6 +124,8 @@ class AdamsBashforthMoulton(SplitOperatorBase):
         nr = jnp.real(n_cur).astype(jnp.float32).reshape(nx, L)
         ni = jnp.imag(n_cur).astype(jnp.float32).reshape(nx, L)
         beta = jnp.asarray(self._beta, jnp.float32)
+        alpha = jnp.asarray(self._alpha, jnp.float32)
+        zero = jnp.zeros((), jnp.float32)
 
         def body(s, carry):
             c, cr, ci, nr_prev, ni_prev = carry
@@ -135,12 +137,35 @@ class AdamsBashforthMoulton(SplitOperatorBase):
                 jnp.where(cond, 0, n_old_b), self.predictor_order
             )
             b_row = beta[order]
-            scal = jnp.stack(
-                [sub_dt, b_row[0], b_row[1], jnp.zeros((), jnp.float32)]
-            ).reshape(1, 4)
+            scal = jnp.stack([sub_dt, b_row[0], b_row[1], zero]).reshape(1, 4)
+            # predictor: the kernel's N output is the substep-start group
+            # evaluation (N_n in the corrector's terms)
             c2, ur, ui, nr2, ni2 = ps.ch_substep(
                 c, cr, ci, nr_prev, ni_prev, scal, plan
             )
+            if self.corrector_steps:
+                # Adams-Moulton corrector (substep(), reference :118-186):
+                # the SAME fused chain with ū base = pre-predictor ū (cr/ci),
+                # b0 → α0 (on the fresh N̄ of the corrected field) and
+                # b1 → α1 (on the frozen N_n)
+                cond_c = (s < self.corrector_order) & dt_changed
+                order_c = jnp.minimum(
+                    jnp.where(cond_c, 1, n_old_b + 1), self.corrector_order
+                )
+                a_row = alpha[order_c]
+                scal_c = jnp.stack(
+                    [sub_dt, a_row[0], a_row[1], zero]
+                ).reshape(1, 4)
+                nn_r, nn_i = nr2, ni2  # N_n, frozen across corrector steps
+                for _ in range(self.corrector_steps):
+                    c3, ur2, ui2, nr3, ni3 = ps.ch_substep(
+                        c2, cr, ci, nn_r, nn_i, scal_c, plan
+                    )
+                    # reference corrector_order == 0 (order-1 deck): the
+                    # group still re-evaluates (N̄ updates) but ū/u stay
+                    nr2, ni2 = nr3, ni3
+                    if self.corrector_order > 0:
+                        c2, ur, ui = c3, ur2, ui2
             return (c2, ur, ui, nr2, ni2)
 
         c, cr, ci, nr, ni = jax.lax.fori_loop(

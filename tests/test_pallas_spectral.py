@@ -306,12 +306,31 @@ def test_fused_requires_pallas_backend():
         _run("", "carry_reciprocal = true\n  fused_spectral = true", steps=1)
 
 
-def test_fused_rejects_corrector():
+@pytest.mark.parametrize("corr", ["corrector_steps = 1",
+                                  "corrector_steps = 2",
+                                  "corrector_steps = 1\n  corrector_order = 1"])
+def test_fused_corrector_parity(corr):
+    """The Adams-Moulton corrector runs fused (same kernel, α-weights,
+    ū base = pre-predictor ū, frozen N_n) — including the order-1 quirk
+    where the group re-evaluates but ū stays."""
+    s1 = _run("fft_backend = PALLAS", f"carry_reciprocal = true\n  {corr}")
+    s2 = _run("fft_backend = PALLAS",
+              f"carry_reciprocal = true\n  fused_spectral = true\n  {corr}")
+    np.testing.assert_allclose(
+        np.asarray(s2["buffers"]["c"]), np.asarray(s1["buffers"]["c"]),
+        atol=2e-5,
+    )
+    a = np.asarray(s1["buffers"]["Mbarmubar"])
+    b = np.asarray(s2["buffers"]["Mbarmubar"])
+    np.testing.assert_allclose(b, a, atol=max(5e-4 * np.abs(a).max(), 2e-5))
+
+
+def test_fused_rejects_high_corrector_order():
     with pytest.raises(ps.SpectralChainError, match="corrector"):
         _run(
             "fft_backend = PALLAS",
             "carry_reciprocal = true\n  fused_spectral = true\n"
-            "  corrector_steps = 1",
+            "  corrector_steps = 1\n  corrector_order = 3",
             steps=1,
         )
 
