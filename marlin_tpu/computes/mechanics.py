@@ -124,9 +124,19 @@ class HyperElasticIsotropic(TensorCompute):
         C4 = Km * tII + 2.0 * mu * (tI4s - tII / 3.0)
         S = ddot42(C4, 0.5 * (dot22(trans2(F), F) - ti))
         P = dot22(F, S)
-        K4 = dot24(S, tI4) + ddot44(
-            ddot44(tI4rt, dot42(dot24(F, C4), trans2(F))), tI4rt
+        # the reference assembles K4 = S·I4 + I4rt : (F·C4·Fᵀ) : I4rt
+        # (HyperElasticIsotropic.C:42-52); the two I4rt double-contractions
+        # are exact index permutations (ijmn ← jinm) and S·tI4 is the dyad
+        # S_in δ_km — spelled out directly because XLA lowers the broadcast
+        # δ-tensor einsums to a conv that materializes an N·dim⁶-scale
+        # temporary (19 GB at 128³, measured OOM)
+        inner = dot42(dot24(F, C4), trans2(F))
+        term = jnp.swapaxes(jnp.swapaxes(inner, -4, -3), -2, -1)
+        s_i4 = (
+            S[..., :, None, None, :]
+            * jnp.eye(dim, dtype=dtype)[:, :, None]
         )
+        K4 = s_i4 + term
         return {self.outputs[0]: P, self.tangent: K4}
 
 
@@ -164,7 +174,6 @@ class FFTMechanics(TensorCompute):
         self.nl_max_its = params.get_int("nl_max_its", 100)
         self.constitutive_name = params.get_str("constitutive_model", required=True)
         self.constitutive = None  # bound in check()
-        self._Ghat4 = None
 
     def check(self):
         self.constitutive = self.problem.get_compute(self.constitutive_name)
@@ -174,35 +183,33 @@ class FFTMechanics(TensorCompute):
                 f"provide stress tensor '{self.stress}'."
             )
 
-    def _ghat4(self):
-        """Green projection Ĝ_ijlm = δ_im q_j q_l/|q|², built once
-        (reference FFTMechanics.C:76-87)."""
-        if self._Ghat4 is None:
-            import numpy as np
-
-            dom = self.domain
-            # numpy build: safe to construct lazily inside a jax trace
-            q = np.asarray(dom.k_grid)  # (*recip, dim)
-            Q = dom.np_k_square()[..., None, None]
-            with np.errstate(invalid="ignore", divide="ignore"):
-                M = np.where(Q == 0, 0.0, q[..., None, :] * q[..., :, None] / Q)
-            delta = np.eye(dom.dim)
-            # Ghat4[..., i, j, k, m] = delta[i, m] * M[..., j, k]
-            self._Ghat4 = np.einsum("im,...jk->...ijkm", delta, M).astype(
-                np.complex128 if dom.cdtype == jnp.complex128 else np.complex64
-            )
-        return self._Ghat4
-
     def apply(self, state, ctx):
         if self.constitutive is None:
             self.check()
         dom = self.domain
         dim = dom.dim
-        Ghat4 = self._ghat4()
         r2_shape = dom.value_shape((dim, dim))
 
+        # Green projection applied FACTORIZED (reference FFTMechanics.C:76-87
+        # builds Ĝ_ijlm = δ_im q_j q_l/|q|² once and ddot42-contracts it):
+        #   (Ĝ : B)_ij = Σ_kl δ_il q_j q_k/|q|² B_lk = q_j · (Σ_k q_k B_ik)/|q|²
+        # so the rank-4 tensor never materializes — it would otherwise be
+        # inlined into the HLO as an N·dim⁴ complex literal (87 MB at 64³,
+        # rejected by the remote-compile endpoint) AND re-read every CG
+        # iteration (dim⁴/dim² = 9× the field's own traffic).
+        axes = [
+            jnp.asarray(dom.reciprocal_axis(d), dtype=dom.dtype)[..., None]
+            for d in range(dim)
+        ]  # aligned 1-D, extra trailing axis to broadcast over tensor indices
+        k2 = dom.k_square
+        inv_k2 = jnp.where(k2 == 0, 0.0, 1.0 / jnp.where(k2 == 0, 1.0, k2))
+
         def G(A2):
-            return dom.ifft(ddot42(Ghat4, dom.fft(A2))).reshape(-1)
+            Bh = dom.fft(A2)  # (*recip, dim, dim)
+            s = sum(Bh[..., :, k] * axes[k] for k in range(dim))
+            s = s * inv_k2[..., None]  # (*recip, dim) — index i
+            out = jnp.stack([s * axes[j] for j in range(dim)], axis=-1)
+            return dom.ifft(out).reshape(-1)
 
         def K_dF(K4, dFm):
             return trans2(ddot42(K4, trans2(dFm.reshape(r2_shape))))
