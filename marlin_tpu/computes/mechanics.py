@@ -124,19 +124,15 @@ class HyperElasticIsotropic(TensorCompute):
         C4 = Km * tII + 2.0 * mu * (tI4s - tII / 3.0)
         S = ddot42(C4, 0.5 * (dot22(trans2(F), F) - ti))
         P = dot22(F, S)
-        # the reference assembles K4 = S·I4 + I4rt : (F·C4·Fᵀ) : I4rt
-        # (HyperElasticIsotropic.C:42-52); the two I4rt double-contractions
-        # are exact index permutations (ijmn ← jinm) and S·tI4 is the dyad
-        # S_in δ_km — spelled out directly because XLA lowers the broadcast
-        # δ-tensor einsums to a conv that materializes an N·dim⁶-scale
-        # temporary (19 GB at 128³, measured OOM)
-        inner = dot42(dot24(F, C4), trans2(F))
-        term = jnp.swapaxes(jnp.swapaxes(inner, -4, -3), -2, -1)
-        s_i4 = (
-            S[..., :, None, None, :]
-            * jnp.eye(dim, dtype=dtype)[:, :, None]
+        # NOTE on 128³+ grids: XLA lowers these broadcast δ-tensor einsums
+        # to a conv whose temporary scales like N·dim⁶ (19 GB at 128³,
+        # measured OOM at compile time); an equivalent transpose-based
+        # assembly avoids that temp but materializes tile-padded rank-4
+        # copies per Newton iteration and measured ~40% slower at 32³ —
+        # the einsum form wins for every grid that fits
+        K4 = dot24(S, tI4) + ddot44(
+            ddot44(tI4rt, dot42(dot24(F, C4), trans2(F))), tI4rt
         )
-        K4 = s_i4 + term
         return {self.outputs[0]: P, self.tangent: K4}
 
 
@@ -196,19 +192,27 @@ class FFTMechanics(TensorCompute):
         # so the rank-4 tensor never materializes — it would otherwise be
         # inlined into the HLO as an N·dim⁴ complex literal (87 MB at 64³,
         # rejected by the remote-compile endpoint) AND re-read every CG
-        # iteration (dim⁴/dim² = 9× the field's own traffic).
-        axes = [
-            jnp.asarray(dom.reciprocal_axis(d), dtype=dom.dtype)[..., None]
-            for d in range(dim)
-        ]  # aligned 1-D, extra trailing axis to broadcast over tensor indices
+        # iteration (dim⁴/dim² = 9× the field's own traffic).  The two
+        # (…,dim) factor fields are materialized ONCE per solve (hoisted
+        # out of the Newton/CG while_loops as closure constants).
+        rshape = dom.reciprocal_shape
+        qvec = jnp.stack(
+            [
+                jnp.broadcast_to(
+                    jnp.asarray(dom.reciprocal_axis(d), dtype=dom.dtype), rshape
+                )
+                for d in range(dim)
+            ],
+            axis=-1,
+        )  # (*recip, dim)
         k2 = dom.k_square
         inv_k2 = jnp.where(k2 == 0, 0.0, 1.0 / jnp.where(k2 == 0, 1.0, k2))
+        qn = qvec * inv_k2[..., None]  # q_j / |q|²
 
         def G(A2):
             Bh = dom.fft(A2)  # (*recip, dim, dim)
-            s = sum(Bh[..., :, k] * axes[k] for k in range(dim))
-            s = s * inv_k2[..., None]  # (*recip, dim) — index i
-            out = jnp.stack([s * axes[j] for j in range(dim)], axis=-1)
+            s = jnp.einsum("...ik,...k->...i", Bh, qvec)
+            out = jnp.einsum("...i,...j->...ij", s, qn)
             return dom.ifft(out).reshape(-1)
 
         def K_dF(K4, dFm):
