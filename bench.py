@@ -606,18 +606,21 @@ def bench_lbm_porous(n=128, substeps=20, reps=3, backend="PALLAS"):
     }
 
 
-def bench_degeus(steps=10, reps=2):
+def bench_degeus(steps=10, reps=2, n=None):
     """deGeus FFT-micromechanics RVE wall-clock (BASELINE.json metric #2):
     the shipped 32^3 hyperelastic RVE (reference
     examples/degeus_mechanics/mech.i — Newton + matrix-free CG per substep,
-    10 substeps/step, shear ramp), timed over `steps` load steps."""
+    10 substeps/step, shear ramp), timed over `steps` load steps.
+    n overrides the grid extent (degeus64 child)."""
     import jax
     import jax.numpy as jnp
 
     from marlin_tpu import hit
     from marlin_tpu.problem import TensorProblem
 
-    root = hit.load("/root/reference/examples/degeus_mechanics/mech.i")
+    over = [] if n is None else [f"Domain/nx={n}", f"Domain/ny={n}",
+                                 f"Domain/nz={n}"]
+    root = hit.load("/root/reference/examples/degeus_mechanics/mech.i", over)
     problem = TensorProblem(root)
     state = problem.init_state()
     step = jax.jit(problem._step_impl)
@@ -638,7 +641,7 @@ def bench_degeus(steps=10, reps=2):
     run(steps)
     wall = time.time() - t0
     return {
-        "rve": "32^3 hyperelastic (mech.i)",
+        "rve": f"{n or 32}^3 hyperelastic (mech.i)",
         "steps": steps,
         "wall_s": round(wall, 3),
         "step_ms": round(wall / steps * 1e3, 1),
@@ -661,6 +664,10 @@ def _run_child(name):
         print(json.dumps(bench_lbm_porous(backend="JNP")))
     elif name == "degeus":
         print(json.dumps(bench_degeus()))
+    elif name == "degeus64":
+        # 8x the reference's demonstrated RVE (not in the main suite: the
+        # 64^3 Newton+CG compile alone takes ~8 min cold)
+        print(json.dumps(bench_degeus(steps=3, reps=1, n=64)))
     else:
         raise SystemExit(f"unknown benchmark {name}")
 
