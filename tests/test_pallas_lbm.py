@@ -596,6 +596,13 @@ def test_fused_mrt_state_parity():
     _assert_state_parity(s1, s2)
 
 
+def test_pick_block_rejects_oversized_transverse():
+    """Transverse extents too large for VMEM even at x-block 1 raise the
+    module's named error instead of a raw Mosaic failure."""
+    with pytest.raises(PL.FusedChainError, match="VMEM"):
+        PL._pick_block(1024, 1024, 1024, 27, 4)
+
+
 def test_fused_rejects_smagorinsky():
     """Smagorinsky needs a global mean density inside the substep — not
     fusable in one pass; the error names the offending compute."""
