@@ -33,7 +33,20 @@ import time
 
 BASELINE_SECONDS = 45.0  # reference wall time on NVIDIA L4
 
+# Global wall-clock budget for the whole suite (r01 post-mortem: the driver
+# killed a > 40 min run and every completed child's result was lost because
+# nothing was emitted until the very end).  When the budget runs out, the
+# combined line is printed with whatever completed and the process exits 0.
+BUDGET_S = float(os.environ.get("MARLIN_TPU_BENCH_BUDGET_S", "1200"))
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _emit(d):
+    """Child-side incremental emission: print the accumulated result dict as
+    a full JSON line after every completed measurement, so the parent can
+    salvage the last line if the child is killed mid-benchmark."""
+    print(json.dumps(d), flush=True)
 
 _CH3D_DECK = """
 [Domain]
@@ -322,6 +335,7 @@ def bench_ch3d(n, substeps=10, reps=3):
         "carry_cell_updates_per_s": round(n ** 3 / carry_substep_s),
         "dtype": jnp.dtype(problem.domain.dtype).name,
     }
+    _emit(out_d)
 
     # fft_backend = PALLAS (unordered Pallas FFT kernels, pallas_fft.py):
     # wins at 512-extents where XLA's FFT is far off the memory ceiling;
@@ -350,6 +364,7 @@ def bench_ch3d(n, substeps=10, reps=3):
             sub_s = max((time.time() - t0 - rt) / reps, 1e-9) / substeps
             out_d[f"{key}_substep_ms"] = round(sub_s * 1e3, 3)
             out_d[f"{key}_cell_updates_per_s"] = round(n ** 3 / sub_s)
+            _emit(out_d)
             del out3, step3, problem3
     return out_d
 
@@ -649,8 +664,22 @@ def bench_degeus(steps=10, reps=2, n=None):
     }
 
 
+def bench_probe():
+    """Backend-health probe: compile a trivial program and fetch a scalar.
+    A wedged axon backend fails here with FAILED_PRECONDITION in seconds
+    instead of burning a full benchmark timeout (r01 item 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    v = _sync(tiny(jnp.zeros(())))
+    return {"ok": v == 1.0, "backend": jax.default_backend()}
+
+
 def _run_child(name):
-    if name == "1a":
+    if name == "probe":
+        print(json.dumps(bench_probe()))
+    elif name == "1a":
         print(json.dumps(bench_1a()))
     elif name.startswith("ch3d_"):
         print(json.dumps(bench_ch3d(int(name.split("_")[1]))))
@@ -672,27 +701,74 @@ def _run_child(name):
         raise SystemExit(f"unknown benchmark {name}")
 
 
-def _spawn(name, attempts=3, timeout=1500):
+def _last_json_line(text):
+    for line in reversed((text or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except (ValueError, json.JSONDecodeError):
+                continue
+    return None
+
+
+def _spawn(name, deadline, attempts=2, timeout=900):
     """Run one benchmark in a fresh subprocess (axon failures poison the
-    process; isolation makes retries meaningful)."""
-    last = None
+    process; isolation makes retries meaningful).
+
+    Deadline-aware: each attempt's timeout is clipped to the remaining
+    global budget; with < 120 s left the child is skipped outright.
+    Children emit their accumulating result dict line-by-line, so when an
+    attempt times out or crashes mid-run the last parseable line is
+    salvaged and returned with partial/error annotations (r01 item 1)."""
+    last, salvage = None, None
     for i in range(attempts):
+        remaining = deadline - time.time()
+        if remaining < 120:
+            break
+        t = min(timeout, remaining)
+        stdout = ""
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child", name],
-                capture_output=True, text=True, timeout=timeout,
+                capture_output=True, text=True, timeout=t,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
+            stdout = p.stdout
             if p.returncode == 0:
-                for line in reversed(p.stdout.strip().splitlines()):
-                    line = line.strip()
-                    if line.startswith("{"):
-                        return json.loads(line)
-            last = f"rc={p.returncode}: {p.stderr.strip()[-800:]}"
+                got = _last_json_line(p.stdout)
+                if got is not None:
+                    return got
+            last = f"rc={p.returncode}: {p.stderr.strip()[-600:]}"
+        except subprocess.TimeoutExpired as e:
+            stdout = e.stdout if isinstance(e.stdout, str) else (
+                e.stdout.decode(errors="replace") if e.stdout else "")
+            last = f"timeout after {t:.0f}s"
         except Exception as e:
             last = repr(e)
+        got = _last_json_line(stdout)
+        if got is not None:
+            salvage = got
         sys.stderr.write(f"bench {name} attempt {i} failed: {last}\n")
-    return {"error": last}
+    if salvage is not None:
+        salvage.update({"partial": True, "error": last})
+        return salvage
+    return {"error": last or "skipped: budget exhausted"}
+
+
+def _probe(deadline):
+    """True iff the backend answers the tiny compiled-program probe.
+    Two quick subprocess attempts; persistent failure means the backend is
+    wedged and every further TPU child would burn its timeout for nothing."""
+    for _ in range(2):
+        if deadline - time.time() < 30:
+            return False
+        got = _spawn("probe", deadline=min(deadline, time.time() + 180),
+                     attempts=1, timeout=180)
+        if got.get("ok"):
+            return True
+        time.sleep(5)
+    return False
 
 
 def main():
@@ -700,23 +776,51 @@ def main():
         _run_child(sys.argv[2])
         return
 
-    result = _spawn("1a")
-    if "error" in result:
-        # still emit a line the driver can parse, then fail loudly
-        print(json.dumps({"metric": "benchmark_1a_spinodal_walltime",
-                          "value": None, "unit": "s", "vs_baseline": None,
-                          **result}))
-        raise SystemExit(1)
+    deadline = time.time() + BUDGET_S
+    result = {"metric": "benchmark_1a_spinodal_walltime", "value": None,
+              "unit": "s", "vs_baseline": None}
+    wedged = (deadline - time.time() > 60) and not _probe(deadline)
+    if wedged:
+        sys.stderr.write("bench: backend probe failed twice - wedged\n")
 
-    for n in (256, 512):
+    # Cheapest-first after the headline so the budget always yields the
+    # minimum set (1a + one ch3d + one LBM) even if the tail is cut.
+    children = [
+        ("1a", "1a", 2, 900),
+        ("lbm_channel3d_128_pallas", "lbm_pallas", 1, 600),
+        ("ch3d_256", "ch3d_256", 1, 900),
+        ("lbm_channel3d_128", "lbm", 1, 600),
+        ("lbm_porous_128_pallas", "lbm_porous", 1, 600),
+        ("degeus_rve_32", "degeus", 1, 600),
         # the 512 child compiles 4 whole-step programs (base / carry /
         # pallas / fused); cold remote compiles can exceed 10 min
-        sub = _spawn(f"ch3d_{n}", attempts=2, timeout=2400 if n == 512 else 1500)
-        result[f"ch3d_{n}"] = sub
-    result["lbm_channel3d_128"] = _spawn("lbm", attempts=2)
-    result["lbm_channel3d_128_pallas"] = _spawn("lbm_pallas", attempts=2)
-    result["lbm_porous_128_pallas"] = _spawn("lbm_porous", attempts=2)
-    result["degeus_rve_32"] = _spawn("degeus", attempts=2)
+        ("ch3d_512", "ch3d_512", 1, 1500),
+    ]
+    for key, child, attempts, timeout in children:
+        if wedged:
+            sub = {"skipped": "backend wedged"}
+        elif deadline - time.time() < 120:
+            sub = {"skipped": "budget exhausted"}
+        else:
+            sub = _spawn(child, deadline, attempts=attempts, timeout=timeout)
+            if ("error" in sub and "partial" not in sub
+                    and deadline - time.time() > 150):
+                # distinguish a flaky child from a wedged backend before
+                # spending further timeouts
+                wedged = not _probe(deadline)
+                if wedged:
+                    sub = dict(sub, skipped="backend wedged")
+        if key == "1a":
+            if "value" in sub and sub.get("value") is not None:
+                result.update(sub)
+            else:
+                result.update({k: v for k, v in sub.items()
+                               if k in ("error", "skipped", "partial")})
+        else:
+            result[key] = sub
+        # incremental emission: the driver's captured stderr shows per-child
+        # progress even if the final line never prints
+        sys.stderr.write(f"bench done {key}: {json.dumps(sub)[:400]}\n")
 
     print(json.dumps(result))
 

@@ -327,9 +327,11 @@ class Transient:
         self.time = meta["time"]
         self.step_count = meta["step"]
         self._last_dt = meta["dt"]
+        self._lbm_residual = None  # re-fetch from the restored state
         self.pp_values = dict(meta.get("pp_values", {}))
 
     _last_dt = 0.0
+    _lbm_residual = None
 
     def run(self) -> Dict[str, float]:
         if self.state is None:
@@ -342,8 +344,15 @@ class Transient:
             # execute :74 — once the residual drops below tolerance, all
             # further execution is skipped)
             if self.problem.is_lbm:
-                res = self.state.get("solver", {}).get("residual")
-                if res is not None and float(res) < self.problem.lbm_tolerance:
+                # the residual normally arrives as a host float with the
+                # previous step's pp sync (step_with_pps appends
+                # `_lbm_residual`); the device fetch only happens before the
+                # first step / after a checkpoint resume
+                res = self._lbm_residual
+                if res is None:
+                    dres = self.state.get("solver", {}).get("residual")
+                    res = None if dres is None else float(dres)
+                if res is not None and res < self.problem.lbm_tolerance:
                     break
             self.step_count += 1
             dt = self.stepper.dt(self.step_count, dt, solver_info)
@@ -385,6 +394,9 @@ class Transient:
             self._last_dt = dt
             self.time += dt
             dt_old = dt
+            # internal early-out scalar: consume it before it leaks into the
+            # CSV / console pp tables
+            self._lbm_residual = values.pop("_lbm_residual", None)
             self.pp_values.update(values)
             if self.csv is not None:
                 self.csv.add_row(self.time, dict(self.pp_values))

@@ -3,9 +3,10 @@
 Motivation (measured, see PERF.md): XLA's TPU FFT moves data at ~½ of the
 practical HBM rate and a 512-point axis transform costs 38-47 ms at 512³;
 these kernels do the same transform in 12-14 ms by factoring N = 128·R
-(R ∈ {1,2,4}) into one MXU matmul against a 128-point DFT matrix plus
+(R ≤ 8; radices 2/4 hand-scheduled, the rest as unrolled constant-folded
+combinations) into one MXU matmul against a 128-point DFT matrix plus
 radix-R butterflies, entirely in VMEM — one HBM read and one write per
-axis, no transposes.
+axis, no transposes.  N = 64 runs as a single half-tile DFT matmul.
 
 The trick that eliminates all data movement beyond the minimum: the
 forward kernel emits the spectrum in PERMUTED (t-major) order
@@ -20,9 +21,9 @@ Numerics: matmuls run at `Precision.HIGHEST` (f32); roundtrip error vs
 jnp.fft is ~1e-7 at N=512.  Complex data travels as separate f32 re/im
 planes (Mosaic has no complex dtype).
 
-Used by Domain when `fft_backend = PALLAS` (opt-in; TPU + power-of-two
-grids with every FFT extent in {128, 256, 512}); tests run the same
-kernels in interpret mode on CPU.
+Used by Domain when `fft_backend = PALLAS` (opt-in; TPU grids with every
+FFT extent in {64} ∪ {128·R, R ≤ 8}); tests run the same kernels in
+interpret mode on CPU.
 """
 
 from __future__ import annotations
@@ -38,19 +39,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 P = 128  # DFT matmul size (one MXU tile)
-_SUPPORTED = (128, 256, 512)
+MAX_R = 8  # largest radix: N up to 128*8 = 1024
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def base(n: int) -> int:
+    """The DFT-matmul size for extent n: 128 (one MXU tile), or n itself for
+    the sub-tile extent 64 (single half-tile matmul, radix 1)."""
+    return n if n < P else P
+
+
 def supported(n: int) -> bool:
-    return n in _SUPPORTED
+    return n == 64 or (n % P == 0 and 1 <= n // P <= MAX_R)
+
+
+def supported_extents():
+    return (64,) + tuple(P * r for r in range(1, MAX_R + 1))
+
+
+# kept for error messages / older callers
+_SUPPORTED = supported_extents()
 
 
 def true_k_order(n: int) -> np.ndarray:
     """true_k[k'] — the natural frequency index stored at permuted slot k'."""
-    r = n // P
+    b = base(n)
+    r = n // b
     kp = np.arange(n)
-    return (kp // P) + r * (kp % P)
+    return (kp // b) + r * (kp % b)
 
 
 def permuted_freqs(n: int, d: float) -> np.ndarray:
@@ -60,18 +76,46 @@ def permuted_freqs(n: int, d: float) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _tables(n: int, inverse: bool):
-    r = n // P
-    sign = 2j * np.pi / n if inverse else -2j * np.pi / n
-    w = np.exp((-2j if not inverse else 2j) * np.pi * np.outer(np.arange(P), np.arange(P)) / P)
-    tw = np.exp((-2j if not inverse else 2j) * np.pi * np.outer(np.arange(r), np.arange(P)) / n)
+    b = base(n)
+    r = n // b
+    s = 2j if inverse else -2j
+    w = np.exp(s * np.pi * np.outer(np.arange(b), np.arange(b)) / b)
+    tw = np.exp(s * np.pi * np.outer(np.arange(r), np.arange(b)) / n)
     return (
         w.real.astype(np.float32), w.imag.astype(np.float32),
         tw.real.astype(np.float32), tw.imag.astype(np.float32),
     )
 
 
+def _axpy(acc, x, c):
+    """acc + c*x with exact constant folding (c is a Python float)."""
+    if abs(c) < 1e-15:
+        return acc
+    term = x if c == 1.0 else (-x if c == -1.0 else x * c)
+    return term if acc is None else acc + term
+
+
+def _radix_generic(parts_r, parts_i, r, inverse):
+    """DFT_r across the r block-parts: A[t] = Σ_q x[q]·W_r^{±qt}.  The W_r
+    entries are compile-time scalars, so each output is an unrolled linear
+    combination of the parts with 0/±1 coefficients folded away."""
+    sign = 1.0 if inverse else -1.0
+    out_r, out_i = [], []
+    for t in range(r):
+        ar = ai = None
+        for q in range(r):
+            ang = sign * 2.0 * math.pi * ((q * t) % r) / r
+            c, s = round(math.cos(ang), 15), round(math.sin(ang), 15)
+            ar = _axpy(_axpy(ar, parts_r[q], c), parts_i[q], -s)
+            ai = _axpy(_axpy(ai, parts_i[q], c), parts_r[q], s)
+        out_r.append(ar)
+        out_i.append(ai if ai is not None else jnp.zeros_like(ar))
+    return out_r, out_i
+
+
 def _radix_fwd(parts_r, parts_i, r):
-    """DFT_r butterflies: A[t] = Σ_q x[q]·W_r^{qt} (W_r entries are ±1, ±i)."""
+    """DFT_r butterflies: A[t] = Σ_q x[q]·W_r^{qt} (hand-scheduled for the
+    ±1/±i radices 2 and 4; generic unrolled combination otherwise)."""
     if r == 1:
         return parts_r, parts_i
     if r == 2:
@@ -88,6 +132,8 @@ def _radix_fwd(parts_r, parts_i, r):
             [apc_r + bpd_r, amc_r + bmd_i, apc_r - bpd_r, amc_r - bmd_i],
             [apc_i + bpd_i, amc_i - bmd_r, apc_i - bpd_i, amc_i + bmd_r],
         )
+    if r <= MAX_R:
+        return _radix_generic(parts_r, parts_i, r, inverse=False)
     raise ValueError(f"radix {r}")
 
 
@@ -110,6 +156,8 @@ def _radix_inv(parts_r, parts_i, r):
             [apc_r + bpd_r, amc_r - bmd_i, apc_r - bpd_r, amc_r + bmd_i],
             [apc_i + bpd_i, amc_i + bmd_r, apc_i - bpd_i, amc_i - bmd_r],
         )
+    if r <= MAX_R:
+        return _radix_generic(parts_r, parts_i, r, inverse=True)
     raise ValueError(f"radix {r}")
 
 
@@ -126,55 +174,57 @@ def _fwd_lanes_kernel(n, tb, real_input, pre=None):
     """pre: optional elementwise jnp function applied to the (real) input
     block before the transform — fuses a pointwise producer (e.g. µ = f'(c)
     in a Cahn-Hilliard substep) into the first-axis kernel's HBM read."""
-    r = n // P
+    b = base(n)
+    r = n // b
 
     def kernel(*refs):
         if real_input:
             (xr_ref, wr_ref, wi_ref, twr_ref, twi_ref, or_ref, oi_ref) = refs
         else:
             (xr_ref, xi_ref, wr_ref, wi_ref, twr_ref, twi_ref, or_ref, oi_ref) = refs
-        # input x[b, n], n_index = p + P q  →  (TB, r, P): q major, p lanes
+        # input x[bk, n], n_index = p + b q  →  (TB, r, b): q major, p lanes
         xin = xr_ref[:]
         if pre is not None:
             xin = pre(xin)
-        xr = xin.reshape(tb, r, P)
+        xr = xin.reshape(tb, r, b)
         parts_r = [xr[:, q, :] for q in range(r)]
         if real_input:
             parts_i = [jnp.zeros_like(parts_r[0]) for _ in range(r)]
         else:
-            xi = xi_ref[:].reshape(tb, r, P)
+            xi = xi_ref[:].reshape(tb, r, b)
             parts_i = [xi[:, q, :] for q in range(r)]
         ar, ai = _radix_fwd(parts_r, parts_i, r)
         twr, twi = twr_ref[:], twi_ref[:]
         wr, wi = wr_ref[:], wi_ref[:]
         br = jnp.stack(ar, axis=1) * twr - jnp.stack(ai, axis=1) * twi
         bi = jnp.stack(ar, axis=1) * twi + jnp.stack(ai, axis=1) * twr
-        b2r = br.reshape(tb * r, P)
-        b2i = bi.reshape(tb * r, P)
+        b2r = br.reshape(tb * r, b)
+        b2i = bi.reshape(tb * r, b)
         mm = lambda x, w: jnp.dot(x, w, precision=HIGHEST, preferred_element_type=jnp.float32)
         cr = mm(b2r, wr) - mm(b2i, wi)
         ci = mm(b2r, wi) + mm(b2i, wr)
-        or_ref[:] = cr.reshape(tb, n)   # k' = t·P + s
+        or_ref[:] = cr.reshape(tb, n)   # k' = t·b + s
         oi_ref[:] = ci.reshape(tb, n)
 
     return kernel
 
 
 def _inv_lanes_kernel(n, tb, real_output):
-    r = n // P
+    b = base(n)
+    r = n // b
     scale = 1.0 / n
 
     def kernel(xr_ref, xi_ref, wr_ref, wi_ref, twr_ref, twi_ref, *outs):
-        # permuted input X'[b, k'], k' = t·P + s → (TB, r, P): t major, s lanes
-        xr = xr_ref[:].reshape(tb, r, P)
-        xi = xi_ref[:].reshape(tb, r, P)
-        wr, wi = wr_ref[:], wi_ref[:]  # inverse DFT128 table W_P^{+ms}
+        # permuted input X'[bk, k'], k' = t·b + s → (TB, r, b): t major, s lanes
+        xr = xr_ref[:].reshape(tb, r, b)
+        xi = xi_ref[:].reshape(tb, r, b)
+        wr, wi = wr_ref[:], wi_ref[:]  # inverse DFT_b table W_b^{+ms}
         mm = lambda x, w: jnp.dot(x, w, precision=HIGHEST, preferred_element_type=jnp.float32)
-        # A[t, m] = Σ_s X'[t,s] W_P^{+m s}  (contract lanes)
-        b2r = xr.reshape(tb * r, P)
-        b2i = xi.reshape(tb * r, P)
-        ar = (mm(b2r, wr) - mm(b2i, wi)).reshape(tb, r, P)
-        ai = (mm(b2r, wi) + mm(b2i, wr)).reshape(tb, r, P)
+        # A[t, m] = Σ_s X'[t,s] W_b^{+m s}  (contract lanes)
+        b2r = xr.reshape(tb * r, b)
+        b2i = xi.reshape(tb * r, b)
+        ar = (mm(b2r, wr) - mm(b2i, wi)).reshape(tb, r, b)
+        ai = (mm(b2r, wi) + mm(b2i, wr)).reshape(tb, r, b)
         # twiddle W_n^{+m t}
         twr, twi = twr_ref[:], twi_ref[:]
         cr = ar * twr - ai * twi
@@ -198,13 +248,14 @@ def _fwd_sublanes_transform(xr, xi, wr, wi, twr, twi, n, tl):
     shared by _fwd_sublanes_kernel and the fused k-space-update kernel
     (pallas_spectral._fwd_x_update_kernel).  xi=None for real input;
     returns planar (re, im)."""
-    r = n // P
-    xr = xr.reshape(r, P, tl)
+    b = base(n)
+    r = n // b
+    xr = xr.reshape(r, b, tl)
     parts_r = [xr[q] for q in range(r)]
     if xi is None:
         parts_i = [jnp.zeros_like(parts_r[0]) for _ in range(r)]
     else:
-        xi = xi.reshape(r, P, tl)
+        xi = xi.reshape(r, b, tl)
         parts_i = [xi[q] for q in range(r)]
     ar, ai = _radix_fwd(parts_r, parts_i, r)
     mml = lambda w, x: jax.lax.dot_general(
@@ -213,8 +264,8 @@ def _fwd_sublanes_transform(xr, xi, wr, wi, twr, twi, n, tl):
     outs_r, outs_i = [], []
     wrT, wiT = wr.T, wi.T
     for t in range(r):
-        tr = twr[t, :].reshape(P, 1)
-        ti = twi[t, :].reshape(P, 1)
+        tr = twr[t, :].reshape(b, 1)
+        ti = twi[t, :].reshape(b, 1)
         br = ar[t] * tr - ai[t] * ti
         bi = ar[t] * ti + ai[t] * tr
         outs_r.append(mml(wrT, br) - mml(wiT, bi))
@@ -238,25 +289,26 @@ def _fwd_sublanes_kernel(n, tl, real_input):
 
 
 def _inv_sublanes_kernel(n, tl, real_output):
-    r = n // P
+    b = base(n)
+    r = n // b
     scale = 1.0 / n
 
     def kernel(xr_ref, xi_ref, wr_ref, wi_ref, twr_ref, twi_ref, *outs):
-        xr = xr_ref[:].reshape(r, P, tl)
-        xi = xi_ref[:].reshape(r, P, tl)
+        xr = xr_ref[:].reshape(r, b, tl)
+        xi = xi_ref[:].reshape(r, b, tl)
         wr, wi = wr_ref[:], wi_ref[:]
         twr, twi = twr_ref[:], twi_ref[:]
         mml = lambda w, x: jax.lax.dot_general(
             w, x, (((1,), (0,)), ((), ())), precision=HIGHEST,
             preferred_element_type=jnp.float32)
-        # A[t][m, l] = Σ_s W_P^{+s m}ᵀ X'[t][s, l]
+        # A[t][m, l] = Σ_s W_b^{+s m}ᵀ X'[t][s, l]
         wrT, wiT = wr.T, wi.T
         cr_parts, ci_parts = [], []
         for t in range(r):
             arr = mml(wrT, xr[t]) - mml(wiT, xi[t])
             aii = mml(wrT, xi[t]) + mml(wiT, xr[t])
-            tr = twr[t, :].reshape(P, 1)
-            ti = twi[t, :].reshape(P, 1)
+            tr = twr[t, :].reshape(b, 1)
+            ti = twi[t, :].reshape(b, 1)
             cr_parts.append(arr * tr - aii * ti)
             ci_parts.append(arr * ti + aii * tr)
         urs, uis = _radix_inv(cr_parts, ci_parts, r)
@@ -288,10 +340,11 @@ def _consts(n, inverse):
 
 
 def _call_lanes(kernel, n, tb, n_in, n_out, args, B):
-    r = n // P
+    b = base(n)
+    r = n // b
     bs = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     fw = lambda shp: pl.BlockSpec(shp, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    in_specs = [bs] * n_in + [fw((P, P)), fw((P, P)), fw((r, P)), fw((r, P))]
+    in_specs = [bs] * n_in + [fw((b, b)), fw((b, b)), fw((r, b)), fw((r, b))]
     out_shape = tuple(jax.ShapeDtypeStruct((B, n), jnp.float32) for _ in range(n_out))
     out_specs = tuple(bs for _ in range(n_out))
     if n_out == 1:
@@ -303,8 +356,11 @@ def _call_lanes(kernel, n, tb, n_in, n_out, args, B):
 
 
 def _pick_tb(B, n):
-    # VMEM budget ~16MB; keep in+out+intermediates ≈ 12·tb·n·4B under ~8MB
-    tb = max(8, min(256, (2 ** 21) // n))
+    # keep in+out+intermediates ≈ 12·tb·n·4B under ~8MB (half the default
+    # 16MB scoped-VMEM budget, leaving room for double buffering)
+    tb = 256
+    while tb > 1 and (B % tb or 12 * tb * n * 4 > 8 * 2 ** 20):
+        tb //= 2
     while B % tb:
         tb //= 2
     return max(tb, 1)
@@ -333,10 +389,11 @@ def ifft_lanes(xr, xi, n, real_output=True):
 
 
 def _call_sublanes(kernel, n, tl, n_in, n_out, args, L):
-    r = n // P
+    b = base(n)
+    r = n // b
     bs = pl.BlockSpec((n, tl), lambda j: (0, j), memory_space=pltpu.VMEM)
     fw = lambda shp: pl.BlockSpec(shp, lambda j: (0, 0), memory_space=pltpu.VMEM)
-    in_specs = [bs] * n_in + [fw((P, P)), fw((P, P)), fw((r, P)), fw((r, P))]
+    in_specs = [bs] * n_in + [fw((b, b)), fw((b, b)), fw((r, b)), fw((r, b))]
     out_shape = tuple(jax.ShapeDtypeStruct((n, L), jnp.float32) for _ in range(n_out))
     out_specs = tuple(bs for _ in range(n_out))
     if n_out == 1:
@@ -347,10 +404,22 @@ def _call_sublanes(kernel, n, tl, n_in, n_out, args, L):
     )(*args)
 
 
+def _pick_tl(L, n):
+    # transverse lane-tile: 128 when it divides L (always for the shipped
+    # power-of-two grids); otherwise the largest power-of-two divisor, and
+    # shrink further if the (n, tl) block footprint blows the ~8MB budget
+    tl = 128
+    while tl > 1 and (L % tl or 12 * n * tl * 4 > 8 * 2 ** 20):
+        tl //= 2
+    while L % tl:
+        tl //= 2
+    return max(tl, 1)
+
+
 def fft_sublanes(xr, xi, n):
     """Forward along axis 0 of (n, L). xi=None for real input."""
     L = xr.shape[1]
-    tl = 128
+    tl = _pick_tl(L, n)
     k = _fwd_sublanes_kernel(n, tl, xi is None)
     args = ([xr] if xi is None else [xr, xi]) + list(_consts(n, False))
     return _call_sublanes(k, n, tl, 1 if xi is None else 2, 2, args, L)
@@ -358,7 +427,7 @@ def fft_sublanes(xr, xi, n):
 
 def ifft_sublanes(xr, xi, n, real_output=False):
     L = xr.shape[1]
-    tl = 128
+    tl = _pick_tl(L, n)
     k = _inv_sublanes_kernel(n, tl, real_output)
     args = [xr, xi] + list(_consts(n, True))
     return _call_sublanes(k, n, tl, 2, 1 if real_output else 2, args, L)

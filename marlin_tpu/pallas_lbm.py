@@ -199,7 +199,10 @@ def _make_kernel(cfg: FusedLBMConfig):
 
         if cfg.has_media:
             solid = m_center[...] == 0
-            fluid = jnp.logical_not(solid)
+            # bounce-back applies at FLUID cells only; the jnp chain's wall
+            # mask (lbm_bc.py wall_boundary) defines fluid as media >= 1, so
+            # negative media ids are neither solid-filled nor bounced
+            fluid = m_center[...] >= 1
 
         def streamed(qi):
             """Pull-streamed direction qi with face + obstacle bounce-back
@@ -322,24 +325,36 @@ def _pick_block(nx: int, ny: int, nz: int, q: int, itemsize: int) -> int:
     MARLIN_TPU_LBM_BLOCK overrides (tuning knob)."""
     import os
 
-    forced = os.environ.get("MARLIN_TPU_LBM_BLOCK")
-    if forced:
-        b = int(forced)
-        if nx % b:
-            raise ValueError(f"MARLIN_TPU_LBM_BLOCK={b} does not divide nx={nx}")
-        return b
     # the kernel raises the scoped-VMEM limit to MARLIN_TPU_LBM_VMEM_MB
     # (default 64 MB; v5e has 128 MB) — size blocks against the SAME
     # budget so the two knobs compose; blocks larger than 4 measured
     # SLOWER at 128^3 (B=8: 1507 vs B=4's 1805 MLUPS, with a 10-minute
     # Mosaic compile), so prefer 4
     budget = int(os.environ.get("MARLIN_TPU_LBM_VMEM_MB", "64")) * 2 ** 20
+
+    def fits(b):
+        # in: q*(b+2)+b cells; out: (q+1)*b cells; x2 for double buffering
+        cells = (q * (b + 2) + b + (q + 1) * b) * ny * nz
+        return cells * itemsize * 2 <= budget
+
+    forced = os.environ.get("MARLIN_TPU_LBM_BLOCK")
+    if forced:
+        b = int(forced)
+        if nx % b:
+            raise ValueError(f"MARLIN_TPU_LBM_BLOCK={b} does not divide nx={nx}")
+        if not fits(b):
+            # a forced oversized block would otherwise surface as a raw
+            # Mosaic VMEM compile failure instead of the named error
+            raise FusedChainError(
+                f"MARLIN_TPU_LBM_BLOCK={b} exceeds the "
+                f"MARLIN_TPU_LBM_VMEM_MB={budget // 2 ** 20} budget at "
+                f"transverse extents {ny}x{nz}"
+            )
+        return b
     for b in (4, 2, 1):
         if nx % b:
             continue
-        # in: q*(b+2)+b cells; out: (q+1)*b cells; x2 for double buffering
-        cells = (q * (b + 2) + b + (q + 1) * b) * ny * nz
-        if cells * itemsize * 2 <= budget:
+        if fits(b):
             return b
     raise FusedChainError(
         f"lbm_backend = PALLAS: transverse extents {ny}x{nz} exceed the "

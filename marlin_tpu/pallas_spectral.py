@@ -128,12 +128,13 @@ def _fwd_x_update_kernel(n, tl, mobility, lin):
 def _call_update(mr, mi, cr, ci, onr, oni, kx2, kyz2, scal, plan):
     n, L = mr.shape
     tl = 128
-    r = n // pf.P
+    b = pf.base(n)
+    r = n // b
     bs = pl.BlockSpec((n, tl), lambda j: (0, j), memory_space=pltpu.VMEM)
     fw = lambda shp: pl.BlockSpec(shp, lambda j: (0, 0), memory_space=pltpu.VMEM)
     in_specs = (
         [bs, bs]
-        + [fw((pf.P, pf.P)), fw((pf.P, pf.P)), fw((r, pf.P)), fw((r, pf.P))]
+        + [fw((b, b)), fw((b, b)), fw((r, b)), fw((r, b))]
         + [bs, bs, bs, bs]
         + [fw((n, 1)), pl.BlockSpec((1, tl), lambda j: (0, j),
                                     memory_space=pltpu.VMEM)]

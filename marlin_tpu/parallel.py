@@ -203,14 +203,17 @@ def local_slices(domain):
         out.append(tuple(idx))
     if not out:
         out = [tuple(slice(None) for _ in range(dim))]
-    # one slice per device (replicated dims don't multiply ranks; pad by
-    # repeating the full layout if the mesh has more devices than chunks)
+    # one slice per device; a mesh with more devices than sharded chunks
+    # would make the per-rank XDMF/RandomTensor data silently wrong for the
+    # extra ranks — hard error instead of guessing (VERDICT r01 item 8)
     n_ranks = int(np.prod(mesh.devices.shape))
     if len(out) != n_ranks:
-        # e.g. a 1-D slab mesh sharding only axis 1: len(out) == n_ranks
-        # already; other cases repeat the last slice
-        while len(out) < n_ranks:
-            out.append(out[-1])
+        raise ValueError(
+            f"local_slices: the real-space sharding spec yields {len(out)} "
+            f"chunk(s) but the mesh has {n_ranks} devices; per-rank output "
+            "requires one chunk per device (shrink the mesh or shard more "
+            "axes)"
+        )
     return out
 
 

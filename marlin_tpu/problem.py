@@ -1038,6 +1038,11 @@ class TensorProblem:
                 buffers.update(self.pp_computes.apply(buffers, ctx))
                 st = {**state, "buffers": buffers}
                 vals = {pp.name: pp.compute(st, ctx) for pp in active}
+                # ride the LBM convergence residual on the existing pp sync
+                # so the executioner's early-out check costs no extra device
+                # round-trip (VERDICT r01 item 10; ~30 ms/step on axon)
+                if self.is_lbm and "residual" in state.get("solver", {}):
+                    vals = {**vals, "_lbm_residual": state["solver"]["residual"]}
                 return state, vals
 
             self._step_fns["step_pp"] = jax.jit(fn)

@@ -112,7 +112,7 @@ class TestUnusedParams:
         # device_names etc. are legal reference-deck knobs that collapse to
         # JAX platform selection — never reported
         self._run(
-            domain_extra="device_names = cuda",
+            domain_extra="device_names = 'cuda cuda'\n  device_weights = '1 2'",
             problem_extra="strict_params = true",
         )
 

@@ -21,7 +21,7 @@ def _interpret_mode():
     pf._INTERPRET = old
 
 
-@pytest.mark.parametrize("n", [128, 256, 512])
+@pytest.mark.parametrize("n", [64, 128, 256, 384, 512, 640, 768, 896, 1024])
 def test_lanes_roundtrip_and_order(n):
     rng = np.random.RandomState(0)
     x = rng.randn(8, n).astype(np.float32)
@@ -33,7 +33,7 @@ def test_lanes_roundtrip_and_order(n):
     np.testing.assert_allclose(np.asarray(back), x, atol=1e-4)
 
 
-@pytest.mark.parametrize("n", [128, 256])
+@pytest.mark.parametrize("n", [64, 128, 256, 384, 640])
 def test_sublanes_roundtrip_and_order(n):
     rng = np.random.RandomState(1)
     x = rng.randn(n, 128).astype(np.float32)
@@ -169,13 +169,32 @@ def test_pallas_rejects_unsupported():
                                 .replace("xmax = 128", "xmax = 200")))
 
 
-def test_anisotropic_grid():
-    """Mixed supported extents (512 not required on every axis)."""
+@pytest.mark.parametrize("shape", [(256, 128), (384, 64), (64, 640)])
+def test_anisotropic_grid(shape):
+    """Mixed supported extents, including the non-power-of-two radices and
+    the 64 half-tile base (VERDICT r01 item 7)."""
     rng = np.random.RandomState(3)
-    x = rng.randn(256, 128).astype(np.float32)
+    x = rng.randn(*shape).astype(np.float32)
     u = jax.jit(pf.fftn_unordered)(jnp.asarray(x))
     ref = np.fft.fftn(x)
-    perm = np.ix_(pf.true_k_order(256), pf.true_k_order(128))
+    perm = np.ix_(pf.true_k_order(shape[0]), pf.true_k_order(shape[1]))
     assert np.abs(np.asarray(u) - ref[perm]).max() / np.abs(ref).max() < 1e-5
-    back = jax.jit(lambda v: pf.ifftn_unordered(v, (256, 128)))(u)
+    back = jax.jit(lambda v: pf.ifftn_unordered(v, shape))(u)
     np.testing.assert_allclose(np.asarray(back), x, atol=1e-4)
+
+
+def test_ch_solver_physics_parity_384():
+    """Physics parity at a non-power-of-two radix-3 extent."""
+
+    def run(backend):
+        deck = (_CH.format(backend=backend)
+                .replace("nx = 128", "nx = 384").replace("xmax = 128", "xmax = 384"))
+        root = hit.parse(deck)
+        p = TensorProblem(root)
+        s = p.init_state()
+        step = jax.jit(p._step_impl)
+        out = step(s, 0.0, 1.0, 1.0, jnp.asarray(True))
+        return np.asarray(out["buffers"]["c"])
+
+    np.testing.assert_allclose(
+        run("fft_backend = PALLAS"), run(""), atol=5e-5)

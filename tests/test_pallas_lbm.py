@@ -603,6 +603,17 @@ def test_pick_block_rejects_oversized_transverse():
         PL._pick_block(1024, 1024, 1024, 27, 4)
 
 
+def test_pick_block_forced_oversized_rejected(monkeypatch):
+    """A forced MARLIN_TPU_LBM_BLOCK that blows the VMEM budget raises the
+    named error, not a raw Mosaic compile failure (ADVICE r01)."""
+    monkeypatch.setenv("MARLIN_TPU_LBM_BLOCK", "8")
+    with pytest.raises(PL.FusedChainError, match="MARLIN_TPU_LBM_BLOCK"):
+        PL._pick_block(1024, 512, 512, 27, 4)
+    # a forced block that fits is still honored
+    monkeypatch.setenv("MARLIN_TPU_LBM_BLOCK", "2")
+    assert PL._pick_block(8, 12, 10, 19, 4) == 2
+
+
 def test_fused_rejects_smagorinsky():
     """Smagorinsky needs a global mean density inside the substep — not
     fusable in one pass; the error names the offending compute."""
