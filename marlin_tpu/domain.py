@@ -108,10 +108,13 @@ class Domain:
         if fft_backend == FFTBackend.PALLAS:
             from . import pallas_fft
 
-            if parallel_mode != ParallelMode.NONE:
+            if parallel_mode not in (ParallelMode.NONE, ParallelMode.FFT_SLAB) \
+                    or (parallel_mode == ParallelMode.FFT_SLAB and dim != 3):
                 raise ValueError(
-                    "[Domain] fft_backend = PALLAS supports serial mode only "
-                    "(distributed FFTs use the shard_map slab/pencil paths)"
+                    "[Domain] fft_backend = PALLAS supports serial mode and "
+                    "3-D FFT_SLAB (z and x kernels run per-shard, one planar "
+                    "all_to_all, y kernel after the transpose); use the "
+                    "DEFAULT backend for pencil/2-D-slab decompositions"
                 )
             bad = [x for x in self.n_global if not pallas_fft.supported(x)]
             if bad:
@@ -158,13 +161,25 @@ class Domain:
     # -- axes -------------------------------------------------------------
     def _use_rfft(self, d: int) -> bool:
         """Which axis carries the half-spectrum (reference :268-284).
-        Serial mode: rfft on the last axis.  FFT_SLAB: full complex (like the
-        reference).  FFT_PENCIL: full complex too — the reference rffts the
-        x axis, but its odd half-spectrum extent cannot be tiled evenly
-        across ranks (the all_to_all stages need equal splits), so our pencil
-        design keeps the full spectrum.  REAL_SPACE has no spectral axes."""
+
+        Serial mode: rfft on the last axis.  FFT_SLAB on 3-D grids: rfft on
+        the last axis too — z is local in BOTH the real (Y-sharded) and
+        reciprocal (X-sharded) slab layouts, so the odd half extent is never
+        split by the all_to_all and the transpose traffic halves with none
+        of the reference's remainder bookkeeping (DomainAction.h:247-280).
+        FFT_SLAB on 2-D grids stays full complex: both axes participate in
+        the transpose (x is split, y is concatenated), so a half axis would
+        need uneven tiles for ~half the traffic of an already-small problem.
+        FFT_PENCIL: rfft on the x axis like the reference
+        (DomainAction.C:279-284), with the odd half extent zero-padded to
+        the p1 tile multiple instead of remainder-partitioned (see
+        parallel.fft_pencil).  REAL_SPACE has no spectral axes."""
         if self.parallel_mode == ParallelMode.NONE:
             return d == self.dim - 1
+        if self.parallel_mode == ParallelMode.FFT_SLAB:
+            return self.dim == 3 and d == 2
+        if self.parallel_mode == ParallelMode.FFT_PENCIL:
+            return d == 0
         return False
 
     def align(self, t: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -183,6 +198,13 @@ class Domain:
         self._np_raxes = []
         self.n_reciprocal_global = []
         self.max_k = []
+        # FFT_PENCIL: the x half-spectrum extent (n/2+1, odd) is zero-padded
+        # to a multiple of the p1 mesh axis so the all_to_all stages split
+        # evenly (TPU collectives need equal tiles; the reference instead
+        # remainder-partitions, DomainAction.h:247-280).  Pad spectrum rows
+        # are zero after every forward transform and are sliced off before
+        # the inverse, so they never influence real-space physics.
+        self.reciprocal_pad = 0
         for d in range(dim):
             h = self.grid_spacing[d]
             n = self.n_global[d]
@@ -204,6 +226,14 @@ class Domain:
                 freq = permuted_freqs(n, d=h)
             elif self._use_rfft(d):
                 freq = np.fft.rfftfreq(n, d=h)
+                if (self.parallel_mode == ParallelMode.FFT_PENCIL
+                        and d == 0 and self.mesh is not None):
+                    p1 = dict(zip(self.mesh.axis_names,
+                                  self.mesh.devices.shape)).get("p1", 1)
+                    pad = (-len(freq)) % p1
+                    if pad:
+                        self.reciprocal_pad = pad
+                        freq = np.concatenate([freq, np.zeros(pad)])
             else:
                 freq = np.fft.fftfreq(n, d=h)
             k = (freq * 2.0 * math.pi).astype(npdtype)
@@ -321,6 +351,15 @@ class Domain:
                     "fft_backend = PALLAS supports scalar fields only "
                     f"(got a rank-{t.ndim} tensor on a {self.dim}-D grid)"
                 )
+            if self.mesh is not None:
+                from . import parallel
+
+                if jnp.iscomplexobj(t):
+                    return (
+                        parallel.fft_slab_pallas(self, jnp.real(t))
+                        + 1j * parallel.fft_slab_pallas(self, jnp.imag(t))
+                    ).astype(self.cdtype)
+                return parallel.fft_slab_pallas(self, t)
             if jnp.iscomplexobj(t):
                 u = (pallas_fft.fftn_unordered(jnp.real(t).astype(jnp.float32))
                      + 1j * pallas_fft.fftn_unordered(jnp.imag(t).astype(jnp.float32)))
@@ -332,8 +371,15 @@ class Domain:
             return jnp.fft.rfftn(t, axes=spatial).astype(self.cdtype)
         if self.mesh is None:
             # slab/pencil convention without a mesh (single-device run of a
-            # parallel deck): full complex spectrum, matching the
-            # decomposed-mode reciprocal shapes
+            # parallel deck): same half-spectrum layout as the decomposed
+            # run (reciprocal_pad is 0 without a mesh)
+            if jnp.iscomplexobj(t):
+                return jnp.fft.fftn(t, axes=spatial).astype(self.cdtype)
+            if self.parallel_mode == ParallelMode.FFT_SLAB and self.dim == 3:
+                return jnp.fft.rfftn(t, axes=spatial).astype(self.cdtype)
+            if self.parallel_mode == ParallelMode.FFT_PENCIL and self.dim == 3:
+                # half axis is x: rfftn transforms the LAST listed axis real
+                return jnp.fft.rfftn(t, axes=(1, 2, 0)).astype(self.cdtype)
             return jnp.fft.fftn(t, axes=spatial).astype(self.cdtype)
         from . import parallel
 
@@ -346,10 +392,23 @@ class Domain:
         if self.fft_backend == FFTBackend.PALLAS:
             from . import pallas_fft
 
+            if self.mesh is not None:
+                from . import parallel
+
+                return parallel.ifft_slab_pallas(self, t)
             return pallas_fft.ifftn_unordered(t, self.shape).astype(self.dtype)
         if self.parallel_mode == ParallelMode.NONE:
             return jnp.fft.irfftn(t, s=self.shape, axes=spatial).astype(self.dtype)
         if self.mesh is None:
+            s = self.shape
+            if (self.parallel_mode == ParallelMode.FFT_SLAB and self.dim == 3
+                    and t.shape[2] == self.reciprocal_shape[2]):
+                return jnp.fft.irfftn(t, s=s, axes=spatial).astype(self.dtype)
+            if (self.parallel_mode == ParallelMode.FFT_PENCIL and self.dim == 3
+                    and t.shape[0] == self.reciprocal_shape[0]):
+                return jnp.fft.irfftn(
+                    t, s=(s[1], s[2], s[0]), axes=(1, 2, 0)
+                ).astype(self.dtype)
             return jnp.fft.ifftn(t, axes=spatial).real.astype(self.dtype)
         from . import parallel
 

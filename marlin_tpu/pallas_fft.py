@@ -439,43 +439,100 @@ def ifft_sublanes(xr, xi, n, real_output=False):
 # ---------------------------------------------------------------------------
 
 
+def _fwd_mid_axis(rr, ri, d):
+    """Forward transform along a non-last axis d of planar (re, im) arrays:
+    sublane kernel on the (n_d, suffix) view, vmapped over the prefix."""
+    shape = rr.shape
+    n_d = shape[d]
+    pre_n = int(np.prod(shape[:d], dtype=int)) if d > 0 else 1
+    suf = int(np.prod(shape[d + 1:], dtype=int))
+    rr2 = rr.reshape(pre_n, n_d, suf)
+    ri2 = ri.reshape(pre_n, n_d, suf) if ri is not None else None
+    if pre_n == 1:
+        orr, ori = fft_sublanes(rr2[0], None if ri2 is None else ri2[0], n_d)
+    elif ri2 is None:
+        orr, ori = jax.vmap(lambda a: fft_sublanes(a, None, n_d))(rr2)
+    else:
+        orr, ori = jax.vmap(lambda a, b: fft_sublanes(a, b, n_d))(rr2, ri2)
+    return orr.reshape(shape), ori.reshape(shape)
+
+
+def _inv_mid_axis(rr, ri, d):
+    shape = rr.shape
+    n_d = shape[d]
+    pre_n = int(np.prod(shape[:d], dtype=int)) if d > 0 else 1
+    suf = int(np.prod(shape[d + 1:], dtype=int))
+    rr2 = rr.reshape(pre_n, n_d, suf)
+    ri2 = ri.reshape(pre_n, n_d, suf)
+    if pre_n == 1:
+        orr, ori = ifft_sublanes(rr2[0], ri2[0], n_d, real_output=False)
+    else:
+        orr, ori = jax.vmap(
+            lambda a, b: ifft_sublanes(a, b, n_d, real_output=False)
+        )(rr2, ri2)
+    return orr.reshape(shape), ori.reshape(shape)
+
+
+def fwd_axes_planar(x, axes, pre=None, imag=None):
+    """Forward unordered transform along `axes` of a planar array pair.
+    `x` real (imag=None) or the real plane of a planar pair.  Axes are
+    processed descending; the last array axis (lanes kernel) must be in
+    `axes` whenever the input is real and pre is set.  Returns planar
+    (re, im) f32.  Used standalone by the distributed slab path, which
+    transforms the local axes, all_to_alls, then the remaining axis."""
+    shape = x.shape
+    dim = len(shape)
+    for d in axes:
+        if not supported(shape[d]):
+            raise ValueError(f"pallas fft: unsupported extent {shape[d]}")
+    if pre is not None and (dim - 1) not in axes:
+        raise ValueError("pre-op fusion requires the last axis in `axes`")
+    rr, ri = x.astype(jnp.float32), imag
+    for d in sorted(axes, reverse=True):
+        if d == dim - 1:
+            n = shape[-1]
+            xr2 = rr.reshape(-1, n)
+            xi2 = ri.reshape(-1, n) if ri is not None else None
+            orr, ori = fft_lanes(xr2, xi2, n, pre=pre if ri is None else None)
+            rr, ri = orr.reshape(shape), ori.reshape(shape)
+        else:
+            if ri is None:
+                ri = jnp.zeros_like(rr)
+            rr, ri = _fwd_mid_axis(rr, ri, d)
+    if ri is None:
+        ri = jnp.zeros_like(rr)
+    return rr, ri
+
+
+def inv_axes_planar(rr, ri, axes, real_output=False, shape=None):
+    """Inverse unordered transform along `axes` (ascending).  With
+    `real_output`, the last array axis must be in `axes` and the real
+    result is returned alone; otherwise planar (re, im)."""
+    shape = rr.shape if shape is None else shape
+    dim = len(shape)
+    for d in sorted(axes):
+        n_d = shape[d]
+        if d == dim - 1:
+            out = ifft_lanes(
+                rr.reshape(-1, n_d), ri.reshape(-1, n_d), n_d,
+                real_output=real_output,
+            )
+            if real_output:
+                return out.reshape(shape)
+            rr, ri = (o.reshape(shape) for o in out)
+        else:
+            rr, ri = _inv_mid_axis(rr, ri, d)
+    return rr, ri
+
+
 def fftn_unordered_planar(x: jnp.ndarray, pre=None, skip_axis0=False):
     """Forward n-D FFT of a REAL array; returns planar (re, im) f32 arrays
     with every axis in permuted (t-major) order.  `pre` fuses an elementwise
     function into the first-axis kernel's read; `skip_axis0` leaves axis 0
     untransformed (a caller fusing its own final-axis kernel)."""
-    shape = x.shape
-    dim = len(shape)
-    for s in shape:
-        if not supported(s):
-            raise ValueError(f"pallas fft: unsupported extent {s}")
-    # axis -1 (lanes), real input
-    n = shape[-1]
-    xr = x.astype(jnp.float32).reshape(-1, n)
-    rr, ri = fft_lanes(xr, None, n, pre=pre)
-    rr = rr.reshape(shape)
-    ri = ri.reshape(shape)
-    # remaining axes: operate on axis 0 of a (n_d, rest) view
-    for d in range(dim - 2, -1, -1):
-        if d == 0 and skip_axis0:
-            break
-        n_d = shape[d]
-        # move nothing: view (prefix, n_d, suffix) → loop handled by folding
-        # prefix into the grid via reshape to (n_d, -1) per prefix block.
-        # Simplest correct approach: transpose-free requires prefix==1, so
-        # fold prefix axes by vmapping the sublane kernel over them.
-        pre_n = int(np.prod(shape[:d], dtype=int)) if d > 0 else 1
-        suf = int(np.prod(shape[d + 1:], dtype=int))
-        rr2 = rr.reshape(pre_n, n_d, suf)
-        ri2 = ri.reshape(pre_n, n_d, suf)
-        if pre_n == 1:
-            orr, ori = fft_sublanes(rr2[0], ri2[0], n_d)
-            rr, ri = orr.reshape(shape), ori.reshape(shape)
-        else:
-            f = jax.vmap(lambda a, b: fft_sublanes(a, b, n_d))
-            orr, ori = f(rr2, ri2)
-            rr, ri = orr.reshape(shape), ori.reshape(shape)
-    return rr, ri
+    dim = x.ndim
+    axes = tuple(range(1 if skip_axis0 else 0, dim))
+    return fwd_axes_planar(x, axes, pre=pre)
 
 
 def fftn_unordered(x: jnp.ndarray) -> jnp.ndarray:
@@ -488,23 +545,8 @@ def fftn_unordered(x: jnp.ndarray) -> jnp.ndarray:
 def ifftn_unordered_planar(rr: jnp.ndarray, ri: jnp.ndarray, shape):
     """Inverse of fftn_unordered_planar; returns the REAL array (imaginary
     part of the final axis inverse is discarded, as in irfftn)."""
-    dim = len(shape)
-    # leading axes first (complex→complex), last axis last (complex→real)
-    for d in range(0, dim - 1):
-        n_d = shape[d]
-        pre = int(np.prod(shape[:d], dtype=int)) if d > 0 else 1
-        suf = int(np.prod(shape[d + 1:], dtype=int))
-        rr2 = rr.reshape(pre, n_d, suf)
-        ri2 = ri.reshape(pre, n_d, suf)
-        if pre == 1:
-            orr, ori = ifft_sublanes(rr2[0], ri2[0], n_d, real_output=False)
-        else:
-            f = jax.vmap(lambda a, b: ifft_sublanes(a, b, n_d, real_output=False))
-            orr, ori = f(rr2, ri2)
-        rr, ri = orr.reshape(shape), ori.reshape(shape)
-    n = shape[-1]
-    out = ifft_lanes(rr.reshape(-1, n), ri.reshape(-1, n), n, real_output=True)
-    return out.reshape(shape)
+    return inv_axes_planar(rr, ri, tuple(range(len(shape))),
+                           real_output=True, shape=shape)
 
 
 def ifftn_unordered(u: jnp.ndarray, shape) -> jnp.ndarray:

@@ -8,14 +8,18 @@ src/problems/TensorProblem.C:595-774):
 - FFT_SLAB: 1-D decomposition. Real space is X-Z slabs stacked along Y;
   reciprocal space is Y-Z slabs along X (same layout convention as the
   reference).  One `lax.all_to_all` per transform inside `shard_map`, riding
-  ICI — the role of the reference's MPI_Isend/Irecv transpose.
-- FFT_PENCIL: 2-D decomposition (3-D grids).  fft(x) local -> all_to_all
+  ICI — the role of the reference's MPI_Isend/Irecv transpose.  3-D grids
+  rfft the z axis (local in BOTH layouts, so the odd half extent is never
+  split) — half the transpose bytes with no remainder bookkeeping.
+- FFT_PENCIL: 2-D decomposition (3-D grids).  rfft(x) local -> all_to_all
   over the first mesh axis -> fft(y) -> all_to_all over the second mesh
   axis -> fft(z).  Two collectives per transform, the reference's two
-  many-to-many stages.  (We use full complex transforms on all axes so every
-  stage splits evenly; the reference's x-axis rfft half-spectrum has an odd
-  extent that cannot be tiled across ranks without its remainder
-  bookkeeping.)
+  many-to-many stages, at HALF the full-complex traffic (the reference's
+  own rfft-x convention, DomainAction.C:279-284).  The odd half extent
+  n/2+1 is zero-padded to the p1 tile multiple — TPU all_to_all needs
+  equal tiles — instead of remainder-partitioned (DomainAction.h:247-280);
+  pad rows stay exact zeros through the linear stages and are sliced off
+  before the inverse x transform.
 - REAL_SPACE: block decomposition of the grid.  No explicit halo machinery:
   stencils are expressed with jnp.roll / pad+slice on the sharded global
   array and XLA's SPMD partitioner inserts the collective-permute halo
@@ -249,11 +253,17 @@ def ifft(domain, x):
 def fft_slab(domain, x):
     """Forward slab FFT (reference fftSlab, DomainAction.C:869-938): local
     fft over the unsharded axes, one all_to_all transpose, fft along the
-    formerly-sharded axis.  Full complex spectrum (the reference also uses
-    complex ffts on decomposed axes, :279-284)."""
+    formerly-sharded axis.
+
+    3-D grids transform z with an rfft: z is local in BOTH slab layouts
+    (real space shards y, reciprocal shards x), so the odd half extent is
+    never split and the transpose moves HALF the bytes of the full-complex
+    design — without the reference's remainder partitioning
+    (DomainAction.h:247-280).  2-D grids keep the full spectrum (both axes
+    participate in the transpose).  Complex input falls back to the
+    full-spectrum kernel, mirroring the serial-mode convention."""
     mesh = domain.mesh
     dim = domain.dim
-    extra = _extra_dims_spec(x, dim)
     in_spec = real_spec(domain, x.ndim)
     out_spec = reciprocal_spec(domain, x.ndim)
     cdtype = domain.cdtype
@@ -262,12 +272,17 @@ def fft_slab(domain, x):
         # 1-D slab degenerates to a gather; fall back to replicated fft
         return jnp.fft.fft(x, axis=0).astype(cdtype)
 
-    local_axes = tuple(a for a in range(dim) if a != 1)
+    half_z = dim == 3 and not jnp.iscomplexobj(x)
 
     def kernel(blk):
-        z = blk.astype(cdtype)
-        for a in local_axes:
-            z = jnp.fft.fft(z, axis=a)
+        if half_z:
+            z = jnp.fft.rfft(blk, axis=2).astype(cdtype)
+            z = jnp.fft.fft(z, axis=0)
+        else:
+            z = blk.astype(cdtype)
+            for a in range(dim):
+                if a != 1:
+                    z = jnp.fft.fft(z, axis=a)
         # transpose: Y-stacked slabs -> X-stacked slabs
         z = jax.lax.all_to_all(z, "sp", split_axis=0, concat_axis=1, tiled=True)
         z = jnp.fft.fft(z, axis=1)
@@ -288,12 +303,18 @@ def ifft_slab(domain, x):
     if dim == 1:
         return jnp.fft.ifft(x, axis=0).real.astype(dtype)
 
-    local_axes = tuple(a for a in range(dim) if a != 1)
+    # a full-spectrum array (from a complex-input fft) is inverted full
+    half_z = (dim == 3 and domain._use_rfft(2)
+              and x.shape[2] == domain.reciprocal_shape[2])
+    nz = domain.n_global[2] if dim == 3 else None
 
     def kernel(blk):
         z = jnp.fft.ifft(blk, axis=1)
         z = jax.lax.all_to_all(z, "sp", split_axis=1, concat_axis=0, tiled=True)
-        for a in local_axes:
+        z = jnp.fft.ifft(z, axis=0)
+        if half_z:
+            return jnp.fft.irfft(z, n=nz, axis=2).astype(dtype)
+        for a in range(2, dim):
             z = jnp.fft.ifft(z, axis=a)
         return z.real.astype(dtype)
 
@@ -304,15 +325,35 @@ def ifft_slab(domain, x):
 
 def fft_pencil(domain, x):
     """Forward pencil FFT (reference fftPencil, DomainAction.C:1021-1404):
-    x-axis fft local, two all_to_all stages for y and z."""
+    x-axis rfft local (half spectrum, the reference's own convention
+    :279-284), two all_to_all stages for y and z.  The odd half extent
+    n/2+1 is zero-padded to the p1 tile multiple instead of
+    remainder-partitioned — pad rows are exact zeros through every linear
+    stage and are sliced off before the inverse x transform, so they never
+    reach real space.  Complex input falls back to the full spectrum."""
     mesh = domain.mesh
     in_spec = real_spec(domain, x.ndim)
     out_spec = reciprocal_spec(domain, x.ndim)
     cdtype = domain.cdtype
 
+    half_x = not jnp.iscomplexobj(x)
+    pad = domain.reciprocal_pad
+    if not half_x:
+        p1 = dict(zip(mesh.axis_names, mesh.devices.shape)).get("p1", 1)
+        if domain.n_global[0] % p1:
+            raise ValueError(
+                f"FFT_PENCIL full-spectrum (complex-input) transform needs "
+                f"nx={domain.n_global[0]} divisible by the p1 mesh axis ({p1})"
+            )
+
     def kernel(blk):
-        z = blk.astype(cdtype)
-        z = jnp.fft.fft(z, axis=0)
+        if half_x:
+            z = jnp.fft.rfft(blk, axis=0).astype(cdtype)
+            if pad:
+                widths = [(0, pad)] + [(0, 0)] * (z.ndim - 1)
+                z = jnp.pad(z, widths)
+        else:
+            z = jnp.fft.fft(blk.astype(cdtype), axis=0)
         # stage 1: gather Y, scatter X within y-groups
         z = jax.lax.all_to_all(z, "p1", split_axis=0, concat_axis=1, tiled=True)
         z = jnp.fft.fft(z, axis=1)
@@ -332,14 +373,75 @@ def ifft_pencil(domain, x):
     out_spec = real_spec(domain, x.ndim)
     dtype = domain.dtype
 
+    half_x = domain._use_rfft(0) and x.shape[0] == domain.reciprocal_shape[0]
+    nx = domain.n_global[0]
+    nxh = nx // 2 + 1
+
     def kernel(blk):
         z = jnp.fft.ifft(blk, axis=2)
         z = jax.lax.all_to_all(z, "p2", split_axis=2, concat_axis=1, tiled=True)
         z = jnp.fft.ifft(z, axis=1)
         z = jax.lax.all_to_all(z, "p1", split_axis=1, concat_axis=0, tiled=True)
+        if half_x:
+            return jnp.fft.irfft(z[:nxh], n=nx, axis=0).astype(dtype)
         z = jnp.fft.ifft(z, axis=0)
         return z.real.astype(dtype)
 
     return shard_map(
         kernel, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec
+    )(x)
+
+
+# ---------------------------------------------------------------------------
+# distributed Pallas unordered transforms (fft_backend = PALLAS + FFT_SLAB)
+# ---------------------------------------------------------------------------
+
+
+def fft_slab_pallas(domain, x):
+    """Slab-distributed unordered Pallas FFT (3-D grids): the z (lanes) and
+    x (sublanes) kernels run per-shard on the Y-sharded real block, one
+    planar all_to_all transposes to the X-sharded layout, and the y kernel
+    finishes.  The spectrum is the SAME permuted full-complex layout as the
+    serial PALLAS backend, so every k-space operator built from
+    domain.reciprocal_axes is layout-consistent at any rank count."""
+    from . import pallas_fft as pf
+
+    mesh = domain.mesh
+    in_spec = real_spec(domain, x.ndim)
+    out_spec = reciprocal_spec(domain, x.ndim)
+    cdtype = domain.cdtype
+
+    def kernel(blk):
+        rr, ri = pf.fwd_axes_planar(blk, (0, 2))
+        rr = jax.lax.all_to_all(rr, "sp", split_axis=0, concat_axis=1, tiled=True)
+        ri = jax.lax.all_to_all(ri, "sp", split_axis=0, concat_axis=1, tiled=True)
+        rr, ri = pf.fwd_axes_planar(rr, (1,), imag=ri)
+        return (rr + 1j * ri).astype(cdtype)
+
+    return shard_map(
+        kernel, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec,
+        # pallas_call outputs carry no varying-mesh-axes metadata
+        check_vma=False,
+    )(x)
+
+
+def ifft_slab_pallas(domain, x):
+    from . import pallas_fft as pf
+
+    mesh = domain.mesh
+    in_spec = reciprocal_spec(domain, x.ndim)
+    out_spec = real_spec(domain, x.ndim)
+    dtype = domain.dtype
+
+    def kernel(blk):
+        rr = jnp.real(blk).astype(jnp.float32)
+        ri = jnp.imag(blk).astype(jnp.float32)
+        rr, ri = pf.inv_axes_planar(rr, ri, (1,))
+        rr = jax.lax.all_to_all(rr, "sp", split_axis=1, concat_axis=0, tiled=True)
+        ri = jax.lax.all_to_all(ri, "sp", split_axis=1, concat_axis=0, tiled=True)
+        return pf.inv_axes_planar(rr, ri, (0, 2), real_output=True).astype(dtype)
+
+    return shard_map(
+        kernel, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec,
+        check_vma=False,
     )(x)

@@ -109,68 +109,130 @@ class AdamsBashforthMoulton(SplitOperatorBase):
         L = 1
         for s in plan.shape[1:]:
             L *= s
+        sharded = dom.mesh is not None
 
         buffers = dict(state["buffers"])
         c = buffers[plan.buffer].astype(jnp.float32)
         # carry_reciprocal seed: ū = fft(u) once per step
         cbar = dom.fft(c)
-        cr = jnp.real(cbar).astype(jnp.float32).reshape(nx, L)
-        ci = jnp.imag(cbar).astype(jnp.float32).reshape(nx, L)
+        flat = (lambda a: a) if sharded else (lambda a: a.reshape(nx, L))
+        cr = flat(jnp.real(cbar).astype(jnp.float32))
+        ci = flat(jnp.imag(cbar).astype(jnp.float32))
         # the history slot equals buffers[N̄] here: the step-level advance
         # just pushed it (and on the first MOOSE step both are zeros while
         # the order selection forces β₁ = 0, so history never enters) —
         # which makes the per-substep history push a pure carry rebinding
         n_cur = buffers[plan.nonlinear]
-        nr = jnp.real(n_cur).astype(jnp.float32).reshape(nx, L)
-        ni = jnp.imag(n_cur).astype(jnp.float32).reshape(nx, L)
+        nr = flat(jnp.real(n_cur).astype(jnp.float32))
+        ni = flat(jnp.imag(n_cur).astype(jnp.float32))
         beta = jnp.asarray(self._beta, jnp.float32)
         alpha = jnp.asarray(self._alpha, jnp.float32)
         zero = jnp.zeros((), jnp.float32)
 
-        def body(s, carry):
-            c, cr, ci, nr_prev, ni_prev = carry
-            # AB order selection (substep(), reference :88-91)
-            n_adv = n_adv0 + jnp.where(first_step, 0, s)
-            n_old_b = jnp.minimum(n_adv, 1)
-            cond = (s < self.predictor_order) & dt_changed
-            order = jnp.minimum(
-                jnp.where(cond, 0, n_old_b), self.predictor_order
-            )
-            b_row = beta[order]
-            scal = jnp.stack([sub_dt, b_row[0], b_row[1], zero]).reshape(1, 4)
-            # predictor: the kernel's N output is the substep-start group
-            # evaluation (N_n in the corrector's terms)
-            c2, ur, ui, nr2, ni2 = ps.ch_substep(
-                c, cr, ci, nr_prev, ni_prev, scal, plan
-            )
-            if self.corrector_steps:
-                # Adams-Moulton corrector (substep(), reference :118-186):
-                # the SAME fused chain with ū base = pre-predictor ū (cr/ci),
-                # b0 → α0 (on the fresh N̄ of the corrected field) and
-                # b1 → α1 (on the frozen N_n)
-                cond_c = (s < self.corrector_order) & dt_changed
-                order_c = jnp.minimum(
-                    jnp.where(cond_c, 1, n_old_b + 1), self.corrector_order
+        def make_body(substep_fn, sub_dt, first_step, dt_changed, n_adv0):
+            # all traced scalars arrive as parameters: the sharded path calls
+            # this inside shard_map, whose body must not close over tracers
+            def body(s, carry):
+                c, cr, ci, nr_prev, ni_prev = carry
+                # AB order selection (substep(), reference :88-91)
+                n_adv = n_adv0 + jnp.where(first_step, 0, s)
+                n_old_b = jnp.minimum(n_adv, 1)
+                cond = (s < self.predictor_order) & dt_changed
+                order = jnp.minimum(
+                    jnp.where(cond, 0, n_old_b), self.predictor_order
                 )
-                a_row = alpha[order_c]
-                scal_c = jnp.stack(
-                    [sub_dt, a_row[0], a_row[1], zero]
-                ).reshape(1, 4)
-                nn_r, nn_i = nr2, ni2  # N_n, frozen across corrector steps
-                for _ in range(self.corrector_steps):
-                    c3, ur2, ui2, nr3, ni3 = ps.ch_substep(
-                        c2, cr, ci, nn_r, nn_i, scal_c, plan
+                b_row = beta[order]
+                scal = jnp.stack([sub_dt, b_row[0], b_row[1], zero]).reshape(1, 4)
+                # predictor: the kernel's N output is the substep-start group
+                # evaluation (N_n in the corrector's terms)
+                c2, ur, ui, nr2, ni2 = substep_fn(
+                    c, cr, ci, nr_prev, ni_prev, scal
+                )
+                if self.corrector_steps:
+                    # Adams-Moulton corrector (substep(), reference :118-186):
+                    # the SAME fused chain with ū base = pre-predictor ū
+                    # (cr/ci), b0 → α0 (on the fresh N̄ of the corrected
+                    # field) and b1 → α1 (on the frozen N_n)
+                    cond_c = (s < self.corrector_order) & dt_changed
+                    order_c = jnp.minimum(
+                        jnp.where(cond_c, 1, n_old_b + 1), self.corrector_order
                     )
-                    # reference corrector_order == 0 (order-1 deck): the
-                    # group still re-evaluates (N̄ updates) but ū/u stay
-                    nr2, ni2 = nr3, ni3
-                    if self.corrector_order > 0:
-                        c2, ur, ui = c3, ur2, ui2
-            return (c2, ur, ui, nr2, ni2)
+                    a_row = alpha[order_c]
+                    scal_c = jnp.stack(
+                        [sub_dt, a_row[0], a_row[1], zero]
+                    ).reshape(1, 4)
+                    nn_r, nn_i = nr2, ni2  # N_n, frozen across corrector steps
+                    for _ in range(self.corrector_steps):
+                        c3, ur2, ui2, nr3, ni3 = substep_fn(
+                            c2, cr, ci, nn_r, nn_i, scal_c
+                        )
+                        # reference corrector_order == 0 (order-1 deck): the
+                        # group still re-evaluates (N̄ updates) but ū/u stay
+                        nr2, ni2 = nr3, ni3
+                        if self.corrector_order > 0:
+                            c2, ur, ui = c3, ur2, ui2
+                return (c2, ur, ui, nr2, ni2)
 
-        c, cr, ci, nr, ni = jax.lax.fori_loop(
-            0, self.substeps - 1, body, (c, cr, ci, nr, ni)
-        )
+            return body
+
+        if sharded:
+            # distributed fused loop: the whole substep sequence runs inside
+            # ONE shard_map over the slab mesh; carries stay local planar
+            # blocks and each substep does exactly two planar all_to_alls
+            import numpy as _np
+            from jax.sharding import PartitionSpec as P
+            from .. import parallel
+
+            p = dict(zip(dom.mesh.axis_names, dom.mesh.devices.shape))["sp"]
+            nxl = nx // p
+            ny, nz = plan.shape[1], plan.shape[2]
+            kx2g = jnp.asarray(
+                (dom._np_raxes[0] ** 2).astype(_np.float32))
+            ky2 = jnp.asarray(
+                (dom._np_raxes[1] ** 2).reshape(ny, 1).astype(_np.float32))
+            kz2 = jnp.asarray(
+                (dom._np_raxes[2] ** 2).astype(_np.float32))
+
+            def loop_fn(c, cr, ci, nr, ni, sub_dt_, first_step_, dt_changed_,
+                        n_adv0_):
+                xoff = jax.lax.axis_index("sp") * nxl
+                kxz2_loc = (
+                    jax.lax.dynamic_slice(kx2g, (xoff,), (nxl,))[:, None, None]
+                    + kz2[None, None, :]
+                )
+                body = make_body(
+                    lambda c_, a, b, nr_, ni_, scal: ps.ch_substep_sharded(
+                        c_, a, b, nr_, ni_, scal, plan, ky2, kxz2_loc
+                    ),
+                    sub_dt_, first_step_, dt_changed_, n_adv0_,
+                )
+                return jax.lax.fori_loop(
+                    0, self.substeps - 1, body, (c, cr, ci, nr, ni)
+                )
+
+            rspec = parallel.real_spec(dom, 3)
+            cspec = parallel.reciprocal_spec(dom, 3)
+            # sub_dt/first_step/dt_changed/n_adv0 are traced scalars: pass
+            # them as replicated args (shard_map bodies cannot close over
+            # tracers)
+            c, cr, ci, nr, ni = jax.shard_map(
+                loop_fn, mesh=dom.mesh,
+                in_specs=(rspec, cspec, cspec, cspec, cspec,
+                          P(), P(), P(), P()),
+                out_specs=(rspec, cspec, cspec, cspec, cspec),
+                # pallas_call outputs carry no varying-mesh-axes metadata
+                check_vma=False,
+            )(c, cr, ci, nr, ni, sub_dt, first_step, dt_changed, n_adv0)
+        else:
+            body = make_body(
+                lambda c_, a, b, nr_, ni_, scal: ps.ch_substep(
+                    c_, a, b, nr_, ni_, scal, plan
+                ),
+                sub_dt, first_step, dt_changed, n_adv0,
+            )
+            c, cr, ci, nr, ni = jax.lax.fori_loop(
+                0, self.substeps - 1, body, (c, cr, ci, nr, ni)
+            )
 
         shape = plan.shape
         buffers[plan.buffer] = c.astype(dom.dtype)

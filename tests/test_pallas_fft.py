@@ -162,6 +162,30 @@ def test_ch_solver_physics_parity():
     np.testing.assert_allclose(c_pal, c_ref, atol=5e-5)
 
 
+def test_slab_distributed_matches_serial():
+    """fft_backend = PALLAS + FFT_SLAB: z/x kernels per-shard, one planar
+    all_to_all, y kernel — same permuted spectrum as the serial backend."""
+    from marlin_tpu import parallel
+    from marlin_tpu.domain import Domain, FFTBackend, ParallelMode
+
+    mesh = parallel.make_mesh(ParallelMode.FFT_SLAB, jax.devices()[:4])
+    dom = Domain(dim=3, n=[64, 64, 64], maxs=[64, 64, 64],
+                 parallel_mode=ParallelMode.FFT_SLAB, mesh=mesh,
+                 fft_backend=FFTBackend.PALLAS)
+    ser = Domain(dim=3, n=[64, 64, 64], maxs=[64, 64, 64],
+                 fft_backend=FFTBackend.PALLAS)
+    x = jnp.asarray(np.random.RandomState(11).rand(64, 64, 64))
+    xs = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, parallel.real_spec(dom, 3)))
+    got = np.asarray(jax.jit(dom.fft)(xs))
+    ref = np.asarray(jax.jit(ser.fft)(x.astype(jnp.float32)))
+    # f32 summation order differs between the serial and per-shard kernel
+    # compositions; scale the tolerance by the spectrum magnitude
+    np.testing.assert_allclose(got, ref, atol=1e-4 * np.abs(ref).max())
+    back = np.asarray(jax.jit(dom.ifft)(dom.fft(xs)))
+    np.testing.assert_allclose(back, np.asarray(x), atol=1e-4)
+
+
 def test_pallas_rejects_unsupported():
     with pytest.raises(Exception, match="PALLAS requires"):
         TensorProblem(hit.parse(_CH.format(backend="fft_backend = PALLAS")
