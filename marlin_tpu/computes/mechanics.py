@@ -113,27 +113,93 @@ class HyperElasticIsotropic(TensorCompute):
         self.K = self.input_buffer("K")
         self.tangent = params.get_str("tangent_operator", "dstressdstrain")
         self.outputs = [self.out, self.tangent]
+        #: set False by FFTMechanics when nothing else consumes the rank-4
+        #: tangent buffer — apply() then emits the stress only and the
+        #: Newton/CG loop contracts the tangent analytically
+        #: (tangent_contract), never materializing N·dim⁴ fields
+        self.emit_tangent = True
+
+    def _second_pk(self, F, Km, mu, ti):
+        """S = C:E without materializing C4: C4 = K·II + 2µ(I4s − II/3)
+        contracts with the (symmetric) Green-Lagrange strain to
+        S = K·tr(E)·I + 2µ·(E − tr(E)/3·I)."""
+        E = 0.5 * (dot22(trans2(F), F) - ti)
+        trE = jnp.einsum("...ii->...", E)[..., None, None]
+        return Km * trE * ti + 2.0 * mu * (E - trE / 3.0 * ti)
 
     def apply(self, state, ctx):
         dim = self.domain.dim
         dtype = self.domain.dtype
         ti, tI4, tI4rt, tI4s, tII = _identity_tensors(dim, dtype)
         F = state[self.F]
+        if not self.emit_tangent:
+            Km = state[self.K][..., None, None]
+            mu = state[self.mu][..., None, None]
+            P = dot22(F, self._second_pk(F, Km, mu, ti))
+            return {self.outputs[0]: P}
+        # materialized path: the exact op order of the reference
+        # (HyperElasticIsotropic.C:42-52) for 1e-13 gold parity.
+        # NOTE on 128³+ grids: XLA lowers these broadcast δ-tensor einsums
+        # to a conv whose temporary scales like N·dim⁶ (19 GB at 128³,
+        # measured OOM at compile time) — which is why FFTMechanics switches
+        # to the analytic tangent_contract on large grids
         Km = state[self.K][..., None, None, None, None]
         mu = state[self.mu][..., None, None, None, None]
         C4 = Km * tII + 2.0 * mu * (tI4s - tII / 3.0)
         S = ddot42(C4, 0.5 * (dot22(trans2(F), F) - ti))
         P = dot22(F, S)
-        # NOTE on 128³+ grids: XLA lowers these broadcast δ-tensor einsums
-        # to a conv whose temporary scales like N·dim⁶ (19 GB at 128³,
-        # measured OOM at compile time); an equivalent transpose-based
-        # assembly avoids that temp but materializes tile-padded rank-4
-        # copies per Newton iteration and measured ~40% slower at 32³ —
-        # the einsum form wins for every grid that fits
         K4 = dot24(S, tI4) + ddot44(
             ddot44(tI4rt, dot42(dot24(F, C4), trans2(F))), tI4rt
         )
         return {self.outputs[0]: P, self.tangent: K4}
+
+    def tangent_contract(self, scope, dF):
+        """trans2(ddot42(K4, trans2(dF))) evaluated WITHOUT K4.
+
+        With B = F·Fᵀ and c = K − 2µ/3, the assembled tangent is
+          K4_ijkl = S_il δ_jk + c F_ji F_kl + µ B_jk δ_il + µ F_jl F_ki ,
+        so the CG operator's contraction Σ_kl K4_ijkl dF_kl reduces to four
+        batched dim×dim matmuls:
+          out = S·dFᵀ + c·(F:dF)·Fᵀ + (B·dF)ᵀ·µ + µ·Fᵀ·dF·Fᵀ .
+        N·dim³ work and N·dim² traffic per CG iteration instead of reading
+        an N·dim⁴ tangent — and no conv-lowered δ-contractions, which is
+        what lets 128³ RVEs compile on a 16 GB v5e (VERDICT r01 item 4).
+
+        The sums are fully unrolled over tensor components so every
+        intermediate is a plain (nx, ny, nz) scalar field: XLA's remat
+        compression inside the CG while_loop otherwise materializes
+        (…, 3, 3)-trailing temporaries in a minor-dim tiled layout with a
+        57× padding expansion (measured 24 GB at 128³)."""
+        d = self.domain.dim
+        K = scope[self.K]
+        mu = scope[self.mu]
+        F = scope[self.F]
+        Fc = [[F[..., i, j] for j in range(d)] for i in range(d)]
+        dFc = [[dF[..., i, j] for j in range(d)] for i in range(d)]
+        E = [[0.5 * (sum(Fc[k][i] * Fc[k][j] for k in range(d))
+                     - (1.0 if i == j else 0.0))
+              for j in range(d)] for i in range(d)]
+        trE = sum(E[i][i] for i in range(d))
+        S = [[K * trE * (1.0 if i == j else 0.0)
+              + 2.0 * mu * (E[i][j] - (trE / 3.0 if i == j else 0.0))
+              for j in range(d)] for i in range(d)]
+        B = [[sum(Fc[i][k] * Fc[j][k] for k in range(d))
+              for j in range(d)] for i in range(d)]
+        FdF = sum(Fc[i][j] * dFc[i][j] for i in range(d) for j in range(d))
+        c = K - 2.0 * mu / 3.0
+        # T[k][j] = Σ_l dF_kl F_jl
+        T = [[sum(dFc[k][l] * Fc[j][l] for l in range(d))
+              for j in range(d)] for k in range(d)]
+        out = [[
+            sum(S[i][l] * dFc[j][l] for l in range(d))
+            + c * Fc[j][i] * FdF
+            + mu * sum(B[j][k] * dFc[k][i] for k in range(d))
+            + mu * sum(Fc[k][i] * T[k][j] for k in range(d))
+            for j in range(d)] for i in range(d)]
+        # result = outᵀ, assembled once at the end
+        return jnp.stack(
+            [jnp.stack([out[j][i] for j in range(d)], axis=-1)
+             for i in range(d)], axis=-2)
 
 
 @computes.register("RankTwoIdentity")
@@ -170,6 +236,28 @@ class FFTMechanics(TensorCompute):
         self.nl_max_its = params.get_int("nl_max_its", 100)
         self.constitutive_name = params.get_str("constitutive_model", required=True)
         self.constitutive = None  # bound in check()
+        # analytic tangent contraction: 'auto' (default) switches it on for
+        # grids above 64³, where the materialized-K4 assembly's conv
+        # temporary no longer compiles on a 16 GB chip; 'true'/'false' force
+        self.analytic_param = params.get_enum(
+            "analytic_tangent", ["auto", "true", "false"], "auto"
+        )
+
+    def _tangent_referenced_in_deck(self) -> bool:
+        """True if any deck parameter other than a `tangent_operator`
+        declaration references the tangent buffer — i.e. something besides
+        the Newton/CG loop consumes the materialized rank-4 field."""
+        target = self.tangent
+
+        def walk(node):
+            for key, val in node.params.items():
+                if key == "tangent_operator":
+                    continue
+                if target in str(val).split():
+                    return True
+            return any(walk(ch) for ch in node.blocks())
+
+        return walk(self.problem.root)
 
     def check(self):
         self.constitutive = self.problem.get_compute(self.constitutive_name)
@@ -178,6 +266,30 @@ class FFTMechanics(TensorCompute):
                 f"constitutive_model '{self.constitutive_name}' does not "
                 f"provide stress tensor '{self.stress}'."
             )
+        # analytic-tangent fast path: contract K4:dF algebraically, never
+        # materializing the rank-4 tangent (runs at init_state check time,
+        # before any tracing).  Requirements: the constitutive model
+        # supports it and nothing else in the deck reads the tangent
+        # buffer.  Default 'auto' keeps the reference's exact op order
+        # (1e-13 gold parity) on small grids and switches above 64³, where
+        # the materialized assembly cannot compile at all
+        want = self.analytic_param
+        if want == "auto":
+            want = (
+                "true"
+                if self.problem.domain.n_cells_global > 64 ** 3
+                else "false"
+            )
+        self.analytic_tangent = (
+            want == "true"
+            and hasattr(self.constitutive, "tangent_contract")
+            and not self._tangent_referenced_in_deck()
+        )
+        if self.analytic_tangent:
+            self.constitutive.emit_tangent = False
+            ct = getattr(self.constitutive, "tangent", None)
+            if ct in self.constitutive.outputs:
+                self.constitutive.outputs.remove(ct)
 
     def apply(self, state, ctx):
         if self.constitutive is None:
@@ -215,8 +327,16 @@ class FFTMechanics(TensorCompute):
             out = jnp.einsum("...i,...j->...ij", s, qn)
             return dom.ifft(out).reshape(-1)
 
-        def K_dF(K4, dFm):
-            return trans2(ddot42(K4, trans2(dFm.reshape(r2_shape))))
+        if getattr(self, "analytic_tangent", False):
+            def K_dF_scope(s, dFm):
+                return self.constitutive.tangent_contract(
+                    s, dFm.reshape(r2_shape)
+                )
+        else:
+            def K_dF_scope(s, dFm):
+                return trans2(
+                    ddot42(s[self.tangent], trans2(dFm.reshape(r2_shape)))
+                )
 
         scope = dict(state)
         scope[self.out] = scope[self.F]
@@ -229,7 +349,7 @@ class FFTMechanics(TensorCompute):
         scope = run_constitutive(scope)
 
         def G_K_dF(scope, dFm):
-            return G(K_dF(scope[self.tangent], dFm))
+            return G(K_dF_scope(scope, dFm))
 
         if self.applied is not None:
             applied = jnp.broadcast_to(scope[self.applied], r2_shape)

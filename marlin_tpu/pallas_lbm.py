@@ -80,11 +80,17 @@ class FusedLBMConfig:
     faces: Tuple[Tuple[int, int, Tuple[int, ...]], ...]
     # binary media: solid masking + optional obstacle bounce-back
     has_media: bool = False
-    # x-sharded execution (REAL_SPACE 1-D mesh): nx is the LOCAL extent,
+    # x-sharded execution (REAL_SPACE mesh): nx is the LOCAL extent,
     # x-halo planes arrive from ppermute neighbors, and x-face masks use
     # the global coordinate (shard offset via an SMEM scalar)
     sharded: bool = False
     nx_global: int = 0
+    # 2-D mesh (p1 × p2): y is sharded too — ny is the LOCAL extent, the
+    # wrap rows come from per-substep ppermute'd y-halo row arrays (with
+    # their own x-halo corners so diagonal pulls are exact), and y-face
+    # masks use the global coordinate.  z (the lane axis) stays local.
+    shard_y: bool = False
+    ny_global: int = 0
     # 2-D decks (D2Q9): blocks are (q, B, ny) with lanes on y — the
     # deck-level trailing nz = 1 axis is squeezed around the kernel
     two_d: bool = False
@@ -129,62 +135,94 @@ def _make_kernel(cfg: FusedLBMConfig):
         refs = list(refs)
         center, left, right = refs[:3]
         refs = refs[3:]
+        ext_l = ext_r = None
+        yset = m_yset = None
         if cfg.sharded:
             ext_l, ext_r = refs[:2]
             refs = refs[2:]
+        if cfg.shard_y:
+            # (ylo_c, ylo_l, ylo_r, ylo_el, ylo_er,
+            #  yhi_c, yhi_l, yhi_r, yhi_el, yhi_er)
+            yset = tuple(refs[:10])
+            refs = refs[10:]
         if cfg.has_media:
             m_center, m_left, m_right = refs[:3]
             refs = refs[3:]
             if cfg.sharded:
                 m_ext_l, m_ext_r = refs[:2]
                 refs = refs[2:]
+            if cfg.shard_y:
+                m_yset = tuple(refs[:10])
+                refs = refs[10:]
         else:
             m_center = m_left = m_right = None
         if cfg.sharded:
-            xoff_ref = refs[0]
+            off_ref = refs[0]
             refs = refs[1:]
         fpc_out, speed_out = refs
         i = pl.program_id(0)
         xg0 = i * B  # LOCAL x index of the block's first plane
         if cfg.sharded:
-            xg0_global = xg0 + xoff_ref[0, 0]
+            xg0_global = xg0 + off_ref[0, 0]
         else:
             xg0_global = xg0
+        yoff = off_ref[0, 1] if cfg.shard_y else 0
 
-        def window(ref_c, ref_l, ref_r, ext_lo, ext_hi, qi, ex, ey, ez):
-            """(B,ny,nz) view shifted by -e (pull): value at x is the
-            source field at x - e, periodic.  qi=None for 3-D refs.
-            Sharded mode substitutes the neighbor-exchanged planes at the
-            shard's boundary blocks."""
+        def xshift(ref_c, ref_l, ref_r, ext_lo, ext_hi, qi, ex):
+            """The x part of the pull shift on a blocked (q, B, w[, nz])
+            ref family (w = ny for the field, 1 for y-halo rows); sharded
+            mode substitutes the neighbor-exchanged planes at the shard's
+            boundary blocks."""
             sel = (lambda r, s: r[s]) if qi is None else (lambda r, s: r[qi, s])
             if ex == 1:
                 plane = sel(ref_l, slice(None))
                 if cfg.sharded:
                     plane = jnp.where(i == 0, sel(ext_lo, slice(None)), plane)
                 if B > 1:
-                    a = jnp.concatenate([plane, sel(ref_c, slice(0, B - 1))],
-                                        axis=0)
-                else:
-                    a = plane
-            elif ex == -1:
+                    return jnp.concatenate(
+                        [plane, sel(ref_c, slice(0, B - 1))], axis=0)
+                return plane
+            if ex == -1:
                 plane = sel(ref_r, slice(None))
                 if cfg.sharded:
                     plane = jnp.where(i == n_blocks - 1,
                                       sel(ext_hi, slice(None)), plane)
                 if B > 1:
-                    a = jnp.concatenate([sel(ref_c, slice(1, B)), plane],
-                                        axis=0)
+                    return jnp.concatenate(
+                        [sel(ref_c, slice(1, B)), plane], axis=0)
+                return plane
+            return sel(ref_c, slice(None))
+
+        def window(ref_c, ref_l, ref_r, ext_lo, ext_hi, ys, qi, ex, ey, ez):
+            """(B,ny[,nz]) view shifted by -e (pull): value at x is the
+            source field at x - e, periodic.  qi=None for media refs.
+            `ys`: the 10-ref y-halo family when y is sharded — the halo
+            row gets the SAME x shift (its own corner planes included), so
+            diagonal pulls across shard corners are exact."""
+            a = xshift(ref_c, ref_l, ref_r, ext_lo, ext_hi, qi, ex)
+            if ey and cfg.shard_y:
+                (lo_c, lo_l, lo_r, lo_el, lo_er,
+                 hi_c, hi_l, hi_r, hi_el, hi_er) = ys
+                if ey == 1:
+                    plane = xshift(lo_c, lo_l, lo_r, lo_el, lo_er, qi, ex)
+                    a = jnp.concatenate(
+                        [plane, jax.lax.slice_in_dim(a, 0, ny - 1, axis=1)],
+                        axis=1)
                 else:
-                    a = plane
+                    plane = xshift(hi_c, hi_l, hi_r, hi_el, hi_er, qi, ex)
+                    a = jnp.concatenate(
+                        [jax.lax.slice_in_dim(a, 1, ny, axis=1), plane],
+                        axis=1)
             else:
-                a = sel(ref_c, slice(None))
-            a = _roll(a, ey, 1)
+                a = _roll(a, ey, 1)
             if not cfg.two_d:
                 a = _roll(a, ez, 2)
             return a
 
-        # static face masks (x faces depend on the block index)
+        # static face masks (x faces depend on the block index; x/y faces
+        # use global coordinates when the axis is sharded)
         nx_face = cfg.nx_global if cfg.sharded else cfg.nx
+        ny_face = cfg.ny_global if cfg.shard_y else ny
         pshape = (B, ny) if cfg.two_d else (B, ny, nz)
         masks = {}
         for axis, side, _dirs in cfg.faces:
@@ -194,7 +232,9 @@ def _make_kernel(cfg: FusedLBMConfig):
             io = jax.lax.broadcasted_iota(jnp.int32, pshape, axis)
             if axis == 0:
                 io = io + xg0_global
-            n_ax = (nx_face, ny, nz)[axis]
+            elif axis == 1 and cfg.shard_y:
+                io = io + yoff
+            n_ax = (nx_face, ny_face, nz)[axis]
             masks[key] = io == (0 if side == 0 else n_ax - 1)
 
         if cfg.has_media:
@@ -209,8 +249,8 @@ def _make_kernel(cfg: FusedLBMConfig):
             and solid masking applied (reference LBMStream.C:51-80 +
             LBMBounceBack.C + LatticeBoltzmannProblem::maskedFillSolids)."""
             ex, ey, ez = cfg.e[qi]
-            ql = (ext_l, ext_r) if cfg.sharded else (None, None)
-            a = window(center, left, right, ql[0], ql[1], qi, ex, ey, ez)
+            a = window(center, left, right, ext_l, ext_r, yset,
+                       qi, ex, ey, ez)
             for axis, side, dirs in cfg.faces:
                 if axis < 0:
                     # obstacle bounce-back: fluid cells whose upstream
@@ -219,7 +259,7 @@ def _make_kernel(cfg: FusedLBMConfig):
                     if qi != 0:
                         ml = (m_ext_l, m_ext_r) if cfg.sharded else (None, None)
                         m_up = window(m_center, m_left, m_right, ml[0], ml[1],
-                                      None, ex, ey, ez)
+                                      m_yset, None, ex, ey, ez)
                         a = jnp.where((m_up == 0) & fluid,
                                       center[cfg.op[qi]], a)
                 elif qi in dirs:
@@ -365,11 +405,14 @@ def _pick_block(nx: int, ny: int, nz: int, q: int, itemsize: int) -> int:
 def fused_substep(fpc_qm, media, cfg: FusedLBMConfig, ext=None):
     """One lattice update.  fpc_qm: (q, nx, ny, nz) post-collision
     distribution from the previous substep; media: (nx, ny, nz) binary
-    media cast to the field dtype, or None.  `ext` (sharded mode):
-    (fpc_left, fpc_right, media_left, media_right, x_offset) neighbor
-    halo planes + global shard offset.  Returns (fpc_new_qm, speed_new).
-    Residual/history semantics live in the caller: only the trailing jnp
-    substep's residual survives, so none is computed here."""
+    media cast to the field dtype, or None.  `ext` (sharded mode): dict
+    with the ppermute'd neighbor halos — 'x' (fpc_left, fpc_right),
+    'mx' (media x planes), 'offs' (1,2) [xoff, yoff] SMEM scalars, and on
+    2-D meshes 'y'/'my': (lo_rows, lo_cl, lo_cr, hi_rows, hi_cl, hi_cr)
+    y-halo row arrays with their x corner planes.  Returns
+    (fpc_new_qm, speed_new).  Residual/history semantics live in the
+    caller: only the trailing jnp substep's residual survives, so none is
+    computed here."""
     q, nx, ny, nz, B = cfg.q, cfg.nx, cfg.ny, cfg.nz, cfg.block
     dt = fpc_qm.dtype
     grid = (nx // B,)
@@ -378,8 +421,8 @@ def fused_substep(fpc_qm, media, cfg: FusedLBMConfig, ext=None):
     tail = (ny,) if cfg.two_d else (ny, nz)
     zeros = (0,) * len(tail)
 
-    def bs(lead, index_map):
-        return pl.BlockSpec(lead + tail, index_map, memory_space=pltpu.VMEM)
+    def bs(lead, index_map, tl=tail):
+        return pl.BlockSpec(lead + tl, index_map, memory_space=pltpu.VMEM)
 
     blk = bs((q, B), lambda i: (0, i) + zeros)
     halo_l = bs((q, 1), lambda i: (0, (i * B - 1) % nx) + zeros)
@@ -390,22 +433,50 @@ def fused_substep(fpc_qm, media, cfg: FusedLBMConfig, ext=None):
 
     plane = bs((q, 1), lambda i: (0, 0) + zeros)
     m_plane = bs((1,), lambda i: (0,) + zeros)
+
+    # y-halo row arrays (q, nx, 1, nz) reuse the center/left/right blocking
+    # pattern along x, with (1, nz) tails, plus fixed corner planes
+    ytail = (1, nz)
+    y_blk = bs((q, B), lambda i: (0, i, 0, 0), tl=ytail)
+    y_l = bs((q, 1), lambda i: (0, (i * B - 1) % nx, 0, 0), tl=ytail)
+    y_r = bs((q, 1), lambda i: (0, ((i + 1) * B) % nx, 0, 0), tl=ytail)
+    y_corner = bs((q, 1), lambda i: (0, 0, 0, 0), tl=ytail)
+    my_blk = bs((B,), lambda i: (i, 0, 0), tl=ytail)
+    my_l = bs((1,), lambda i: ((i * B - 1) % nx, 0, 0), tl=ytail)
+    my_r = bs((1,), lambda i: (((i + 1) * B) % nx, 0, 0), tl=ytail)
+    my_corner = bs((1,), lambda i: (0, 0, 0), tl=ytail)
+
+    def y_group(arrs, c, l, r, corner):
+        lo, lo_cl, lo_cr, hi, hi_cl, hi_cr = arrs
+        return (
+            [c, l, r, corner, corner, c, l, r, corner, corner],
+            [lo, lo, lo, lo_cl, lo_cr, hi, hi, hi, hi_cl, hi_cr],
+        )
+
     in_specs = [blk, halo_l, halo_r]
     args = [fpc_qm, fpc_qm, fpc_qm]
     if cfg.sharded:
         in_specs += [plane, plane]
-        args += [ext[0], ext[1]]
+        args += list(ext["x"])
+    if cfg.shard_y:
+        s, a = y_group(ext["y"], y_blk, y_l, y_r, y_corner)
+        in_specs += s
+        args += a
     if cfg.has_media:
         in_specs += [sp_blk, m_halo_l, m_halo_r]
         args += [media, media, media]
         if cfg.sharded:
             in_specs += [m_plane, m_plane]
-            args += [ext[2], ext[3]]
+            args += list(ext["mx"])
+        if cfg.shard_y:
+            s, a = y_group(ext["my"], my_blk, my_l, my_r, my_corner)
+            in_specs += s
+            args += a
     if cfg.sharded:
         in_specs.append(
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
         )
-        args.append(ext[4])
+        args.append(ext["offs"])
 
     import os
 
@@ -432,39 +503,74 @@ def fused_substep(fpc_qm, media, cfg: FusedLBMConfig, ext=None):
     return fpc_new, speed_new
 
 
-def exchange_media_halo(media, cfg: FusedLBMConfig,
-                        axis_name: str, axis_size: int):
-    """One-time neighbor exchange of the (loop-invariant) media boundary
-    planes — hoisted out of the substep loop by the caller."""
-    if not cfg.has_media:
-        return (None, None)
+def _ring(axis_name, axis_size):
     to_right = [(s, (s + 1) % axis_size) for s in range(axis_size)]
     to_left = [(s, (s - 1) % axis_size) for s in range(axis_size)]
-    return (
-        jax.lax.ppermute(media[-1:], axis_name, to_right),
-        jax.lax.ppermute(media[:1], axis_name, to_left),
-    )
+    return to_right, to_left
+
+
+def _exchange_xy(arr, x_axis, cfg, x_ring, y_ring, x_dim, y_dim):
+    """Neighbor exchange for one field: x boundary planes over the p1 ring
+    and (2-D meshes) y boundary row arrays over the p2 ring, including the
+    x corners of those rows (halo-of-halo, so diagonal pulls are exact)."""
+    tr_x, tl_x = x_ring
+    lo_x = jax.lax.ppermute(
+        jax.lax.slice_in_dim(arr, arr.shape[x_dim] - 1, arr.shape[x_dim],
+                             axis=x_dim), x_axis[0], tr_x)
+    hi_x = jax.lax.ppermute(
+        jax.lax.slice_in_dim(arr, 0, 1, axis=x_dim), x_axis[0], tl_x)
+    out = {"x": (lo_x, hi_x)}
+    if cfg.shard_y:
+        tr_y, tl_y = y_ring
+        ysl = lambda a, j0, j1: jax.lax.slice_in_dim(a, j0, j1, axis=y_dim)
+        ny = arr.shape[y_dim]
+        lo = jax.lax.ppermute(ysl(arr, ny - 1, ny), x_axis[1], tr_y)
+        hi = jax.lax.ppermute(ysl(arr, 0, 1), x_axis[1], tl_y)
+        # corners: the y rows of the already-exchanged x planes
+        lo_cl = jax.lax.ppermute(ysl(lo_x, ny - 1, ny), x_axis[1], tr_y)
+        lo_cr = jax.lax.ppermute(ysl(hi_x, ny - 1, ny), x_axis[1], tr_y)
+        hi_cl = jax.lax.ppermute(ysl(lo_x, 0, 1), x_axis[1], tl_y)
+        hi_cr = jax.lax.ppermute(ysl(hi_x, 0, 1), x_axis[1], tl_y)
+        out["y"] = (lo, lo_cl, lo_cr, hi, hi_cl, hi_cr)
+    return out
+
+
+def exchange_media_halo(media, cfg: FusedLBMConfig, axis_names, axis_sizes):
+    """One-time neighbor exchange of the (loop-invariant) media boundary
+    planes/rows — hoisted out of the substep loop by the caller."""
+    if not cfg.has_media:
+        return None
+    x_ring = _ring(axis_names[0], axis_sizes[0])
+    y_ring = _ring(axis_names[1], axis_sizes[1]) if cfg.shard_y else None
+    return _exchange_xy(media, axis_names, cfg, x_ring, y_ring, 0, 1)
 
 
 def fused_substep_sharded(fpc_qm, media, media_ext, cfg: FusedLBMConfig,
-                          axis_name: str, axis_size: int):
-    """One lattice update on an x-sharded distribution (inside shard_map
-    over a 1-D mesh): exchange one fpc boundary plane with each neighbor
-    over ICI (lax.ppermute) and run the local fused kernel with the
-    received planes substituted at the shard's boundary blocks.
+                          axis_names, axis_sizes):
+    """One lattice update on a sharded distribution (inside shard_map over
+    a 1-D x mesh or a 2-D x×y mesh): exchange the fpc boundary planes with
+    each neighbor over ICI (lax.ppermute) — plus y-halo rows and their x
+    corners on 2-D meshes — and run the local fused kernel with the
+    received data substituted at the shard boundaries.
     `media_ext`: the hoisted exchange_media_halo result."""
-    idx = jax.lax.axis_index(axis_name)
-    to_right = [(s, (s + 1) % axis_size) for s in range(axis_size)]
-    to_left = [(s, (s - 1) % axis_size) for s in range(axis_size)]
-    # my left halo = left neighbor's LAST plane; right halo = right
-    # neighbor's FIRST plane (periodic ring over the mesh axis)
-    ext_l = jax.lax.ppermute(fpc_qm[:, -1:], axis_name, to_right)
-    ext_r = jax.lax.ppermute(fpc_qm[:, :1], axis_name, to_left)
-    m_ext_l, m_ext_r = media_ext
-    xoff = (idx * cfg.nx).astype(jnp.int32).reshape(1, 1)
-    return fused_substep(
-        fpc_qm, media, cfg, ext=(ext_l, ext_r, m_ext_l, m_ext_r, xoff)
-    )
+    x_ring = _ring(axis_names[0], axis_sizes[0])
+    y_ring = _ring(axis_names[1], axis_sizes[1]) if cfg.shard_y else None
+    f_ext = _exchange_xy(fpc_qm, axis_names, cfg, x_ring, y_ring, 1, 2)
+    xoff = jax.lax.axis_index(axis_names[0]) * cfg.nx
+    yoff = (jax.lax.axis_index(axis_names[1]) * cfg.ny if cfg.shard_y
+            else jnp.zeros((), jnp.int32))
+    ext = {
+        "x": f_ext["x"],
+        "offs": jnp.stack(
+            [xoff.astype(jnp.int32), yoff.astype(jnp.int32)]).reshape(1, 2),
+    }
+    if cfg.shard_y:
+        ext["y"] = f_ext["y"]
+    if cfg.has_media:
+        ext["mx"] = media_ext["x"]
+        if cfg.shard_y:
+            ext["my"] = media_ext["y"]
+    return fused_substep(fpc_qm, media, cfg, ext=ext)
 
 
 # ---------------------------------------------------------------------------
@@ -500,20 +606,31 @@ def match_chain(problem) -> FusedLBMPlan:
                 "use floating_precision = SINGLE")
     mode_name = getattr(dom.parallel_mode, "name", str(dom.parallel_mode))
     sharded = False
-    n_shards = 1
+    p1 = p2 = 1
     if mode_name == "REAL_SPACE":
         mesh = dom.mesh
-        if mesh is None or len(mesh.axis_names) != 1:
-            _reject("REAL_SPACE requires a 1-D (x-sharded) mesh")
+        if mesh is None or len(mesh.axis_names) not in (1, 2):
+            _reject("REAL_SPACE requires a 1-D (x) or 2-D (x×y) mesh")
         sharded = True
-        n_shards = int(np.prod(list(mesh.shape.values())))
-        if dom.shape[0] % n_shards:
+        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        p1 = int(sizes.get("p1", 1))
+        p2 = int(sizes.get("p2", 1))
+        if dom.shape[0] % p1:
             _reject(
                 f"nx = {dom.shape[0]} must divide evenly over the "
-                f"{n_shards}-device mesh"
+                f"{p1}-device mesh axis"
             )
+        if p2 > 1:
+            if two_d:
+                # y is the lane axis of 2-D blocks — shard x only
+                _reject("2-D decks support 1-D (x-sharded) meshes only")
+            if dom.shape[1] % p2:
+                _reject(
+                    f"ny = {dom.shape[1]} must divide evenly over the "
+                    f"{p2}-device mesh axis"
+                )
     elif mode_name != "NONE":
-        _reject("only serial or REAL_SPACE (1-D mesh) domains are supported")
+        _reject("only serial or REAL_SPACE (1-D/2-D mesh) domains are supported")
     has_media = problem.lbm_solid_mask() is not None
 
     solver = problem.solver
@@ -605,21 +722,25 @@ def match_chain(problem) -> FusedLBMPlan:
 
     bf = velocity.body_force if velocity.add_body_force else [0.0, 0.0, 0.0]
     nx, ny, nz = (list(dom.shape) + [1, 1])[:3]
-    nx_local = int(nx) // n_shards
+    nx_local = int(nx) // p1
+    ny_local = int(ny) // p2
     dtype = np.dtype(dom.dtype)
     cfg = FusedLBMConfig(
         q=int(st.q),
         e=tuple((int(st.ex[i]), int(st.ey[i]), int(st.ez[i])) for i in range(st.q)),
         w=tuple(float(w) for w in st.weights),
         op=tuple(int(o) for o in st.op),
-        nx=nx_local, ny=int(ny), nz=int(nz),
-        block=_pick_block(nx_local, int(ny), int(nz), int(st.q), dtype.itemsize),
+        nx=nx_local, ny=ny_local, nz=int(nz),
+        block=_pick_block(nx_local, ny_local, int(nz), int(st.q),
+                          dtype.itemsize),
         tau=float(collision.tau_0),
         body_force=(float(bf[0]), float(bf[1]), float(bf[2])),
         faces=tuple(faces),
         has_media=has_media,
         sharded=sharded,
         nx_global=int(nx),
+        shard_y=p2 > 1,
+        ny_global=int(ny),
         two_d=two_d,
         msm=msm,
     )

@@ -129,37 +129,58 @@ def shard_state(domain, state):
             return real_spec(domain, arr.ndim)
         return P()
 
+    mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+
     def put(arr):
         if not hasattr(arr, "ndim") or arr.ndim == 0:
             return arr
-        return jax.device_put(arr, NamedSharding(mesh, spec_for(arr)))
+        spec = spec_for(arr)
+        # device_put rejects uneven tiles (unlike in-jit sharding
+        # constraints, which pad internally) — leave uneven arrays
+        # replicated; the GSPMD fallback transforms re-shard them in-jit
+        for d, name in enumerate(spec):
+            if name is not None and arr.shape[d] % mesh_shape.get(name, 1):
+                spec = P()
+                break
+        return jax.device_put(arr, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, state)
 
 
 def validate_mesh(domain):
-    """Friendly build-time divisibility check (the reference handles uneven
-    remainders via partitionHepler, DomainAction.h:247-280; the TPU
-    all_to_all path requires even tiles, so uneven grids are rejected HERE
-    with a clear message instead of deep inside XLA)."""
+    """Build-time divisibility check.
+
+    The explicit shard_map all_to_all transposes need even tiles.  For
+    FFT_SLAB and REAL_SPACE, uneven grids are ACCEPTED (the reference's
+    partitionHepler capability, DomainAction.h:247-280): REAL_SPACE shards
+    global arrays through GSPMD, which handles uneven tiling natively, and
+    the slab transforms fall back to a GSPMD-partitioned global FFT (XLA
+    inserts the collectives and does the remainder bookkeeping — see
+    fft_slab).  FFT_PENCIL keeps the even-tile requirement (two chained
+    explicit transposes) and rejects uneven grids with a clear message."""
     from .domain import ParallelMode
 
+    domain.uneven = False
     mesh = domain.mesh
     if mesh is None or domain.parallel_mode == ParallelMode.NONE:
         return
     mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    strict = domain.parallel_mode == ParallelMode.FFT_PENCIL
 
     def check(shape, spec, what):
         for d in range(domain.dim):
             name = spec[d] if d < len(spec) else None
             n_dev = mesh_shape.get(name, 1)
             if n_dev > 1 and shape[d] % n_dev:
+                if not strict:
+                    domain.uneven = True
+                    continue
                 raise ValueError(
                     f"[Domain] {what} extent {shape[d]} along axis {d} does "
                     f"not divide evenly over the {n_dev}-device mesh axis "
                     f"'{name}' ({domain.parallel_mode.name} mode requires "
                     "even tiles; choose grid sizes divisible by the device "
-                    "counts)"
+                    "counts, or use FFT_SLAB which accepts uneven grids)"
                 )
 
     check(domain.shape, real_spec(domain, domain.dim), "real-space grid")
@@ -168,6 +189,12 @@ def validate_mesh(domain):
             domain.reciprocal_shape,
             reciprocal_spec(domain, domain.dim),
             "reciprocal-space grid",
+        )
+    if domain.uneven and domain.fft_backend.name == "PALLAS":
+        raise ValueError(
+            "[Domain] fft_backend = PALLAS requires grid extents divisible "
+            "by the mesh (the Pallas slab path uses explicit even-tile "
+            "transposes); use the DEFAULT backend for uneven grids"
         )
 
 
@@ -188,22 +215,19 @@ def local_slices(domain):
     mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
     # per-dim chunk counts from the sharding spec
     counts = [mesh_shape.get(spec[d], 1) if d < len(spec) else 1 for d in range(dim)]
-    for d in range(dim):
-        if domain.shape[d] % counts[d]:
-            raise ValueError(
-                f"Grid extent {domain.shape[d]} along axis {d} does not divide "
-                f"evenly over {counts[d]} devices"
-            )
     out = []
-    # rank order: row-major over the sharded dims in spec order
+    # rank order: row-major over the sharded dims in spec order.  Uneven
+    # extents use GSPMD's ceil-division layout (last shard(s) short or
+    # empty) so per-rank output matches the device data placement.
     import itertools
 
     sharded = [d for d in range(dim) if counts[d] > 1]
     for coords in itertools.product(*[range(counts[d]) for d in sharded]):
         idx = [slice(None)] * dim
         for d, c in zip(sharded, coords):
-            step = domain.shape[d] // counts[d]
-            idx[d] = slice(c * step, (c + 1) * step)
+            n = domain.shape[d]
+            step = -(-n // counts[d])
+            idx[d] = slice(min(c * step, n), min((c + 1) * step, n))
         out.append(tuple(idx))
     if not out:
         out = [tuple(slice(None) for _ in range(dim))]
@@ -271,6 +295,8 @@ def fft_slab(domain, x):
     if dim == 1:
         # 1-D slab degenerates to a gather; fall back to replicated fft
         return jnp.fft.fft(x, axis=0).astype(cdtype)
+    if getattr(domain, "uneven", False):
+        return _gspmd_fft(domain, x)
 
     half_z = dim == 3 and not jnp.iscomplexobj(x)
 
@@ -302,6 +328,8 @@ def ifft_slab(domain, x):
 
     if dim == 1:
         return jnp.fft.ifft(x, axis=0).real.astype(dtype)
+    if getattr(domain, "uneven", False):
+        return _gspmd_ifft(domain, x)
 
     # a full-spectrum array (from a complex-input fft) is inverted full
     half_z = (dim == 3 and domain._use_rfft(2)
@@ -321,6 +349,51 @@ def ifft_slab(domain, x):
     return shard_map(
         kernel, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec
     )(x)
+
+
+def _gspmd_fft(domain, x):
+    """Uneven-grid slab transform (VERDICT r01 item 5): gather the field,
+    run the GLOBAL rfftn/fftn replicated, and scatter the spectrum under
+    the reciprocal sharding constraint — XLA inserts the all-gather and
+    the (padded, uneven-aware) re-shard, playing the role of the
+    reference's partitionHepler (DomainAction.h:247-280).  The transform
+    itself is replicated because XLA:CPU's fft thunk rejects the
+    partitioner's resharded layouts; pointwise k-space work between the
+    transforms still runs on the uneven shards.  Slower than the explicit
+    even-tile all_to_all path — but any grid/mesh combination a reference
+    deck uses (e.g. gradient.i at 3 ranks) runs unmodified."""
+    mesh = domain.mesh
+    spatial = tuple(range(domain.dim))
+
+    if jnp.iscomplexobj(x):
+        fn = lambda a: jnp.fft.fftn(a, axes=spatial).astype(domain.cdtype)
+    elif domain.dim == 3 and domain._use_rfft(2):
+        fn = lambda a: jnp.fft.rfftn(a, axes=spatial).astype(domain.cdtype)
+    else:
+        fn = lambda a: jnp.fft.fftn(a, axes=spatial).astype(domain.cdtype)
+    # the transform runs inside a replicated shard_map so its operand is a
+    # plain per-device buffer (XLA:CPU's fft thunk rejects the partitioner's
+    # resharded layouts when fed from the gather directly)
+    z = shard_map(fn, mesh=mesh, in_specs=P(), out_specs=P(),
+                  check_vma=False)(x)
+    return jax.lax.with_sharding_constraint(
+        z, NamedSharding(mesh, reciprocal_spec(domain, x.ndim)))
+
+
+def _gspmd_ifft(domain, x):
+    mesh = domain.mesh
+    spatial = tuple(range(domain.dim))
+    if (domain.dim == 3 and domain._use_rfft(2)
+            and x.shape[2] == domain.reciprocal_shape[2]):
+        fn = lambda a: jnp.fft.irfftn(
+            a, s=domain.shape, axes=spatial).astype(domain.dtype)
+    else:
+        fn = lambda a: jnp.fft.ifftn(
+            a, axes=spatial).real.astype(domain.dtype)
+    z = shard_map(fn, mesh=mesh, in_specs=P(), out_specs=P(),
+                  check_vma=False)(x)
+    return jax.lax.with_sharding_constraint(
+        z, NamedSharding(mesh, real_spec(domain, x.ndim)))
 
 
 def fft_pencil(domain, x):

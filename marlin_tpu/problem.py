@@ -946,11 +946,14 @@ class TensorProblem:
         # 2-D decks squeeze the trailing nz = 1 axis around the kernel
         sq = (lambda a: a[..., 0]) if cfg.two_d else (lambda a: a)
         tail = (cfg.ny,) if cfg.two_d else (cfg.ny, cfg.nz)
+        # GLOBAL trailing dims (cfg.ny is the local extent on 2-D meshes)
+        ny_g = cfg.ny_global if cfg.shard_y else cfg.ny
+        gtail = (ny_g,) if cfg.two_d else (ny_g, cfg.nz)
         fpc_qm = sq(jnp.transpose(state["buffers"][plan.fpc], (3, 0, 1, 2)))
         if plan.speed is not None:
             speed = sq(state["buffers"][plan.speed])
         else:
-            speed = jnp.zeros((cfg.nx_global,) + tail,
+            speed = jnp.zeros((cfg.nx_global,) + gtail,
                               state["buffers"][plan.fpc].dtype)
 
         media = None
@@ -962,27 +965,31 @@ class TensorProblem:
             from jax.sharding import PartitionSpec as P
 
             mesh = self.domain.mesh
-            ax = mesh.axis_names[0]
-            n_dev = int(math.prod(mesh.shape.values()))
+            sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            names = (mesh.axis_names[0],
+                     mesh.axis_names[1] if cfg.shard_y else None)
+            axis_sizes = (int(sizes[names[0]]),
+                          int(sizes[names[1]]) if cfg.shard_y else 1)
 
             def run_shard(fpc_l, sp_l, media_l):
                 # media is loop-invariant: exchange its halo planes ONCE
                 media_ext = pallas_lbm.exchange_media_halo(
-                    media_l, cfg, ax, n_dev
+                    media_l, cfg, names, axis_sizes
                 )
 
                 def sub(_i, carry):
                     cur, _spc = carry
                     return pallas_lbm.fused_substep_sharded(
-                        cur, media_l, media_ext, cfg, ax, n_dev
+                        cur, media_l, media_ext, cfg, names, axis_sizes
                     )
 
                 return jax.lax.fori_loop(0, n_fused, sub, (fpc_l, sp_l))
 
-            fspec = P(None, ax, *([None] * len(tail)))
-            sspec = P(ax, *([None] * len(tail)))
+            yax = names[1]  # None on 1-D meshes → unsharded y
+            fspec = P(None, names[0], yax, *([None] * (len(tail) - 1)))
+            sspec = P(names[0], yax, *([None] * (len(tail) - 1)))
             if media is None:
-                media = jnp.ones((cfg.nx_global,) + tail, fpc_qm.dtype)
+                media = jnp.ones((cfg.nx_global,) + gtail, fpc_qm.dtype)
             cur, sp_cur = shard_map(
                 run_shard, mesh=mesh,
                 in_specs=(fspec, sspec, sspec),

@@ -560,6 +560,66 @@ def test_fused_sharded_media_parity(tmp_path):
     _assert_state_parity(s1, s2)
 
 
+def test_fused_sharded_2d_mesh_parity():
+    """Distributed fused path on a 2-D (2×4) REAL_SPACE mesh (VERDICT r01
+    item 6): x halo planes AND y halo rows (with x-corner halos for exact
+    diagonal pulls) exchanged via ppermute, y-face masks on global
+    coordinates — must match the serial jnp chain."""
+    import jax
+
+    from marlin_tpu import parallel
+    from marlin_tpu.domain import ParallelMode
+
+    deck = os.path.join(REF, "test/tests/lbm/channel3D.i")
+    over = ["Problem/substeps=7", "Domain/nx=12", "Domain/ny=12",
+            "Domain/nz=10"]
+    _, s1 = _run_deck(hit.load(deck, over + ["Problem/lbm_backend=JNP"]))
+
+    mesh = parallel.make_mesh(
+        ParallelMode.REAL_SPACE, jax.devices()[:8], shape=(2, 4)
+    )
+    root = hit.load(deck, over + [
+        "Problem/lbm_backend=PALLAS", "Domain/parallel_mode=REAL_SPACE"])
+    p = TensorProblem(root, mesh=mesh)
+    s2 = p.init_state()
+    dt = jnp.asarray(1.0, p.domain.dtype)
+    for i in range(3):
+        s2 = p.step(s2, float(i), dt, dt, i == 0)
+    _assert_state_parity(s1, s2)
+
+
+def test_fused_sharded_2d_mesh_media_parity(tmp_path):
+    """2-D mesh + binary media: the obstacle spans BOTH the x and y shard
+    boundaries, so wall bounce-back needs the exchanged media halo rows
+    and corners."""
+    import h5py
+    import jax
+
+    from marlin_tpu import parallel
+    from marlin_tpu.domain import ParallelMode
+
+    media = np.ones((8, 12, 10), dtype=np.int64)
+    media[3:6, 4:8, 2:6] = 0  # spans x=4 (2-dev) and y=3,6,9 (4-dev) cuts
+    h5 = tmp_path / "media.h5"
+    with h5py.File(h5, "w") as f:
+        f.create_dataset("media", data=media)
+
+    _, s1 = _run_deck(hit.parse(_MEDIA_DECK.format(backend="JNP", media_h5=h5)))
+
+    mesh = parallel.make_mesh(
+        ParallelMode.REAL_SPACE, jax.devices()[:8], shape=(2, 4)
+    )
+    deck = _MEDIA_DECK.format(backend="PALLAS", media_h5=h5).replace(
+        "[Domain]", "[Domain]\n  parallel_mode = REAL_SPACE"
+    )
+    p = TensorProblem(hit.parse(deck), mesh=mesh)
+    s2 = p.init_state()
+    dt = jnp.asarray(1.0, p.domain.dtype)
+    for i in range(3):
+        s2 = p.step(s2, float(i), dt, dt, i == 0)
+    _assert_state_parity(s1, s2)
+
+
 def test_fused_rejects_zou_he():
     """mixed_bcs_d3q19.i uses Zou-He (fixed-order) BCs — not fusable; the
     error names the offending compute."""

@@ -145,6 +145,34 @@ class TestGradientDeckParallel:
             "/tmp/marlin_tpu_par/gradient_out.csv",
         )
 
+    def test_gradient_slab_3ranks_uneven(self, tmp_path):
+        """The reference's own slab spec: gradient.i (40³) at THREE ranks
+        (test/tests/gradient/tests `gradient_cpu_slab`, min_parallel=3) —
+        40 does not divide by 3, so this exercises the uneven-partition
+        GSPMD fallback (VERDICT r01 item 5), with the reference's exact
+        device_names/device_weights cli args accepted as inert."""
+        import os
+
+        from .gold import REF, csv_diff
+        from marlin_tpu import hit
+        from marlin_tpu.executioner import run_deck
+
+        mesh = parallel.make_mesh(ParallelMode.FFT_SLAB, jax.devices()[:3])
+        root = hit.load(
+            os.path.join(REF, "test/tests/gradient/gradient.i"),
+            ["Domain/device_names='cpu cpu cpu'",
+             "Domain/device_weights='1 1 1'",
+             "Domain/parallel_mode=FFT_SLAB"],
+        )
+        run_deck(
+            root, file_base="gradient_out", output_dir=str(tmp_path),
+            mesh=mesh, deck_stem="gradient",
+        )
+        csv_diff(
+            "test/tests/gradient/gold/gradient_out.csv",
+            str(tmp_path / "gradient_out.csv"),
+        )
+
 
 class TestRealSpaceSharded:
     def test_laplacian_deck_sharded(self):
@@ -314,13 +342,27 @@ class TestDivisibilityValidation:
     instead of failing deep inside XLA's all_to_all (the reference handles
     remainders, DomainAction.h:247-280 — divergence documented)."""
 
-    def test_slab_uneven(self):
+    def test_slab_uneven_accepted(self):
+        """Slab mode ACCEPTS uneven grids (r02): the transforms fall back
+        to the GSPMD-partitioned global FFT."""
         from marlin_tpu.domain import Domain
 
         mesh = parallel.make_mesh(ParallelMode.FFT_SLAB, jax.devices()[:3])
-        with pytest.raises(ValueError, match="does not divide evenly"):
-            Domain(dim=2, n=[200, 200], maxs=[1, 1, 1],
-                   parallel_mode=ParallelMode.FFT_SLAB, mesh=mesh)
+        dom = Domain(dim=2, n=[200, 200], maxs=[1, 1, 1],
+                     parallel_mode=ParallelMode.FFT_SLAB, mesh=mesh)
+        assert dom.uneven
+        x = jnp.asarray(np.random.RandomState(9).rand(200, 200))
+        back = jax.jit(lambda a: dom.ifft(dom.fft(a)))(x)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-12)
+
+    def test_pallas_slab_uneven_rejected(self):
+        from marlin_tpu.domain import Domain, FFTBackend
+
+        mesh = parallel.make_mesh(ParallelMode.FFT_SLAB, jax.devices()[:3])
+        with pytest.raises(ValueError, match="PALLAS"):
+            Domain(dim=3, n=[128, 128, 128], maxs=[1, 1, 1],
+                   parallel_mode=ParallelMode.FFT_SLAB, mesh=mesh,
+                   fft_backend=FFTBackend.PALLAS)
 
     def test_pencil_uneven(self):
         from marlin_tpu.domain import Domain
