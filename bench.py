@@ -805,6 +805,9 @@ def main():
         # the 512 child compiles 4 whole-step programs (base / carry /
         # pallas / fused); cold remote compiles can exceed 10 min
         ("ch3d_512", "ch3d_512", 1, 1500),
+        # 64x the reference RVE via the analytic-tangent CG operator;
+        # reached when the compile cache is warm
+        ("degeus_rve_128", "degeus128", 1, 900),
     ]
     for key, child, attempts, timeout in children:
         if wedged:
