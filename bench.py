@@ -765,20 +765,25 @@ def _probe(deadline):
     FAILED_PRECONDITION within seconds of process start.  Probe TIMEOUTS
     mean the backend is merely busy (e.g. still chewing a killed child's
     compile — observed to block new requests for minutes), so the suite
-    proceeds: children have their own timeouts and partial-result salvage."""
-    saw_fast_failure = False
-    for _ in range(2):
+    proceeds immediately: children have their own timeouts and
+    partial-result salvage.  Worst case the probe costs ~90 s of budget
+    (one timed-out attempt); a second attempt runs only to CONFIRM a
+    fast failure."""
+    for attempt in range(2):
         if deadline - time.time() < 30:
             return True  # can't tell; the budget logic labels the skips
         t0 = time.time()
-        got = _spawn("probe", deadline=min(deadline, time.time() + 240),
-                     attempts=1, timeout=240)
+        got = _spawn("probe", deadline=min(deadline, t0 + 150),
+                     attempts=1, timeout=90)
         if got.get("ok"):
             return True
-        if time.time() - t0 < 60:
-            saw_fast_failure = True
+        err = str(got.get("error") or "")
+        if "budget exhausted" in err:
+            return True  # never actually contacted the backend
+        if time.time() - t0 >= 60:
+            return True  # slow failure/timeout = busy, not wedged
         time.sleep(10)
-    return not saw_fast_failure
+    return False
 
 
 def main():

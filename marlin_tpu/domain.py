@@ -177,9 +177,11 @@ class Domain:
         if self.parallel_mode == ParallelMode.NONE:
             return d == self.dim - 1
         if self.parallel_mode == ParallelMode.FFT_SLAB:
-            return self.dim == 3 and d == 2
+            # nz > 2 keeps the half extent nz/2+1 distinct from nz, so the
+            # inverse can tell half- from full-spectrum arrays by shape
+            return self.dim == 3 and d == 2 and self.n_global[2] > 2
         if self.parallel_mode == ParallelMode.FFT_PENCIL:
-            return d == 0
+            return d == 0 and self.n_global[0] > 2
         return False
 
     def align(self, t: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -231,6 +233,12 @@ class Domain:
                     p1 = dict(zip(self.mesh.axis_names,
                                   self.mesh.devices.shape)).get("p1", 1)
                     pad = (-len(freq)) % p1
+                    if len(freq) + pad == n:
+                        # tiny-grid collision: a padded half spectrum the
+                        # same length as the full one would make the
+                        # inverse's shape-based half/full detection
+                        # ambiguous — pad one more tile of zeros
+                        pad += p1
                     if pad:
                         self.reciprocal_pad = pad
                         freq = np.concatenate([freq, np.zeros(pad)])
@@ -351,7 +359,7 @@ class Domain:
                     "fft_backend = PALLAS supports scalar fields only "
                     f"(got a rank-{t.ndim} tensor on a {self.dim}-D grid)"
                 )
-            if self.mesh is not None:
+            if self.mesh is not None and self.parallel_mode == ParallelMode.FFT_SLAB:
                 from . import parallel
 
                 if jnp.iscomplexobj(t):
@@ -392,7 +400,7 @@ class Domain:
         if self.fft_backend == FFTBackend.PALLAS:
             from . import pallas_fft
 
-            if self.mesh is not None:
+            if self.mesh is not None and self.parallel_mode == ParallelMode.FFT_SLAB:
                 from . import parallel
 
                 return parallel.ifft_slab_pallas(self, t)

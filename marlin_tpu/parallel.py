@@ -250,10 +250,6 @@ def local_slices(domain):
 # ---------------------------------------------------------------------------
 
 
-def _extra_dims_spec(x, dim):
-    return (None,) * (x.ndim - dim)
-
-
 def fft(domain, x):
     from .domain import ParallelMode
 

@@ -337,6 +337,44 @@ class TestCahnHilliardDistributedParity:
         np.testing.assert_allclose(got, ref, atol=1e-11)
 
 
+class TestLayoutDisambiguation:
+    def test_serial_mode_with_mesh_pallas_fft(self):
+        """A NONE-mode domain with a mesh attached must use the serial
+        PALLAS path, not the slab shard_map kernels (code-review r02)."""
+        import marlin_tpu.pallas_fft as pf
+        from marlin_tpu.domain import Domain, FFTBackend
+
+        old = pf._INTERPRET
+        pf._INTERPRET = True
+        try:
+            mesh = parallel.make_mesh(ParallelMode.FFT_SLAB, jax.devices()[:4])
+            dom = Domain(dim=3, n=[64, 64, 64], maxs=[1, 1, 1],
+                         parallel_mode=ParallelMode.NONE, mesh=mesh,
+                         fft_backend=FFTBackend.PALLAS)
+            x = jnp.asarray(np.random.RandomState(5).rand(64, 64, 64))
+            back = dom.ifft(dom.fft(x))
+            np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                       atol=1e-4)
+        finally:
+            pf._INTERPRET = old
+
+    def test_pencil_tiny_grid_pad_disambiguates(self):
+        """nx=4 over p1=2: the padded half extent would equal nx, so an
+        extra zero tile keeps half- and full-spectrum shapes distinct for
+        the inverse's layout detection (code-review r02)."""
+        from marlin_tpu.domain import Domain
+
+        mesh = parallel.make_mesh(
+            ParallelMode.FFT_PENCIL, jax.devices()[:4], shape=(2, 2)
+        )
+        dom = Domain(dim=3, n=[4, 8, 8], maxs=[1, 1, 1],
+                     parallel_mode=ParallelMode.FFT_PENCIL, mesh=mesh)
+        assert dom.reciprocal_shape[0] != dom.n_global[0]
+        x = jnp.asarray(np.random.RandomState(6).rand(4, 8, 8))
+        back = dom.ifft(dom.fft(x))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-12)
+
+
 class TestDivisibilityValidation:
     """Uneven grid/mesh combinations raise a clear [Domain] build error
     instead of failing deep inside XLA's all_to_all (the reference handles
