@@ -120,7 +120,8 @@ class Domain:
             if bad:
                 raise ValueError(
                     f"[Domain] fft_backend = PALLAS requires every grid "
-                    f"extent in {list(pallas_fft._SUPPORTED)}; got {bad}"
+                    f"extent to factor as {pallas_fft.SUPPORTED_RULE}; "
+                    f"got {bad}"
                 )
             if floating_precision == Precision.DOUBLE:
                 raise ValueError(

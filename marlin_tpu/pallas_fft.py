@@ -43,22 +43,35 @@ MAX_R = 8  # largest radix: N up to 128*8 = 1024
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
+@functools.lru_cache(maxsize=None)
 def base(n: int) -> int:
-    """The DFT-matmul size for extent n: 128 (one MXU tile), or n itself for
-    the sub-tile extent 64 (single half-tile matmul, radix 1)."""
-    return n if n < P else P
+    """The DFT-matmul size b for extent n = b·r: the largest divisor of n
+    in [64, 128] with radix r ≤ 8 (sub-128 bases run as partially-filled
+    MXU tiles — measured fine on v5e down to 64).  Extents ≤ 128 use a
+    single matmul (r = 1).  Returns 0 when no factorization exists.
+
+    This covers every power-of-two from 64 to 1024 AND the reference's
+    own deck extents (200 = 100·2, 400 = 100·4, 192 = 96·2, …)."""
+    if 64 <= n <= P:
+        return n
+    if n < 64:
+        return 0
+    for b in range(P, 63, -1):
+        if n % b == 0 and n // b <= MAX_R:
+            return b
+    return 0
 
 
 def supported(n: int) -> bool:
-    return n == 64 or (n % P == 0 and 1 <= n // P <= MAX_R)
+    return base(n) > 0
 
 
-def supported_extents():
-    return (64,) + tuple(P * r for r in range(1, MAX_R + 1))
-
+SUPPORTED_RULE = ("N = b*r with 64 <= b <= 128 and r <= 8 "
+                  "(all of 64..128, powers of two to 1024, 192, 200, 384, "
+                  "400, 512, 640, 768, 896, 1024, ...)")
 
 # kept for error messages / older callers
-_SUPPORTED = supported_extents()
+_SUPPORTED = SUPPORTED_RULE
 
 
 def true_k_order(n: int) -> np.ndarray:

@@ -360,6 +360,13 @@ class TensorProblem:
             synth.set_param("predictor_order", str(history + 1))
             synth.set_param("corrector_steps", "0")
             synth.set_param("substeps", str(self.spectral_solve_substeps))
+            # marlin_tpu perf extensions forwarded from [Problem] (legacy
+            # decks have no [TensorSolver] block to carry them):
+            # `Problem/carry_reciprocal=true Problem/fused_spectral=true`
+            for extra in ("carry_reciprocal", "fused_spectral"):
+                v = self.problem_params.get_str(extra, None)
+                if v is not None:
+                    synth.set_param(extra, v)
             cls = solver_registry.get("AdamsBashforthMoulton")
             self.solver = cls(synth.name, Params(synth, self.global_params), self)
             root_name = None

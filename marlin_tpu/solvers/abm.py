@@ -92,11 +92,18 @@ class AdamsBashforthMoulton(SplitOperatorBase):
                 "fused_spectral = true supports history depth 1 only"
             )
         # depth-0 (AB1: predictor_order = corrector_order = 1) is fine —
-        # beta1 is 0 at order 0, so the history term never contributes
-        if not set(state["old"]) <= {plan.nonlinear}:
+        # beta1 is 0 at order 0, so the history term never contributes.
+        # History on the carried pair (N̄ and u itself) is exact: both stay
+        # current through the fused loop and the single advance before the
+        # trailing jnp substep pushes the same values the unfused per-
+        # substep advances would have (e.g. 1a's Terminator change pp needs
+        # old[u]).  Other buffers go stale during the fused substeps, so
+        # history on them is rejected.
+        if not set(state["old"]) <= {plan.nonlinear, plan.buffer}:
             raise ps.SpectralChainError(
                 f"fused_spectral = true supports old-state history on "
-                f"{plan.nonlinear} only (got {sorted(state['old'])})"
+                f"{sorted([plan.nonlinear, plan.buffer])} only "
+                f"(got {sorted(state['old'])})"
             )
 
         dom = self.domain

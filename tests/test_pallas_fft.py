@@ -187,10 +187,43 @@ def test_slab_distributed_matches_serial():
 
 
 def test_pallas_rejects_unsupported():
+    # 60 < 64 has no MXU-tile factorization (200 = 100·2 IS supported, r02)
     with pytest.raises(Exception, match="PALLAS requires"):
         TensorProblem(hit.parse(_CH.format(backend="fft_backend = PALLAS")
-                                .replace("nx = 128", "nx = 200")
-                                .replace("xmax = 128", "xmax = 200")))
+                                .replace("nx = 128", "nx = 60")
+                                .replace("xmax = 128", "xmax = 60")))
+
+
+def test_reference_extent_200():
+    """The reference's benchmark-1a extent (200 = 100·2, a sub-tile base)
+    round-trips and matches numpy under the permutation."""
+    rng = np.random.RandomState(12)
+    x = rng.randn(16, 200).astype(np.float32)
+    rr, ri = jax.jit(lambda a: pf.fft_lanes(a, None, 200))(jnp.asarray(x))
+    got = np.asarray(rr) + 1j * np.asarray(ri)
+    ref = np.fft.fft(x, axis=1)[:, pf.true_k_order(200)]
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+    back = jax.jit(lambda a, b: pf.ifft_lanes(a, b, 200))(rr, ri)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-4)
+
+
+def test_ch_solver_physics_parity_200():
+    """Full CH physics parity at the reference's own 200² grid — the
+    extent generalization that lets fused_spectral run benchmark 1a."""
+
+    def run(backend):
+        deck = (_CH.format(backend=backend)
+                .replace("nx = 128", "nx = 200").replace("ny = 128", "ny = 200")
+                .replace("xmax = 128", "xmax = 200").replace("ymax = 128", "ymax = 200"))
+        root = hit.parse(deck)
+        p = TensorProblem(root)
+        s = p.init_state()
+        step = jax.jit(p._step_impl)
+        out = step(s, 0.0, 1.0, 1.0, jnp.asarray(True))
+        return np.asarray(out["buffers"]["c"])
+
+    np.testing.assert_allclose(
+        run("fft_backend = PALLAS"), run(""), atol=5e-5)
 
 
 @pytest.mark.parametrize("shape", [(256, 128), (384, 64), (64, 640)])
