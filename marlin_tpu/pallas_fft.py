@@ -43,22 +43,27 @@ MAX_R = 8  # largest radix: N up to 128*8 = 1024
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
+#: largest extent handled as one direct DFT matmul (w tables are 2·n²·4 B
+#: of VMEM; 400 — the reference's Swift-Hohenberg grid — costs 2.6 MB)
+DIRECT_MAX = 400
+
+
 @functools.lru_cache(maxsize=None)
 def base(n: int) -> int:
-    """The DFT-matmul size b for extent n = b·r: the largest divisor of n
-    in [64, 128] with radix r ≤ 8 (sub-128 bases run as partially-filled
-    MXU tiles — measured fine on v5e down to 64).  Extents ≤ 128 use a
-    single matmul (r = 1).  Returns 0 when no factorization exists.
+    """The DFT-matmul size b for extent n = b·r.
 
-    This covers every power-of-two from 64 to 1024 AND the reference's
-    own deck extents (200 = 100·2, 400 = 100·4, 192 = 96·2, …)."""
-    if 64 <= n <= P:
+    Multiples of 128 factor as b = 128 (one MXU tile) with radix r ≤ 8 —
+    the fast path for the big power-of-two grids.  Every other extent in
+    [64, DIRECT_MAX] runs as a SINGLE direct DFT matmul (r = 1, b = n):
+    Mosaic cannot reshape the lane axis into non-128 chunks
+    ("infer-vector-layout: unsupported shape cast" for 200 → 2×100), and
+    at these sizes the O(n) direct matmul is MXU-trivial anyway.  Covers
+    the reference's own deck extents (200, 400, 192, …).  Returns 0 when
+    unsupported."""
+    if n % P == 0 and 1 <= n // P <= MAX_R:
+        return P
+    if 64 <= n <= DIRECT_MAX:
         return n
-    if n < 64:
-        return 0
-    for b in range(P, 63, -1):
-        if n % b == 0 and n // b <= MAX_R:
-            return b
     return 0
 
 
@@ -66,9 +71,8 @@ def supported(n: int) -> bool:
     return base(n) > 0
 
 
-SUPPORTED_RULE = ("N = b*r with 64 <= b <= 128 and r <= 8 "
-                  "(all of 64..128, powers of two to 1024, 192, 200, 384, "
-                  "400, 512, 640, 768, 896, 1024, ...)")
+SUPPORTED_RULE = (f"a multiple of 128 up to 1024, or any extent in "
+                  f"[64, {DIRECT_MAX}] (direct DFT matmul)")
 
 # kept for error messages / older callers
 _SUPPORTED = SUPPORTED_RULE
@@ -376,7 +380,17 @@ def _pick_tb(B, n):
         tb //= 2
     while B % tb:
         tb //= 2
-    return max(tb, 1)
+    tb = max(tb, 1)
+    if tb % 8 and tb != B:
+        # Mosaic: the second-minor block dim must be a multiple of 8 or
+        # the full dimension — take the whole batch as one block if it fits
+        if 12 * B * n * 4 <= 8 * 2 ** 20:
+            return B
+        raise ValueError(
+            f"pallas fft: batch extent {B} is not tileable on TPU; "
+            "use the DEFAULT fft backend for this grid"
+        )
+    return tb
 
 
 def fft_lanes(xr, xi, n, pre=None):
@@ -418,15 +432,20 @@ def _call_sublanes(kernel, n, tl, n_in, n_out, args, L):
 
 
 def _pick_tl(L, n):
-    # transverse lane-tile: 128 when it divides L (always for the shipped
-    # power-of-two grids); otherwise the largest power-of-two divisor, and
-    # shrink further if the (n, tl) block footprint blows the ~8MB budget
-    tl = 128
-    while tl > 1 and (L % tl or 12 * n * tl * 4 > 8 * 2 ** 20):
-        tl //= 2
-    while L % tl:
-        tl //= 2
-    return max(tl, 1)
+    """Transverse lane-tile for (n, tl) sublane blocks.  Mosaic requires
+    the minor-most block dim to be a multiple of 128 OR equal to the full
+    dimension, so: 128 when it divides L (always for power-of-two grids),
+    else the whole L as one lane-block when it fits the VMEM budget
+    (covers the reference's 200/400-class extents, where L = 200·…)."""
+    if L % 128 == 0:
+        return 128
+    if 12 * n * L * 4 <= 8 * 2 ** 20:
+        return L
+    raise ValueError(
+        f"pallas fft: transverse extent {L} is not tileable on TPU "
+        f"(needs a multiple of 128, or small enough to fit VMEM whole); "
+        "use the DEFAULT fft backend for this grid"
+    )
 
 
 def fft_sublanes(xr, xi, n):

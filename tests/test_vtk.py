@@ -1,0 +1,125 @@
+"""Legacy-ASCII VTK export (marlin_tpu/vtk.py) — the analog of the
+reference's scripts/create_vtk.py numpy->vtkStructuredGrid utility,
+without the vtk-package dependency."""
+
+import numpy as np
+import pytest
+
+from marlin_tpu.vtk import write_structured_vtk, write_state_vtk
+
+
+def _parse_vtk(path):
+    """Minimal legacy-VTK reader for the writer's own output."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+    head = {}
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        if ln.startswith(("DIMENSIONS", "ORIGIN", "SPACING", "POINT_DATA")):
+            parts = ln.split()
+            head[parts[0]] = [float(x) for x in parts[1:]]
+        if ln.startswith(("SCALARS", "VECTORS")):
+            break
+        i += 1
+    npoints = int(head["POINT_DATA"][0])
+    fields = {}
+    while i < len(lines):
+        ln = lines[i]
+        if ln.startswith("SCALARS"):
+            name = ln.split()[1]
+            i += 2  # skip LOOKUP_TABLE
+            vals = [float(lines[i + k]) for k in range(npoints)]
+            i += npoints
+            fields[name] = np.array(vals)
+        elif ln.startswith("VECTORS"):
+            name = ln.split()[1]
+            i += 1
+            vals = [[float(x) for x in lines[i + k].split()]
+                    for k in range(npoints)]
+            i += npoints
+            fields[name] = np.array(vals)
+        else:
+            i += 1
+    return head, fields
+
+
+def test_scalar_roundtrip_2d(tmp_path):
+    rng = np.random.RandomState(0)
+    c = rng.rand(4, 6)
+    path = tmp_path / "out.vtk"
+    write_structured_vtk(str(path), {"c": c}, spacing=(0.5, 0.25))
+    head, fields = _parse_vtk(path)
+    assert head["DIMENSIONS"] == [4, 6, 1]
+    assert head["SPACING"] == [0.5, 0.25, 1.0]
+    # x varies fastest: value at flat index j*nx + i == c[i, j]
+    got = fields["c"].reshape(6, 4)  # (y, x)
+    np.testing.assert_allclose(got.T, c, rtol=1e-10)
+
+
+def test_vector_and_3d(tmp_path):
+    rng = np.random.RandomState(1)
+    u = rng.rand(3, 4, 5, 3)
+    s = rng.rand(3, 4, 5)
+    path = tmp_path / "out3.vtk"
+    write_structured_vtk(str(path), {"disp": u, "c": s})
+    head, fields = _parse_vtk(path)
+    assert head["DIMENSIONS"] == [3, 4, 5]
+    got = fields["disp"].reshape(5, 4, 3, 3).transpose(2, 1, 0, 3)
+    np.testing.assert_allclose(got, u, rtol=1e-10)
+    gots = fields["c"].reshape(5, 4, 3).transpose(2, 1, 0)
+    np.testing.assert_allclose(gots, s, rtol=1e-10)
+
+
+def test_2d_vector_padded_to_3(tmp_path):
+    u = np.random.RandomState(2).rand(4, 4, 2)
+    path = tmp_path / "v2.vtk"
+    write_structured_vtk(str(path), {"v": u}, grid_shape=(4, 4))
+    _, fields = _parse_vtk(path)
+    assert fields["v"].shape == (16, 3)
+    assert np.all(fields["v"][:, 2] == 0.0)
+
+
+def test_state_export(tmp_path):
+    from marlin_tpu import hit
+    from marlin_tpu.problem import TensorProblem
+
+    deck = """
+[Domain]
+  dim = 2
+  nx = 8
+  ny = 8
+  xmax = 2
+  ymax = 2
+[]
+[TensorComputes]
+  [Initialize]
+    [c]
+      type = ParsedCompute
+      buffer = c
+      extra_symbols = true
+      expression = 'x + 10*y'
+    []
+  []
+[]
+[Problem]
+  type = TensorProblem
+[]
+"""
+    p = TensorProblem(hit.parse(deck))
+    s = p.init_state()
+    path = tmp_path / "state.vtk"
+    write_state_vtk(str(path), p, s, ["c"])
+    head, fields = _parse_vtk(path)
+    assert head["SPACING"][0] == pytest.approx(0.25)
+    assert head["ORIGIN"][0] == pytest.approx(0.125)
+    got = fields["c"].reshape(8, 8).T
+    np.testing.assert_allclose(got, np.asarray(s["buffers"]["c"]), atol=1e-6)
+
+
+def test_mismatched_shapes_rejected(tmp_path):
+    with pytest.raises(ValueError, match="does not match"):
+        write_structured_vtk(
+            str(tmp_path / "x.vtk"),
+            {"a": np.zeros((4, 4)), "b": np.zeros((5, 5))},
+        )
