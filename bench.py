@@ -829,7 +829,9 @@ def main():
     # Cheapest-first after the headline so the budget always yields the
     # minimum set (1a + one ch3d + one LBM) even if the tail is cut.
     children = [
-        ("1a", "1a", 2, 900),
+        # the child compiles TWO whole-run programs (headline + the tuned
+        # fused variant); the headline is emitted incrementally either way
+        ("1a", "1a", 2, 1500),
         ("lbm_channel3d_128_pallas", "lbm_pallas", 1, 600),
         ("ch3d_256", "ch3d_256", 1, 900),
         ("lbm_channel3d_128", "lbm", 1, 600),
