@@ -173,6 +173,8 @@ class XDMFTensorOutput:
     # ------------------------------------------------------------------
     def _write_h5(self, frame_data: List[Dict[str, np.ndarray]]):
         for r, data in enumerate(frame_data):
+            if data and all(a.size == 0 for a in data.values()):
+                continue  # empty rank (uneven ceil-division) — no file
             if self.enable_hdf5:
                 import h5py
 
@@ -291,6 +293,10 @@ class XDMFTensorOutput:
                     stop = sl[a].stop if sl[a].stop is not None else dom.shape[a]
                     cells.append(stop - start)
                     lorigin.append(dom.mins[a] + start * dom.grid_spacing[a])
+                if min(cells) == 0:
+                    # uneven GSPMD ceil-division can leave trailing ranks
+                    # with no cells — a 0-extent subgrid breaks readers
+                    continue
                 sub = ET.SubElement(grid, "Grid")
                 sub.set("Name", f"Rank{r}")
                 sub.set("GridType", "Uniform")

@@ -26,6 +26,47 @@ def _make(tmp, num_steps):
     )
 
 
+def test_resume_bit_exact_sharded(tmp_path):
+    """Checkpoint/resume with a distributed (FFT_SLAB) mesh: sharded
+    device arrays gather into the .npz and the resumed run reproduces the
+    uninterrupted sharded run bit-exactly."""
+    import jax
+
+    from marlin_tpu import parallel
+    from marlin_tpu.domain import ParallelMode
+
+    mesh = parallel.make_mesh(ParallelMode.FFT_SLAB, jax.devices()[:4])
+
+    def make(tmp, num_steps):
+        root = hit.load(
+            f"{REF}/test/tests/cahnhilliard/cahnhilliard.i",
+            [f"Executioner/num_steps={num_steps}",
+             "Domain/parallel_mode=FFT_SLAB"],
+        )
+        p = TensorProblem(root, mesh=mesh)
+        return Transient(
+            p,
+            exec_node=root.children.get("Executioner"),
+            outputs_node=root.children.get("Outputs"),
+            file_base="cks",
+            output_dir=str(tmp),
+        )
+
+    full = make(tmp_path / "full", 6)
+    full.run()
+    part = make(tmp_path / "part", 3)
+    part.run()
+    part.save_checkpoint()
+    res = make(tmp_path / "part", 6)
+    res.init()
+    res.recover(part.checkpoint_path)
+    res.run()
+    np.testing.assert_array_equal(
+        np.asarray(res.state["buffers"]["c"]),
+        np.asarray(full.state["buffers"]["c"]),
+    )
+
+
 def test_resume_bit_exact(tmp_path):
     # full 10-step run
     full = _make(tmp_path / "full", 10)

@@ -110,6 +110,44 @@ def test_xdmf_output_hdf5_parallel(tmp_path):
     assert len(frames[0].findall("Grid")) == 2
 
 
+def test_xdmf_parallel_uneven_mesh(tmp_path):
+    """Per-rank XDMF on an UNEVEN slab mesh (8 ranks over ny=20: GSPMD
+    ceil-division gives 3-row slabs, a 2-row slab, and one EMPTY rank) —
+    rank files cover the grid exactly once and empty ranks are skipped."""
+    import h5py
+    import numpy as np
+
+    from marlin_tpu import hit, parallel
+    from marlin_tpu.domain import ParallelMode
+    from marlin_tpu.executioner import run_deck
+
+    mesh = parallel.make_mesh(ParallelMode.FFT_SLAB, jax.devices()[:8])
+    root = hit.load(
+        os.path.join(REF, "test/tests/cahnhilliard/cahnhilliard.i"),
+        ["TensorOutputs/active=xdmf2", "Domain/parallel_mode=FFT_SLAB",
+         "Executioner/num_steps=2"],
+    )
+    run_deck(
+        root, file_base="cahnhilliard_out", output_dir=str(tmp_path),
+        deck_stem="cahnhilliard", mesh=mesh,
+    )
+    rows = 0
+    written = []
+    for r in range(8):
+        p = os.path.join(str(tmp_path), f"cahnhilliard.rank{r:04d}.h5")
+        if not os.path.exists(p):
+            continue
+        written.append(r)
+        with h5py.File(p) as f:
+            rows += f["c.0"].shape[1]
+    assert rows == 20
+    assert written == list(range(7))  # the empty 8th rank writes no file
+    # the XMF spatial collection also skips the empty rank
+    tree = ET.parse(os.path.join(str(tmp_path), "cahnhilliard.xmf"))
+    frames = tree.getroot().findall(".//Grid[@CollectionType='Spatial']")
+    assert len(frames[0].findall("Grid")) == 7
+
+
 def test_xdmf_parallel_rejects_node_mode(tmp_path):
     """reference XDMFTensorOutput.C:90-93: CELL-only in parallel."""
     from marlin_tpu import hit, parallel
