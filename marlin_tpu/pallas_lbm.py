@@ -133,7 +133,9 @@ def _make_kernel(cfg: FusedLBMConfig):
 
     def kernel(*refs):
         refs = list(refs)
-        center, left, right = refs[:3]
+        # wrap_l: the periodic wrap plane (x = nx-1), FIXED BlockSpec index
+        # — consumed only by block 0; later blocks use the VMEM carry
+        center, wrap_l, right = refs[:3]
         refs = refs[3:]
         ext_l = ext_r = None
         yset = m_yset = None
@@ -159,7 +161,7 @@ def _make_kernel(cfg: FusedLBMConfig):
         if cfg.sharded:
             off_ref = refs[0]
             refs = refs[1:]
-        fpc_out, speed_out = refs
+        fpc_out, speed_out, carry_ref = refs
         i = pl.program_id(0)
         xg0 = i * B  # LOCAL x index of the block's first plane
         if cfg.sharded:
@@ -172,12 +174,22 @@ def _make_kernel(cfg: FusedLBMConfig):
             """The x part of the pull shift on a blocked (q, B, w[, nz])
             ref family (w = ny for the field, 1 for y-halo rows); sharded
             mode substitutes the neighbor-exchanged planes at the shard's
-            boundary blocks."""
+            boundary blocks.  ref_l is None for the MAIN field: its left
+            halo is the previous block's last plane, carried in VMEM
+            scratch (the grid is sequential), so only the wrap/ext plane
+            at i == 0 ever comes from outside — that plane's BlockSpec
+            index is FIXED, so its DMA is elided after the first block."""
             sel = (lambda r, s: r[s]) if qi is None else (lambda r, s: r[qi, s])
             if ex == 1:
-                plane = sel(ref_l, slice(None))
-                if cfg.sharded:
-                    plane = jnp.where(i == 0, sel(ext_lo, slice(None)), plane)
+                if ref_l is None:
+                    wrap = sel(ext_lo, slice(None)) if cfg.sharded \
+                        else sel(wrap_l, slice(None))
+                    plane = jnp.where(i == 0, wrap, sel(carry_ref, slice(None)))
+                else:
+                    plane = sel(ref_l, slice(None))
+                    if cfg.sharded:
+                        plane = jnp.where(i == 0, sel(ext_lo, slice(None)),
+                                          plane)
                 if B > 1:
                     return jnp.concatenate(
                         [plane, sel(ref_c, slice(0, B - 1))], axis=0)
@@ -249,7 +261,7 @@ def _make_kernel(cfg: FusedLBMConfig):
             and solid masking applied (reference LBMStream.C:51-80 +
             LBMBounceBack.C + LatticeBoltzmannProblem::maskedFillSolids)."""
             ex, ey, ez = cfg.e[qi]
-            a = window(center, left, right, ext_l, ext_r, yset,
+            a = window(center, None, right, ext_l, ext_r, yset,
                        qi, ex, ey, ez)
             for axis, side, dirs in cfg.faces:
                 if axis < 0:
@@ -356,6 +368,10 @@ def _make_kernel(cfg: FusedLBMConfig):
                     relax = t if relax is None else relax + t
                 fpc_out[qi] = equilibrium(qi) + fneqs[qi] - relax
 
+        # stash this block's LAST input plane — the next (sequential) grid
+        # step reads it as its left halo instead of re-fetching from HBM
+        carry_ref[...] = center[:, B - 1:B]
+
     return kernel
 
 
@@ -425,7 +441,10 @@ def fused_substep(fpc_qm, media, cfg: FusedLBMConfig, ext=None):
         return pl.BlockSpec(lead + tl, index_map, memory_space=pltpu.VMEM)
 
     blk = bs((q, B), lambda i: (0, i) + zeros)
-    halo_l = bs((q, 1), lambda i: (0, (i * B - 1) % nx) + zeros)
+    # FIXED index: the wrap plane is only read by block 0; the constant
+    # index map lets the pipeline elide its DMA on every later block (the
+    # left halo for blocks > 0 comes from the VMEM carry scratch instead)
+    halo_l = bs((q, 1), lambda i: (0, nx - 1) + zeros)
     halo_r = bs((q, 1), lambda i: (0, ((i + 1) * B) % nx) + zeros)
     sp_blk = bs((B,), lambda i: (i,) + zeros)
     m_halo_l = bs((1,), lambda i: ((i * B - 1) % nx,) + zeros)
@@ -496,6 +515,7 @@ def fused_substep(fpc_qm, media, cfg: FusedLBMConfig, ext=None):
         grid=grid,
         in_specs=in_specs,
         out_specs=(blk, sp_blk),
+        scratch_shapes=[pltpu.VMEM((q, 1) + tail, dt)],
         compiler_params=params,
         interpret=_interpret(),
     )(*args)
