@@ -649,12 +649,14 @@ def bench_lbm_porous(n=128, substeps=20, reps=3, backend="PALLAS"):
     }
 
 
-def bench_degeus(steps=10, reps=2, n=None):
+def bench_degeus(steps=10, reps=2, n=None, fft_backend=None):
     """deGeus FFT-micromechanics RVE wall-clock (BASELINE.json metric #2):
     the shipped 32^3 hyperelastic RVE (reference
     examples/degeus_mechanics/mech.i — Newton + matrix-free CG per substep,
     10 substeps/step, shear ramp), timed over `steps` load steps.
-    n overrides the grid extent (degeus64 child)."""
+    n overrides the grid extent (degeus64 child); fft_backend=PALLAS runs
+    the CG loop's tensor-valued Green-projection FFTs on the unordered
+    Pallas kernels (supported extents only — not the 32³ default grid)."""
     import jax
     import jax.numpy as jnp
 
@@ -663,6 +665,8 @@ def bench_degeus(steps=10, reps=2, n=None):
 
     over = [] if n is None else [f"Domain/nx={n}", f"Domain/ny={n}",
                                  f"Domain/nz={n}"]
+    if fft_backend:
+        over.append(f"Domain/fft_backend={fft_backend}")
     root = hit.load("/root/reference/examples/degeus_mechanics/mech.i", over)
     problem = TensorProblem(root)
     state = problem.init_state()
@@ -686,6 +690,7 @@ def bench_degeus(steps=10, reps=2, n=None):
     return {
         "rve": f"{n or 32}^3 hyperelastic (mech.i)",
         "steps": steps,
+        "fft_backend": fft_backend or "DEFAULT",
         "wall_s": round(wall, 3),
         "step_ms": round(wall / steps * 1e3, 1),
         "compile_s": round(first, 1),
@@ -725,10 +730,16 @@ def _run_child(name):
         # 8x the reference's demonstrated RVE (not in the main suite: the
         # 64^3 Newton+CG compile alone takes ~8 min cold)
         print(json.dumps(bench_degeus(steps=3, reps=1, n=64)))
+    elif name == "degeus64_pallas":
+        print(json.dumps(bench_degeus(steps=3, reps=1, n=64,
+                                      fft_backend="PALLAS")))
     elif name == "degeus128":
         # 64x the reference RVE — runs via the analytic-tangent CG operator
         # (no rank-4 tangent; mechanics.py tangent_contract)
         print(json.dumps(bench_degeus(steps=2, reps=1, n=128)))
+    elif name == "degeus128_pallas":
+        print(json.dumps(bench_degeus(steps=2, reps=1, n=128,
+                                      fft_backend="PALLAS")))
     else:
         raise SystemExit(f"unknown benchmark {name}")
 

@@ -355,20 +355,48 @@ class Domain:
         if self.fft_backend == FFTBackend.PALLAS:
             from . import pallas_fft
 
-            if t.ndim != self.dim:
-                raise RuntimeError(
-                    "fft_backend = PALLAS supports scalar fields only "
-                    f"(got a rank-{t.ndim} tensor on a {self.dim}-D grid)"
-                )
             if self.mesh is not None and self.parallel_mode == ParallelMode.FFT_SLAB:
                 from . import parallel
 
+                if t.ndim != self.dim:
+                    raise RuntimeError(
+                        "fft_backend = PALLAS supports scalar fields only in "
+                        f"FFT_SLAB mode (got a rank-{t.ndim} tensor on a "
+                        f"{self.dim}-D grid)"
+                    )
                 if jnp.iscomplexobj(t):
                     return (
                         parallel.fft_slab_pallas(self, jnp.real(t))
                         + 1j * parallel.fft_slab_pallas(self, jnp.imag(t))
                     ).astype(self.cdtype)
                 return parallel.fft_slab_pallas(self, t)
+            if t.ndim > self.dim:
+                # tensor-valued fields (e.g. FFTMechanics' (…, dim, dim)
+                # deformation gradients): move the trailing value axes to a
+                # leading batch position — the planar kernels batch over
+                # leading axes natively — and transform the spatial axes
+                nv = t.ndim - self.dim
+                axes = tuple(range(nv, t.ndim))
+                tb = jnp.moveaxis(t, tuple(range(self.dim, t.ndim)),
+                                  tuple(range(nv)))
+
+                def fwd(x):
+                    rr, ri = pallas_fft.fwd_axes_planar(
+                        x.astype(jnp.float32), axes)
+                    return rr + 1j * ri
+
+                if jnp.iscomplexobj(tb):
+                    u = fwd(jnp.real(tb)) + 1j * fwd(jnp.imag(tb))
+                else:
+                    u = fwd(tb)
+                return jnp.moveaxis(
+                    u.astype(self.cdtype), tuple(range(nv)),
+                    tuple(range(self.dim, t.ndim)))
+            if t.ndim != self.dim:
+                raise RuntimeError(
+                    "fft_backend = PALLAS supports scalar fields only "
+                    f"(got a rank-{t.ndim} tensor on a {self.dim}-D grid)"
+                )
             if jnp.iscomplexobj(t):
                 u = (pallas_fft.fftn_unordered(jnp.real(t).astype(jnp.float32))
                      + 1j * pallas_fft.fftn_unordered(jnp.imag(t).astype(jnp.float32)))
@@ -405,6 +433,20 @@ class Domain:
                 from . import parallel
 
                 return parallel.ifft_slab_pallas(self, t)
+            if t.ndim > self.dim:
+                # inverse of the tensor-valued forward path above
+                nv = t.ndim - self.dim
+                axes = tuple(range(nv, t.ndim))
+                tb = jnp.moveaxis(t, tuple(range(self.dim, t.ndim)),
+                                  tuple(range(nv)))
+                shape = tb.shape[:nv] + tuple(self.shape)
+                out = pallas_fft.inv_axes_planar(
+                    jnp.real(tb).astype(jnp.float32),
+                    jnp.imag(tb).astype(jnp.float32),
+                    axes, real_output=True, shape=shape)
+                return jnp.moveaxis(
+                    out.astype(self.dtype), tuple(range(nv)),
+                    tuple(range(self.dim, t.ndim)))
             return pallas_fft.ifftn_unordered(t, self.shape).astype(self.dtype)
         if self.parallel_mode == ParallelMode.NONE:
             return jnp.fft.irfftn(t, s=self.shape, axes=spatial).astype(self.dtype)

@@ -54,15 +54,17 @@ def base(n: int) -> int:
 
     Multiples of 128 factor as b = 128 (one MXU tile) with radix r ≤ 8 —
     the fast path for the big power-of-two grids.  Every other extent in
-    [64, DIRECT_MAX] runs as a SINGLE direct DFT matmul (r = 1, b = n):
+    [8, DIRECT_MAX] runs as a SINGLE direct DFT matmul (r = 1, b = n):
     Mosaic cannot reshape the lane axis into non-128 chunks
     ("infer-vector-layout: unsupported shape cast" for 200 → 2×100), and
     at these sizes the O(n) direct matmul is MXU-trivial anyway.  Covers
-    the reference's own deck extents (200, 400, 192, …).  Returns 0 when
-    unsupported."""
+    the reference's own deck extents (200, 400, 192, 32, …); a full-dim
+    minor/second-minor block satisfies the Mosaic tiling rules at any
+    size ≥ the 8-sublane tile (validated on the v5e down to 32, the
+    deGeus RVE extent).  Returns 0 when unsupported."""
     if n % P == 0 and 1 <= n // P <= MAX_R:
         return P
-    if 64 <= n <= DIRECT_MAX:
+    if 8 <= n <= DIRECT_MAX:
         return n
     return 0
 
@@ -72,7 +74,7 @@ def supported(n: int) -> bool:
 
 
 SUPPORTED_RULE = (f"a multiple of 128 up to 1024, or any extent in "
-                  f"[64, {DIRECT_MAX}] (direct DFT matmul)")
+                  f"[8, {DIRECT_MAX}] (direct DFT matmul)")
 
 # kept for error messages / older callers
 _SUPPORTED = SUPPORTED_RULE

@@ -187,11 +187,12 @@ def test_slab_distributed_matches_serial():
 
 
 def test_pallas_rejects_unsupported():
-    # 60 < 64 has no MXU-tile factorization (200 = 100·2 IS supported, r02)
+    # 516 > DIRECT_MAX and is not a 128-multiple: no MXU-tile factorization
+    # (extents down to 8 run as direct DFT matmuls since r02)
     with pytest.raises(Exception, match="PALLAS requires"):
         TensorProblem(hit.parse(_CH.format(backend="fft_backend = PALLAS")
-                                .replace("nx = 128", "nx = 60")
-                                .replace("xmax = 128", "xmax = 60")))
+                                .replace("nx = 128", "nx = 516")
+                                .replace("xmax = 128", "xmax = 516")))
 
 
 def test_reference_extent_200():
@@ -255,3 +256,74 @@ def test_ch_solver_physics_parity_384():
 
     np.testing.assert_allclose(
         run("fft_backend = PALLAS"), run(""), atol=5e-5)
+
+
+def test_tensor_valued_fields():
+    """Rank-(dim+k) fields (FFTMechanics' (…, dim, dim) deformation
+    gradients) transform per component under the PALLAS backend: the value
+    axes batch through the planar kernels (r02 — enables the deGeus CG
+    loop on the fast FFTs)."""
+    from marlin_tpu.domain import Domain, FFTBackend
+
+    dom = Domain(dim=2, n=[64, 128], maxs=[64, 128],
+                 fft_backend=FFTBackend.PALLAS)
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.randn(64, 128, 2, 2).astype(np.float32))
+    u = jax.jit(dom.fft)(x)
+    for i in range(2):
+        for j in range(2):
+            comp = jax.jit(dom.fft)(x[..., i, j])
+            np.testing.assert_allclose(
+                np.asarray(u[..., i, j]), np.asarray(comp), atol=1e-5)
+    back = jax.jit(dom.ifft)(u)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+    # (…, dim) vectors too (ComputeDisplacements' u_periodic path)
+    v = jnp.asarray(rng.randn(64, 128, 2).astype(np.float32))
+    uv = jax.jit(dom.fft)(v)
+    backv = jax.jit(dom.ifft)(uv)
+    np.testing.assert_allclose(np.asarray(backv), np.asarray(v), atol=1e-4)
+
+
+def test_mechanics_physics_parity():
+    """The full FFTMechanics Newton/CG solve (reference mech.i at a
+    PALLAS-supported 64² extent) reproduces the DEFAULT-backend trajectory
+    — the CG operator's tensor-valued fft/ifft pairs and the Green
+    projection's permuted reciprocal axes compose correctly."""
+
+    def run(backend):
+        over = ["Domain/nx=64", "Domain/ny=64",
+                "Executioner/num_steps=1", "TensorSolver/substeps=2",
+                "Domain/floating_precision=SINGLE"] + (
+                    [f"Domain/fft_backend={backend}"] if backend else [])
+        root = hit.load("/root/reference/test/tests/mechanics/mech.i", over)
+        p = TensorProblem(root)
+        s = p.init_state()
+        step = jax.jit(p._step_impl)
+        dt = jnp.asarray(0.01, p.domain.dtype)
+        out = step(s, 0.01, dt, dt, jnp.asarray(True))
+        return np.asarray(out["buffers"]["F"])
+
+    F_ref = run("")
+    F_pal = run("PALLAS")
+    np.testing.assert_allclose(F_pal, F_ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("n", [8, 16, 32, 48])
+def test_small_extents(n):
+    """Direct-DFT extents below 64 (r02): the deGeus 32³ RVE and the
+    mechanics gold grids become PALLAS-eligible.  Full-dim minor and
+    second-minor blocks satisfy the Mosaic tiling rules at any size."""
+    rng = np.random.RandomState(4)
+    x = rng.randn(max(n, 16), n).astype(np.float32)
+    rr, ri = jax.jit(lambda a: pf.fft_lanes(a, None, n))(jnp.asarray(x))
+    got = np.asarray(rr) + 1j * np.asarray(ri)
+    ref = np.fft.fft(x, axis=1)[:, pf.true_k_order(n)]
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+    back = jax.jit(lambda a, b: pf.ifft_lanes(a, b, n))(rr, ri)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-4)
+    # 3-D roundtrip at the deGeus RVE extent
+    if n == 32:
+        y = rng.randn(32, 32, 32).astype(np.float32)
+        u = jax.jit(pf.fftn_unordered)(jnp.asarray(y))
+        back3 = jax.jit(lambda v: pf.ifftn_unordered(v, (32, 32, 32)))(u)
+        np.testing.assert_allclose(np.asarray(back3), y, atol=1e-4)
