@@ -726,6 +726,8 @@ def _run_child(name):
         print(json.dumps(bench_lbm_porous(backend="JNP")))
     elif name == "degeus":
         print(json.dumps(bench_degeus()))
+    elif name == "degeus_pallas":
+        print(json.dumps(bench_degeus(fft_backend="PALLAS")))
     elif name == "degeus64":
         # 8x the reference's demonstrated RVE (not in the main suite: the
         # 64^3 Newton+CG compile alone takes ~8 min cold)
