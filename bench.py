@@ -233,7 +233,7 @@ def bench_1a():
     _emit(out)  # headline survives even if the tuned variant is cut
 
     # tuned variant: same deck + the marlin_tpu perf knobs (carried ū,
-    # Pallas FFTs at the 200 = 100·2 extent, fused spectral substep) —
+    # Pallas FFTs at the 200-point direct-DFT extent, fused spectral substep) —
     # same physics to fp roundoff, reported alongside the unmodified run
     try:
         root2 = hit.load(deck, ["Domain/fft_backend=PALLAS",

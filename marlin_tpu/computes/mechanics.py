@@ -299,7 +299,12 @@ class FFTMechanics(TensorCompute):
             )
         self.analytic_tangent = (
             want == "true"
-            and hasattr(self.constitutive, "tangent_contract")
+            # apply() calls the hoisted tangent_fields/tangent_apply pair;
+            # gate on the methods actually used so a model with only the
+            # older tangent_contract interface falls back to the
+            # materialized form instead of failing inside the Newton trace
+            and hasattr(self.constitutive, "tangent_fields")
+            and hasattr(self.constitutive, "tangent_apply")
             and not self._tangent_referenced_in_deck()
         )
         if self.analytic_tangent:

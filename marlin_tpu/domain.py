@@ -123,6 +123,17 @@ class Domain:
                     f"extent to factor as {pallas_fft.SUPPORTED_RULE}; "
                     f"got {bad}"
                 )
+            if parallel_mode == ParallelMode.NONE:
+                # per-extent support is necessary but not sufficient: the
+                # mid-axis kernels must also tile the transverse products
+                # (200³ passes the extent check but 200×200=40000 lanes
+                # can't block) — reject at build time, not mid-run
+                reason = pallas_fft.grid_unsupported_reason(self.n_global)
+                if reason:
+                    raise ValueError(
+                        f"[Domain] fft_backend = PALLAS cannot tile this "
+                        f"grid: {reason}"
+                    )
             if floating_precision == Precision.DOUBLE:
                 raise ValueError(
                     "[Domain] fft_backend = PALLAS is single-precision "
@@ -432,6 +443,15 @@ class Domain:
             if self.mesh is not None and self.parallel_mode == ParallelMode.FFT_SLAB:
                 from . import parallel
 
+                if t.ndim != self.dim:
+                    # same named rejection as fft(): tensor spectra must not
+                    # fall into the scalar slab kernels with a cryptic
+                    # reshape/shard error
+                    raise RuntimeError(
+                        "fft_backend = PALLAS supports scalar fields only in "
+                        f"FFT_SLAB mode (got a rank-{t.ndim} tensor on a "
+                        f"{self.dim}-D grid)"
+                    )
                 return parallel.ifft_slab_pallas(self, t)
             if t.ndim > self.dim:
                 # inverse of the tensor-valued forward path above

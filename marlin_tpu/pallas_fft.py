@@ -80,6 +80,31 @@ SUPPORTED_RULE = (f"a multiple of 128 up to 1024, or any extent in "
 _SUPPORTED = SUPPORTED_RULE
 
 
+def grid_unsupported_reason(shape) -> Optional[str]:
+    """Build-time feasibility check for `fftn_unordered` on a full grid.
+
+    Per-extent `supported()` is necessary but not sufficient: each kernel
+    launch must also be tileable under the Mosaic block rules — the lanes
+    kernel batches prod(shape[:-1]) rows, and every mid-axis sublane
+    kernel sees a transverse extent of prod(shape[d+1:]), which for a 3-D
+    direct-DFT grid like 200³ is 40000 (neither a 128-multiple nor small
+    enough to take as one whole VMEM block).  This mirrors the
+    `_pick_tb`/`_pick_tl` trace-time checks on plain ints so Domain can
+    reject such grids at build time with a named error instead of failing
+    mid-run.  Returns None when the grid works, else the reason."""
+    shape = tuple(int(s) for s in shape)
+    for n in shape:
+        if not supported(n):
+            return f"extent {n} does not factor as {SUPPORTED_RULE}"
+    try:
+        _pick_tb(int(np.prod(shape[:-1], dtype=int)), shape[-1])
+        for d in range(len(shape) - 1):
+            _pick_tl(int(np.prod(shape[d + 1:], dtype=int)), shape[d])
+    except ValueError as e:
+        return str(e)
+    return None
+
+
 def true_k_order(n: int) -> np.ndarray:
     """true_k[k'] — the natural frequency index stored at permuted slot k'."""
     b = base(n)

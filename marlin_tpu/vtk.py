@@ -75,12 +75,20 @@ def write_structured_vtk(
         f.write(f"SPACING {spacing[0]} {spacing[1]} {spacing[2]}\n")
         f.write(f"POINT_DATA {int(np.prod(n))}\n")
         for name, a in arrays.items():
-            if a.shape[:-1] == base and a.ndim == dim + 1:
+            if a.shape[:-1] == base and a.ndim == dim + 1 and a.shape[-1] <= 3:
                 vecs = np.zeros(a.shape[:-1] + (3,))
                 vecs[..., : a.shape[-1]] = a
                 f.write(f"VECTORS {name} double\n")
                 for row in x_fastest(vecs):
                     f.write(f"{row[0]:.12g} {row[1]:.12g} {row[2]:.12g}\n")
+            elif a.shape[:-1] == base and a.ndim == dim + 1:
+                # >3 trailing components (e.g. a flattened rank-2 tensor):
+                # VTK VECTORS holds exactly 3, so emit per-component scalars
+                for c in range(a.shape[-1]):
+                    f.write(f"SCALARS {name}_{c} double 1\n")
+                    f.write("LOOKUP_TABLE default\n")
+                    f.write("\n".join(f"{v:.12g}" for v in x_fastest(a[..., c])))
+                    f.write("\n")
             else:
                 f.write(f"SCALARS {name} double 1\n")
                 f.write("LOOKUP_TABLE default\n")
@@ -101,4 +109,5 @@ def write_state_vtk(path: str, problem, state, buffer_names: Sequence[str]):
         path, fields,
         spacing=dom.grid_spacing,
         origin=[dom.mins[d] + dom.grid_spacing[d] / 2 for d in range(dom.dim)],
+        grid_shape=dom.n_global,
     )

@@ -72,3 +72,42 @@ def test_analytic_tangent_contract_matches_k4():
     got = obj.tangent_contract({"F": F, "K": K, "mu": mu}, dF)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-10, atol=1e-10)
+
+
+def test_gate_requires_methods_actually_called(monkeypatch):
+    """analytic_tangent=auto must fall back to the materialized tangent
+    when the constitutive model lacks the tangent_fields/tangent_apply
+    pair apply() actually calls (a model with only the older
+    tangent_contract interface must not enable the fast path and then
+    AttributeError inside the Newton trace)."""
+    from marlin_tpu import hit
+    from marlin_tpu.computes import mechanics as M
+    from marlin_tpu.problem import TensorProblem
+
+    import os
+
+    from .gold import REF
+
+    deck = os.path.join(REF, "test/tests/mechanics/mech3d.i")
+
+    def build():
+        root = hit.load(deck, [
+            "TensorComputes/Solve/root/mech/analytic_tangent=true"])
+        p = TensorProblem(root)
+        p.init_state()
+        def find(cs):
+            for c in cs:
+                if isinstance(c, M.FFTMechanics):
+                    return c
+                got = find(getattr(c, "members", []))
+                if got is not None:
+                    return got
+            return None
+
+        mech = find(p.solve_computes)
+        assert mech is not None, "no FFTMechanics compute in deck"
+        return mech
+
+    assert build().analytic_tangent is True
+    monkeypatch.delattr(M.HyperElasticIsotropic, "tangent_fields")
+    assert build().analytic_tangent is False

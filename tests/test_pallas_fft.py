@@ -185,6 +185,14 @@ def test_slab_distributed_matches_serial():
     back = np.asarray(jax.jit(dom.ifft)(dom.fft(xs)))
     np.testing.assert_allclose(back, np.asarray(x), atol=1e-4)
 
+    # tensor fields must hit the same named rejection on BOTH directions
+    # (not a cryptic reshape/shard failure inside the slab kernels)
+    tens = jnp.zeros((64, 64, 64, 3, 3), jnp.float32)
+    with pytest.raises(RuntimeError, match="scalar fields only"):
+        dom.fft(tens)
+    with pytest.raises(RuntimeError, match="scalar fields only"):
+        dom.ifft(tens.astype(jnp.complex64))
+
 
 def test_pallas_rejects_unsupported():
     # 516 > DIRECT_MAX and is not a 128-multiple: no MXU-tile factorization
@@ -195,8 +203,30 @@ def test_pallas_rejects_unsupported():
                                 .replace("xmax = 128", "xmax = 516")))
 
 
+def test_grid_feasibility_check():
+    """Per-extent support is not enough: mid-axis kernels see transverse
+    extents of prod(trailing dims), so a 3-D direct-DFT grid like 200³
+    (transverse 200·200 = 40000) must be rejected at BUILD time by
+    Domain, while 200², 64³ and 512³ remain fine."""
+    assert pf.grid_unsupported_reason((200, 200)) is None
+    assert pf.grid_unsupported_reason((64, 64, 64)) is None
+    assert pf.grid_unsupported_reason((512, 512, 512)) is None
+    assert pf.grid_unsupported_reason((400,)) is None
+    reason = pf.grid_unsupported_reason((200, 200, 200))
+    assert reason is not None and "tileable" in reason
+    assert "516" in pf.grid_unsupported_reason((516, 516)) or \
+        pf.grid_unsupported_reason((516, 516)) is not None
+
+    from marlin_tpu.domain import Domain, FFTBackend
+
+    with pytest.raises(ValueError, match="cannot tile this grid"):
+        Domain(dim=3, n=(200, 200, 200), mins=(0, 0, 0), maxs=(1, 1, 1),
+               fft_backend=FFTBackend.PALLAS)
+
+
 def test_reference_extent_200():
-    """The reference's benchmark-1a extent (200 = 100·2, a sub-tile base)
+    """The reference's benchmark-1a extent (200, a direct DFT matmul —
+    sub-128 composite bases are impossible on Mosaic, see base())
     round-trips and matches numpy under the permutation."""
     rng = np.random.RandomState(12)
     x = rng.randn(16, 200).astype(np.float32)

@@ -117,6 +117,51 @@ def test_state_export(tmp_path):
     np.testing.assert_allclose(got, np.asarray(s["buffers"]["c"]), atol=1e-6)
 
 
+def test_lone_vector_state_export(tmp_path):
+    """A single vector buffer exported via write_state_vtk must come out
+    as a VECTORS field on the domain grid, not be misread as a
+    higher-rank scalar grid (grid_shape is taken from the Domain)."""
+    from marlin_tpu import hit
+    from marlin_tpu.problem import TensorProblem
+
+    deck = """
+[Domain]
+  dim = 2
+  nx = 8
+  ny = 8
+  xmax = 2
+  ymax = 2
+[]
+[TensorBuffers]
+  [disp]
+    value_dimensions = '2'
+  []
+[]
+[Problem]
+  type = TensorProblem
+[]
+"""
+    p = TensorProblem(hit.parse(deck))
+    s = p.init_state()
+    path = tmp_path / "disp.vtk"
+    write_state_vtk(str(path), p, s, ["disp"])
+    head, fields = _parse_vtk(path)
+    assert head["DIMENSIONS"] == [8, 8, 1]
+    assert fields["disp"].shape == (64, 3)
+
+
+def test_many_component_field_written_per_component(tmp_path):
+    """>3 trailing components (a flattened rank-2 tensor) can't be a VTK
+    VECTORS field — the writer falls back to per-component scalars."""
+    F = np.random.RandomState(3).rand(4, 4, 9)
+    path = tmp_path / "F.vtk"
+    write_structured_vtk(str(path), {"F": F}, grid_shape=(4, 4))
+    _, fields = _parse_vtk(path)
+    for c in range(9):
+        got = fields[f"F_{c}"].reshape(4, 4).T
+        np.testing.assert_allclose(got, F[..., c], rtol=1e-10)
+
+
 def test_mismatched_shapes_rejected(tmp_path):
     with pytest.raises(ValueError, match="does not match"):
         write_structured_vtk(
