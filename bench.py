@@ -260,6 +260,118 @@ def bench_1a():
     return out
 
 
+def bench_2a(num_steps=100):
+    """Reference benchmark 2a (Ostwald ripening: c + 4 order parameters,
+    200x200, `substeps = 2000`, adaptive dt growth 1.1 to dtmax 10) —
+    the reference's second headline deck
+    (reference: benchmarks/02_oswald_ripening/2a.i).  It publishes only
+    cross-code accuracy curves (results.2a.1.json), no timing, so there
+    is no vs_baseline; the value is wall time for the first `num_steps`
+    outer steps (num_steps*2000 substeps, each substep = 5 coupled
+    parsed chemical potentials + 10 forward / 5 inverse FFTs) with
+    substep throughput, plus F/c/bnds physics for the cross-code check.
+    The tuned variant (`Problem/batch_fft=true`: the 15 per-variable
+    200² transforms of a substep run as 3 batched transforms — measured
+    2.1x, bit-exact in f64) must reproduce F to fp roundoff.  Measured
+    and rejected here: fft_backend=PALLAS (317 vs 226 us/substep — the
+    full-complex direct-DFT kernels lose to XLA's batched half-spectrum
+    rfft2 at 200²) and carry_reciprocal (neutral: the substep is bound
+    by per-transform fixed cost, not transform count x bandwidth)."""
+    import jax
+    import jax.numpy as jnp
+
+    from marlin_tpu import hit
+    from marlin_tpu.problem import TensorProblem
+
+    platform = jax.default_backend()
+    deck = "/root/reference/benchmarks/02_oswald_ripening/2a.i"
+
+    # one device program per CHUNK of outer steps, state carried host-side:
+    # a single ~100 s device execution (200 steps x 2000 substeps in one
+    # while_loop) crashes the axon TPU worker ("TPU worker process crashed
+    # or restarted", reproduced twice); ~10 s chunks run reliably
+    chunk = 25
+
+    def build(cli):
+        root = hit.load(deck, cli)
+        problem = TensorProblem(root)
+        state = problem.init_state()
+
+        def run_chunk(carry):
+            def cond(c):
+                return c[0] < jnp.minimum(c[5], num_steps)
+
+            def body(c):
+                step, t, dt, dt_old, st, lim = c
+                new = problem._step_impl(st, t, dt, dt_old, step == 0)
+                # IterationAdaptiveDT schedule from the deck: growth 1.1,
+                # dt0 1e-3, dtmax 10 (no iteration feedback — the ABM
+                # solver is non-iterative)
+                dt_new = jnp.minimum(dt * 1.1, 10.0)
+                return (step + 1, t + dt, dt_new, dt, new, lim)
+
+            step, t, dt, dt_old, st, lim = jax.lax.while_loop(
+                cond, body, carry)
+            return (step, t, dt, dt_old, st, lim + chunk)
+
+        return problem, state, jax.jit(run_chunk)
+
+    def run(cli):
+        problem, state, run_chunk = build(cli)
+
+        def full(state):
+            carry = (
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), problem.domain.dtype),
+                jnp.asarray(1e-3, problem.domain.dtype),
+                jnp.zeros((), problem.domain.dtype),
+                state,
+                jnp.asarray(chunk, jnp.int32),
+            )
+            for _ in range((num_steps + chunk - 1) // chunk):
+                carry = run_chunk(carry)
+            _sync(carry[1])
+            return carry
+
+        t0 = time.time()
+        full(state)  # compile (one program serves every chunk) + warm run
+        first = time.time() - t0
+        t0 = time.time()
+        step, t, dt, _, final, _ = full(state)
+        step, t = int(step), float(t)
+        wall = time.time() - t0
+        pps = problem.execute_postprocessors(final, "TIMESTEP_END", t, float(dt))
+        return wall, first, step, t, pps
+
+    wall, first, step, t, pps = run([])
+    total_substeps = step * 2000
+    out = {
+        "metric": f"benchmark_2a_ostwald_walltime_{platform}",
+        "value": round(wall, 3),
+        "unit": f"s/{step}steps",
+        "vs_baseline": None,  # reference publishes accuracy curves only
+        "compile_s": round(first - wall, 1),
+        "steps": step,
+        "t_final": round(t, 2),
+        "substep_us": round(wall / total_substeps * 1e6, 1),
+        "F_final": round(pps.get("F", float("nan")), 3),
+        "c_range": [round(pps.get("min_c", 0.0), 4),
+                    round(pps.get("max_c", 0.0), 4)],
+    }
+    _emit(out)
+
+    try:
+        wall2, first2, s2, t2, pps2 = run(["Problem/batch_fft=true"])
+        out.update({
+            "tuned_value": round(wall2, 3),
+            "tuned_substep_us": round(wall2 / (s2 * 2000) * 1e6, 1),
+            "tuned_F_final": round(pps2.get("F", float("nan")), 3),
+        })
+    except Exception as e:  # report, never break the headline
+        out["tuned_error"] = repr(e)[:300]
+    return out
+
+
 def _marginal(chain, reps):
     """Marginal per-call seconds: time reps and 2*reps chained calls and
     difference them — cancels the ~30 ms axon tunnel round-trip."""
@@ -716,6 +828,8 @@ def _run_child(name):
         print(json.dumps(bench_1a()))
     elif name.startswith("ch3d_"):
         print(json.dumps(bench_ch3d(int(name.split("_")[1]))))
+    elif name == "2a":
+        print(json.dumps(bench_2a()))
     elif name == "lbm":
         print(json.dumps(bench_lbm()))
     elif name == "lbm_pallas":
@@ -847,6 +961,9 @@ def main():
         ("1a", "1a", 2, 1500),
         ("lbm_channel3d_128_pallas", "lbm_pallas", 1, 600),
         ("ch3d_256", "ch3d_256", 1, 900),
+        # the reference's second headline deck (5 coupled fields; the
+        # tuned variant exercises batch_fft)
+        ("benchmark_2a", "2a", 1, 600),
         ("lbm_channel3d_128", "lbm", 1, 600),
         ("lbm_porous_128_pallas", "lbm_porous", 1, 600),
         ("degeus_rve_32", "degeus", 1, 600),

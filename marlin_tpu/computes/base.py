@@ -156,6 +156,54 @@ class ComputeGroup(TensorCompute):
         for m in self.members:
             m.check()
 
+    def fuse_ffts(self):
+        """Rewrite the sorted execution list so runs of independent
+        ForwardFFT (resp. InverseFFT) members evaluate as one batched
+        transform (`[Problem] batch_fft = true`; see core.BatchedFFT).
+
+        Only CONSECUTIVE runs in the topological order are fused — Kahn's
+        stable ordering already places the per-variable transforms of a
+        multi-variable deck back to back — and a run is split whenever a
+        member consumes another member's output (an fft-of-fft chain must
+        keep its ordering).  Recurses into nested groups.  Must run after
+        sort() (and after any carry_reciprocal pruning)."""
+        from .core import BatchedFFT, ForwardFFT, InverseFFT
+
+        members = self.sorted_members or self.members
+        fused: List[TensorCompute] = []
+        run: List[TensorCompute] = []
+        run_cls = None
+
+        def flush():
+            nonlocal run, run_cls
+            if len(run) >= 2:
+                fused.append(
+                    BatchedFFT(run, self.problem, run_cls is InverseFFT)
+                )
+            else:
+                fused.extend(run)
+            run, run_cls = [], None
+
+        for m in members:
+            if isinstance(m, ComputeGroup):
+                flush()
+                m.fuse_ffts()
+                fused.append(m)
+                continue
+            cls = type(m)
+            if cls in (ForwardFFT, InverseFFT):
+                if run and (cls is not run_cls
+                            or any(m.input == r.out for r in run)):
+                    flush()
+                run.append(m)
+                run_cls = cls
+            else:
+                flush()
+                fused.append(m)
+        flush()
+        self.sorted_members = fused
+        return self
+
     def apply(self, state: Dict, ctx: Dict) -> Dict:
         members = self.sorted_members or self.members
         buffers = dict(state)

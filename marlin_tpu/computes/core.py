@@ -271,6 +271,52 @@ class InverseFFT(TensorCompute):
         return {self.out: self.domain.ifft(state[self.input])}
 
 
+class BatchedFFT(TensorCompute):
+    """Several independent same-direction FFT computes evaluated as ONE
+    batched transform (fields stacked on a trailing value axis, which the
+    Domain transforms natively).
+
+    marlin_tpu perf extension (`[Problem] batch_fft = true`): the
+    reference dispatches one torch.fft call per PerformFFT op
+    (src/tensor_computes/PerformFFT.C:13-31); on TPU, small-grid
+    multi-variable decks (e.g. benchmark 2a's 5 coupled fields at 200²)
+    are bound by per-transform fixed cost — batching measured ~2× on the
+    FFT portion at 200².  Synthesized by ComputeGroup.fuse_ffts, never
+    from a deck block.  Fields are grouped by (shape, complexness) at
+    trace time; singletons fall through to the plain per-field path, so
+    mixed-shape runs stay correct."""
+
+    jittable = True
+
+    def __init__(self, members, problem, inverse: bool):
+        params = Params(None, problem.global_params)
+        name = ("batch_ifft(" if inverse else "batch_fft(") + \
+            ",".join(m.name for m in members) + ")"
+        super().__init__(name, params, problem)
+        self.members = list(members)
+        self.inverse = inverse
+        self.inputs = sorted({m.input for m in self.members})
+        self.outputs = sorted({m.out for m in self.members})
+
+    def apply(self, state, ctx):
+        op = self.domain.ifft if self.inverse else self.domain.fft
+        groups = {}
+        for m in self.members:
+            t = state[m.input]
+            key = (tuple(t.shape), bool(jnp.iscomplexobj(t)))
+            groups.setdefault(key, []).append((m, t))
+        out = {}
+        for items in groups.values():
+            if len(items) == 1:
+                m, t = items[0]
+                out[m.out] = op(t)
+            else:
+                res = op(jnp.stack([t for _, t in items], axis=-1))
+                for i, (m, _) in enumerate(items):
+                    out[m.out] = res[..., i]
+        return out
+
+
 @computes.register("ReciprocalLaplacianFactor")
 class ReciprocalLaplacianFactor(TensorCompute):
     """-k² · factor (reference: src/tensor_computes/ReciprocalLaplacianFactor.C:28-31)."""

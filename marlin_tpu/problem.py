@@ -140,6 +140,13 @@ class TensorProblem:
         self.print_debug_output = self.problem_params.get_bool(
             "print_debug_output", False
         )
+        # opt-in batching of independent same-shape FFT computes (and the
+        # solver's per-variable inverse transforms) into single batched
+        # transforms — marlin_tpu perf extension for multi-variable decks
+        # on small grids (e.g. benchmark 2a), where per-transform fixed
+        # cost dominates.  Serial mode only; distributed decks keep the
+        # per-variable transforms.
+        self.batch_fft = self.problem_params.get_bool("batch_fft", False)
         self.is_lbm = (
             self.problem_params.get_str("type", "TensorProblem")
             == "LatticeBoltzmannProblem"
@@ -389,6 +396,17 @@ class TensorProblem:
         self.solver.bind(root_compute)
         if getattr(self.solver, "carry_reciprocal", False):
             self.solver.prune_reciprocal_ffts()
+        if self.batch_fft:
+            from .domain import ParallelMode
+
+            if self.domain.parallel_mode != ParallelMode.NONE:
+                raise ProblemError(
+                    "[Problem] batch_fft = true is serial-only (the "
+                    "distributed transforms shard per field); remove it "
+                    "for parallel_mode != NONE decks"
+                )
+            if isinstance(root_compute, ComputeGroup):
+                root_compute.fuse_ffts()
 
     # -- services used by computes ------------------------------------------
     def lbm_stencil(self):

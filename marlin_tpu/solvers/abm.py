@@ -288,8 +288,8 @@ class AdamsBashforthMoulton(SplitOperatorBase):
             ubar = buffers[v.reciprocal_buffer] + sub_dt * acc
             if v.linear_reciprocal is not None:
                 ubar = ubar / (1.0 - sub_dt * buffers[v.linear_reciprocal])
-            buffers[v.buffer] = dom.ifft(ubar)
             final_ubar[v.buffer] = ubar
+        buffers.update(self._ifft_all(list(final_ubar.items())))
 
         # -- Adams-Moulton corrector (reference :118-186) ------------------
         if self.corrector_steps:
@@ -304,6 +304,7 @@ class AdamsBashforthMoulton(SplitOperatorBase):
                 buffers = dict(state_c["buffers"])
                 if self.corrector_order == 0:
                     continue
+                corr_ubar = {}
                 for v in self.variables:
                     n_old_b = self.n_old(state, v.nonlinear_reciprocal)
                     order = select_order(
@@ -318,8 +319,9 @@ class AdamsBashforthMoulton(SplitOperatorBase):
                     ubar = ubar_n[v.buffer] + sub_dt * acc
                     if v.linear_reciprocal is not None:
                         ubar = ubar / (1.0 - sub_dt * buffers[v.linear_reciprocal])
-                    buffers[v.buffer] = dom.ifft(ubar)
+                    corr_ubar[v.buffer] = ubar
                     final_ubar[v.buffer] = ubar
+                buffers.update(self._ifft_all(list(corr_ubar.items())))
 
         if self.carry_reciprocal:
             # the pruned ForwardFFT's role: next substep reads ū directly

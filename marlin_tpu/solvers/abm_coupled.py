@@ -131,8 +131,9 @@ class AdamsBashforthMoultonCoupled(SplitOperatorBase):
             rhs_list.append(buffers[v.reciprocal_buffer] + sub_dt * acc)
 
         A = self._assemble_A(buffers, sub_dt, dtype)
-        for v, ub in zip(self.variables, solve(A, rhs_list)):
-            buffers[v.buffer] = dom.ifft(ub)
+        buffers.update(self._ifft_all(
+            [(v.buffer, ub)
+             for v, ub in zip(self.variables, solve(A, rhs_list))]))
 
         if self.corrector_steps:
             sub_time_c = sub_time + sub_dt
@@ -160,7 +161,8 @@ class AdamsBashforthMoultonCoupled(SplitOperatorBase):
                         acc = acc + alpha_row[i + 2] * old_N[i]
                     rhs_corr.append(ubar_n[v.buffer] + sub_dt * acc)
                 Ac = self._assemble_A(buffers, sub_dt, dtype)
-                for v, ub in zip(self.variables, solve(Ac, rhs_corr)):
-                    buffers[v.buffer] = dom.ifft(ub)
+                buffers.update(self._ifft_all(
+                    [(v.buffer, ub)
+                     for v, ub in zip(self.variables, solve(Ac, rhs_corr))]))
 
         return {**state, "buffers": buffers}

@@ -159,6 +159,30 @@ class TensorSolver:
     def substep(self, state, sub_time, sub_dt, dt, dt_old, substep_index, first_step):
         raise NotImplementedError
 
+    def _ifft_all(self, pairs):
+        """{key: ifft(ū)} for a list of (key, ū) pairs.  Under
+        `[Problem] batch_fft = true`, same-shape spectra transform as ONE
+        batched inverse (trailing value axis) — the solver-side half of
+        the ComputeGroup.fuse_ffts optimization (multi-variable decks on
+        small grids are bound by per-transform fixed cost)."""
+        dom = self.domain
+        if not getattr(self.problem, "batch_fft", False) or len(pairs) < 2:
+            return {k: dom.ifft(u) for k, u in pairs}
+        groups = {}
+        for k, u in pairs:
+            groups.setdefault(tuple(u.shape), []).append((k, u))
+        out = {}
+        for items in groups.values():
+            if len(items) == 1:
+                k, u = items[0]
+                out[k] = dom.ifft(u)
+            else:
+                res = dom.ifft(jnp.stack([u for _, u in items], axis=-1))
+                for i, (k, _) in enumerate(items):
+                    out[k] = res[..., i]
+        return out
+
+
     def group_evals_per_step(self) -> int:
         """Compute-group evaluations per MOOSE timestep (feeds the
         ComputeGroupExecutionCount postprocessor)."""

@@ -82,9 +82,10 @@ class BroydenSolver(SplitOperatorBase):
             # update step s = -M·R (reference :128-131)
             sk = -jnp.einsum("...ij,...j->...i", M, R)
             u_new = u + sk * 0.5  # reference hard-codes the 0.5 damping (:135)
-            for i, v in enumerate(self.variables):
-                bufs = dict(bufs)
-                bufs[v.buffer] = dom.ifft(u_new[..., i])
+            bufs = dict(bufs)
+            bufs.update(self._ifft_all(
+                [(v.buffer, u_new[..., i])
+                 for i, v in enumerate(self.variables)]))
             st = self._run_group({**state, "buffers": bufs}, sub_time)
             bufs = dict(st["buffers"])
             u2, N2, L2 = self._stack(bufs)

@@ -27,8 +27,9 @@ class ETDRK4Solver(SplitOperatorBase):
 
         def eval_nonlinear(ubar_stage):
             nonlocal buffers
-            for v, ub in zip(self.variables, ubar_stage):
-                buffers[v.buffer] = dom.ifft(ub)
+            buffers.update(self._ifft_all(
+                [(v.buffer, ub)
+                 for v, ub in zip(self.variables, ubar_stage)]))
             st = self._run_group({**state, "buffers": buffers}, sub_time)
             buffers = dict(st["buffers"])
             return [buffers[v.nonlinear_reciprocal] for v in self.variables]
@@ -76,13 +77,13 @@ class ETDRK4Solver(SplitOperatorBase):
         ]
         nonlinear4 = eval_nonlinear(ubar_d)
 
-        for i, v in enumerate(self.variables):
-            ubar = (
-                expLdt[i] * ubar_n[i]
-                + phi1[i] * nonlinear1[i]
-                + 2.0 * phi2[i] * (nonlinear2[i] + nonlinear3[i])
-                + phi3[i] * nonlinear4[i]
-            )
-            buffers[v.buffer] = dom.ifft(ubar)
+        buffers.update(self._ifft_all([
+            (v.buffer,
+             expLdt[i] * ubar_n[i]
+             + phi1[i] * nonlinear1[i]
+             + 2.0 * phi2[i] * (nonlinear2[i] + nonlinear3[i])
+             + phi3[i] * nonlinear4[i])
+            for i, v in enumerate(self.variables)
+        ]))
 
         return {**state, "buffers": buffers}

@@ -19,11 +19,12 @@ class ForwardEulerSolver(ExplicitSolverBase):
     def substep(self, state, sub_time, sub_dt, dt, dt_old, substep_index, first_step):
         state = self._run_group(state, sub_time)
         buffers = dict(state["buffers"])
-        for v in self.variables:
-            ubar = buffers[v.reciprocal_buffer] + sub_dt * buffers[
-                v.time_derivative_reciprocal
-            ]
-            buffers[v.buffer] = self.domain.ifft(ubar)
+        buffers.update(self._ifft_all([
+            (v.buffer,
+             buffers[v.reciprocal_buffer]
+             + sub_dt * buffers[v.time_derivative_reciprocal])
+            for v in self.variables
+        ]))
         return {**state, "buffers": buffers}
 
 

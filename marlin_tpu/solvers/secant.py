@@ -49,7 +49,7 @@ class SecantSolver(SplitOperatorBase):
         state = self._run_group(state, sub_time)
         buffers = dict(state["buffers"])
 
-        u_old, Rprev, uprev, R0norm = [], [], [], []
+        u_old, Rprev, uprev, R0norm, boots = [], [], [], [], []
         for v in self.variables:
             u = buffers[v.reciprocal_buffer]
             N = buffers[v.nonlinear_reciprocal]
@@ -67,7 +67,8 @@ class SecantSolver(SplitOperatorBase):
                 bootstrap = (u + self.dt_epsilon * N) / (1.0 - self.dt_epsilon * L)
             else:
                 bootstrap = u + self.dt_epsilon * N
-            buffers[v.buffer] = dom.ifft(bootstrap)
+            boots.append((v.buffer, bootstrap))
+        buffers.update(self._ifft_all(boots))
 
         # forward predict on solver outputs (reference applyPredictors)
         st = {**state, "buffers": buffers}
@@ -86,6 +87,7 @@ class SecantSolver(SplitOperatorBase):
             new_up, new_Rp = list(up), list(Rp)
             all_conv = jnp.asarray(True)
             any_nan = jnp.asarray(False)
+            updates = []
             for i, v in enumerate(self.variables):
                 u = bufs[v.reciprocal_buffer]
                 N = bufs[v.nonlinear_reciprocal]
@@ -99,14 +101,16 @@ class SecantSolver(SplitOperatorBase):
                 du = jnp.where(dy != 0, -R * dx / dy, 0.0)
                 new_up[i] = u
                 new_Rp[i] = R
-                bufs[v.buffer] = dom.ifft(
-                    u + du if self.damping == 1.0 else u + du * self.damping
-                )
+                updates.append((
+                    v.buffer,
+                    u + du if self.damping == 1.0 else u + du * self.damping,
+                ))
                 Rnorm = _norm(R)
                 any_nan = any_nan | jnp.isnan(Rnorm)
                 all_conv = all_conv & (
                     (Rnorm < self.abs_tol) | (Rnorm / R0norm[i] < self.rel_tol)
                 )
+            bufs.update(self._ifft_all(updates))
             return (it + 1, all_conv, any_nan, bufs, tuple(new_up), tuple(new_Rp))
 
         init = (
@@ -122,9 +126,11 @@ class SecantSolver(SplitOperatorBase):
         # rollback on non-convergence (reference :183-193)
         failed = (~converged) | nan_abort
         final = dict(buffers)
-        for i, v in enumerate(self.variables):
-            rolled = dom.ifft(u_old[i])
-            final[v.buffer] = jnp.where(failed, rolled, buffers[v.buffer])
+        rolled = self._ifft_all(
+            [(v.buffer, u_old[i]) for i, v in enumerate(self.variables)])
+        for v in self.variables:
+            final[v.buffer] = jnp.where(failed, rolled[v.buffer],
+                                        buffers[v.buffer])
 
         solver_state = dict(state.get("solver", {}))
         solver_state["iterations"] = it

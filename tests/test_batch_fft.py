@@ -1,0 +1,171 @@
+"""`[Problem] batch_fft = true` — batching independent same-shape FFT
+computes (and the solver's per-variable inverse transforms) into single
+batched transforms (marlin_tpu perf extension; the reference dispatches
+one torch.fft per PerformFFT op, src/tensor_computes/PerformFFT.C).
+
+The knob must be numerically invisible: batched rfftn/irfftn apply the
+same 1-D kernels per trailing slice, so trajectories match the unbatched
+path bit-for-bit in f64.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from marlin_tpu import hit
+from marlin_tpu.problem import TensorProblem
+
+DECK_2A = "/root/reference/benchmarks/02_oswald_ripening/2a.i"
+
+
+def _run_2a(cli, steps=2):
+    root = hit.load(
+        DECK_2A, cli + ["TensorSolver/substeps=5",
+                        "Domain/floating_precision=DOUBLE"])
+    p = TensorProblem(root)
+    s = p.init_state()
+    step = jax.jit(p._step_impl)
+    t, dt, dto = 0.0, 1e-3, 0.0
+    for k in range(steps):
+        s = step(s, t, dt, dto, k == 0)
+        t, dto, dt = t + dt, dt, min(dt * 1.1, 10.0)
+    return p, {k: np.asarray(v) for k, v in s["buffers"].items()}
+
+
+def test_2a_bitexact_parity():
+    """5-variable Ostwald deck: batched == unbatched bit-for-bit (f64)."""
+    _, a = _run_2a([])
+    _, b = _run_2a(["Problem/batch_fft=true"])
+    for k in ("c", "n1", "n2", "n3", "n4", "c_bar", "mu_c_bar"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_2a_execution_order_shows_batches():
+    """The solve group's 10 forward transforms (5 ū + 5 µ̄) fuse into a
+    single batched node."""
+    root = hit.load(DECK_2A, ["Problem/batch_fft=true"])
+    p = TensorProblem(root)
+    order = p.solver.compute.execution_order()
+    batches = [n for n in order if n.startswith("batch_fft(")]
+    # Kahn's stable order puts all 10 forward transforms back to back, so
+    # they fuse into a single batch node
+    assert len(batches) == 1, order
+    for name in ("c_bar", "n1_bar", "mu_c_bar", "mu_n4_bar"):
+        assert name in batches[0]
+
+
+def test_fft_of_fft_chain_not_fused():
+    """A ForwardFFT consuming another ForwardFFT's output must keep its
+    ordering (the run splits instead of batching a dependency)."""
+    deck = """
+[Domain]
+  dim = 2
+  nx = 8
+  ny = 8
+  xmax = 1
+  ymax = 1
+[]
+[TensorComputes]
+  [Initialize]
+    [a]
+      type = ConstantTensor
+      buffer = a
+      real = 1.0
+    []
+  []
+  [Solve]
+    [abar]
+      type = ForwardFFT
+      buffer = abar
+      input = a
+    []
+    [abarbar]
+      type = ForwardFFT
+      buffer = abarbar
+      input = abar
+    []
+    [nbar]
+      type = ParsedCompute
+      buffer = nbar
+      expression = 'abar*0'
+      inputs = abar
+    []
+  []
+[]
+[TensorSolver]
+  type = ForwardEulerSolver
+  buffer = a
+  reciprocal_buffer = abar
+  time_derivative_reciprocal = nbar
+[]
+[Problem]
+  type = TensorProblem
+  batch_fft = true
+[]
+"""
+    p = TensorProblem(hit.parse(deck))
+    order = p.solver.compute.execution_order()
+    assert not any(
+        n.startswith("batch_fft(") and "abarbar" in n and "abar," in n
+        for n in order
+    )
+    # the chain still executes in order
+    assert order.index("abar") < order.index("abarbar")
+
+
+def test_batch_fft_rejected_in_parallel_mode():
+    root = hit.load(DECK_2A, ["Problem/batch_fft=true",
+                              "Domain/parallel_mode=FFT_SLAB"])
+    with pytest.raises(Exception, match="serial-only"):
+        TensorProblem(root)
+
+
+def test_coupled_solver_batched_ifft_parity():
+    """AdamsBashforthMoultonCoupled's per-variable inverse transforms
+    batch under the knob; trajectories bit-match the unbatched run."""
+    deck = "/root/reference/test/tests/solvers/coupled.i"
+
+    def run(cli):
+        root = hit.load(deck, cli + ["ss=10", "cs=1", "order=2",
+                                     "Domain/floating_precision=DOUBLE"])
+        p = TensorProblem(root)
+        s = p.init_state()
+        step = jax.jit(p._step_impl)
+        t, dt = 0.0, 0.1
+        for k in range(3):
+            s = step(s, t, dt, dt, k == 0)
+            t += dt
+        return {k: np.asarray(v) for k, v in s["buffers"].items()}
+
+    a = run([])
+    b = run(["Problem/batch_fft=true"])
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+@pytest.mark.parametrize("deck", [
+    "benchmarks/02_oswald_ripening/2a_secant.i",
+    "benchmarks/02_oswald_ripening/2a_broyden.i",
+])
+def test_iterative_solvers_batched_parity(deck):
+    """Secant/Broyden multi-variable decks: the batched inverse
+    transforms inside the iteration while_loops (and the batched group
+    forward transforms) leave trajectories bit-identical (f64)."""
+    path = f"/root/reference/{deck}"
+
+    def run(cli):
+        root = hit.load(path, cli + ["TensorSolver/substeps=3",
+                                     "Domain/floating_precision=DOUBLE"])
+        p = TensorProblem(root)
+        s = p.init_state()
+        step = jax.jit(p._step_impl)
+        t, dt, dto = 0.0, 1e-3, 0.0
+        for k in range(2):
+            s = step(s, t, dt, dto, k == 0)
+            t, dto, dt = t + dt, dt, min(dt * 1.1, 10.0)
+        return {k: np.asarray(v) for k, v in s["buffers"].items()}
+
+    a = run([])
+    b = run(["Problem/batch_fft=true"])
+    for k in ("c", "n1", "n4"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
