@@ -270,13 +270,20 @@ def bench_2a(num_steps=100):
     outer steps (num_steps*2000 substeps, each substep = 5 coupled
     parsed chemical potentials + 10 forward / 5 inverse FFTs) with
     substep throughput, plus F/c/bnds physics for the cross-code check.
-    The tuned variant (`Problem/batch_fft=true`: the 15 per-variable
-    200² transforms of a substep run as 3 batched transforms — measured
-    2.1x, bit-exact in f64) must reproduce F to fp roundoff.  Measured
-    and rejected here: fft_backend=PALLAS (317 vs 226 us/substep — the
-    full-complex direct-DFT kernels lose to XLA's batched half-spectrum
-    rfft2 at 200²) and carry_reciprocal (neutral: the substep is bound
-    by per-transform fixed cost, not transform count x bandwidth)."""
+    The tuned variant (`Problem/batch_fft=true` — the 15 per-variable
+    200² transforms of a substep run as 3 batched transforms, bit-exact
+    in f64 — plus `carry_reciprocal=true`, which prunes the 5 u-batch
+    forward transforms).  Measured on the v5e: 238 µs/substep default,
+    112 with batch_fft, 83 with batch+carry (2.9x).  Tuned F(133.5)
+    lands at 871 vs 919 (carry changes f32 roundoff every substep and
+    coarsening amplifies it) — both inside the benchmark's published
+    cross-code scatter, F in [475, 946] at t≈134 (results.2a.1.json);
+    see PERF.md.  Measured and rejected here: fft_backend=PALLAS
+    (317 us/substep — the full-complex direct-DFT kernels lose to XLA's
+    batched half-spectrum rfft2 at 200²) and carry_reciprocal WITHOUT
+    batch_fft (neutral: at 15 small dispatches the substep is bound by
+    per-transform fixed cost, so pruning 5 of them only pays once the
+    rest are batched)."""
     import jax
     import jax.numpy as jnp
 
@@ -361,11 +368,14 @@ def bench_2a(num_steps=100):
     _emit(out)
 
     try:
-        wall2, first2, s2, t2, pps2 = run(["Problem/batch_fft=true"])
+        wall2, first2, s2, t2, pps2 = run([
+            "Problem/batch_fft=true", "TensorSolver/carry_reciprocal=true"])
         out.update({
             "tuned_value": round(wall2, 3),
             "tuned_substep_us": round(wall2 / (s2 * 2000) * 1e6, 1),
             "tuned_F_final": round(pps2.get("F", float("nan")), 3),
+            "tuned_c_range": [round(pps2.get("min_c", 0.0), 4),
+                              round(pps2.get("max_c", 0.0), 4)],
         })
     except Exception as e:  # report, never break the headline
         out["tuned_error"] = repr(e)[:300]
