@@ -299,22 +299,12 @@ class BatchedFFT(TensorCompute):
         self.outputs = sorted({m.out for m in self.members})
 
     def apply(self, state, ctx):
+        from ..domain import batched_transform
+
         op = self.domain.ifft if self.inverse else self.domain.fft
-        groups = {}
-        for m in self.members:
-            t = state[m.input]
-            key = (tuple(t.shape), bool(jnp.iscomplexobj(t)))
-            groups.setdefault(key, []).append((m, t))
-        out = {}
-        for items in groups.values():
-            if len(items) == 1:
-                m, t = items[0]
-                out[m.out] = op(t)
-            else:
-                res = op(jnp.stack([t for _, t in items], axis=-1))
-                for i, (m, _) in enumerate(items):
-                    out[m.out] = res[..., i]
-        return out
+        return batched_transform(
+            op, [(m.out, state[m.input]) for m in self.members]
+        )
 
 
 @computes.register("ReciprocalLaplacianFactor")

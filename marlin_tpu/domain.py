@@ -74,6 +74,30 @@ def _default_float_dtype(precision: Precision):
 _COMPLEX_FOR = {jnp.float32: jnp.complex64, jnp.float64: jnp.complex128}
 
 
+def batched_transform(op, pairs):
+    """{key: op(t)} for ``pairs = [(key, t), ...]`` where same-(shape,
+    complexness) fields are stacked on a trailing value axis and transformed
+    as ONE call (the Domain transforms value axes natively).  The single
+    batching algorithm behind ``[Problem] batch_fft = true`` — used by both
+    the compute-graph side (computes.core.BatchedFFT) and the solver side
+    (solvers.base.TensorSolver._ifft_all); singletons fall through to the
+    plain per-field path, so mixed-shape/-dtype runs stay correct."""
+    groups = {}
+    for k, t in pairs:
+        gkey = (tuple(t.shape), bool(jnp.iscomplexobj(t)))
+        groups.setdefault(gkey, []).append((k, t))
+    out = {}
+    for items in groups.values():
+        if len(items) == 1:
+            k, t = items[0]
+            out[k] = op(t)
+        else:
+            res = op(jnp.stack([t for _, t in items], axis=-1))
+            for i, (k, _) in enumerate(items):
+                out[k] = res[..., i]
+    return out
+
+
 class Domain:
     """Uniform periodic grid with spectral transforms.
 

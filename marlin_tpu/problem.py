@@ -280,6 +280,7 @@ class TensorProblem:
 
         # -- solver ---------------------------------------------------------
         self.solver = None
+        self._solverless_group = None  # batch_fft-fused per-step computes
         self._build_solver(root)
 
         # -- postprocessors --------------------------------------------------
@@ -378,6 +379,19 @@ class TensorProblem:
             self.solver = cls(synth.name, Params(synth, self.global_params), self)
             root_name = None
         else:
+            # no solver block: batch_fft must still validate (and fuse) —
+            # the per-step computes run in DECLARED order (reference
+            # TensorProblem::execute else-branch, TensorProblem.C:186-188),
+            # so the group is fused unsorted to preserve that order
+            if self.batch_fft:
+                group = ComputeGroup(
+                    "_solve_root",
+                    Params(None, self.global_params),
+                    self,
+                    self.solve_computes,
+                )
+                self._apply_batch_fft(group)
+                self._solverless_group = group
             return
 
         # resolve root compute (reference CreateTensorSolverAction.C:30-60:
@@ -397,16 +411,23 @@ class TensorProblem:
         if getattr(self.solver, "carry_reciprocal", False):
             self.solver.prune_reciprocal_ffts()
         if self.batch_fft:
-            from .domain import ParallelMode
+            self._apply_batch_fft(root_compute)
 
-            if self.domain.parallel_mode != ParallelMode.NONE:
-                raise ProblemError(
-                    "[Problem] batch_fft = true is serial-only (the "
-                    "distributed transforms shard per field); remove it "
-                    "for parallel_mode != NONE decks"
-                )
-            if isinstance(root_compute, ComputeGroup):
-                root_compute.fuse_ffts()
+    def _apply_batch_fft(self, group):
+        """Validate `[Problem] batch_fft = true` (serial-only) and fuse a
+        group's FFT runs — shared by the solver root group and the
+        solverless per-step group, so the documented rejection fires for
+        both deck shapes."""
+        from .domain import ParallelMode
+
+        if self.domain.parallel_mode != ParallelMode.NONE:
+            raise ProblemError(
+                "[Problem] batch_fft = true is serial-only (the "
+                "distributed transforms shard per field); remove it "
+                "for parallel_mode != NONE decks"
+            )
+        if isinstance(group, ComputeGroup):
+            group.fuse_ffts()
 
     # -- services used by computes ------------------------------------------
     def lbm_stencil(self):
@@ -874,8 +895,11 @@ class TensorProblem:
             # TensorProblem::execute else-branch, :185-188)
             buffers = dict(state["buffers"])
             ctx = {"t": t}
-            for c in self.solve_computes:
-                buffers.update(c.apply(buffers, ctx))
+            if self._solverless_group is not None:  # batch_fft fusion
+                buffers.update(self._solverless_group.apply(buffers, ctx))
+            else:
+                for c in self.solve_computes:
+                    buffers.update(c.apply(buffers, ctx))
             state = {**state, "buffers": buffers}
         return state
 

@@ -304,7 +304,6 @@ class AdamsBashforthMoulton(SplitOperatorBase):
                 buffers = dict(state_c["buffers"])
                 if self.corrector_order == 0:
                     continue
-                corr_ubar = {}
                 for v in self.variables:
                     n_old_b = self.n_old(state, v.nonlinear_reciprocal)
                     order = select_order(
@@ -319,9 +318,10 @@ class AdamsBashforthMoulton(SplitOperatorBase):
                     ubar = ubar_n[v.buffer] + sub_dt * acc
                     if v.linear_reciprocal is not None:
                         ubar = ubar / (1.0 - sub_dt * buffers[v.linear_reciprocal])
-                    corr_ubar[v.buffer] = ubar
                     final_ubar[v.buffer] = ubar
-                buffers.update(self._ifft_all(list(corr_ubar.items())))
+                # every variable was just rewritten, so final_ubar IS this
+                # pass's corrected spectra
+                buffers.update(self._ifft_all(list(final_ubar.items())))
 
         if self.carry_reciprocal:
             # the pruned ForwardFFT's role: next substep reads ū directly

@@ -161,26 +161,28 @@ class TensorSolver:
 
     def _ifft_all(self, pairs):
         """{key: ifft(ū)} for a list of (key, ū) pairs.  Under
-        `[Problem] batch_fft = true`, same-shape spectra transform as ONE
-        batched inverse (trailing value axis) — the solver-side half of
-        the ComputeGroup.fuse_ffts optimization (multi-variable decks on
-        small grids are bound by per-transform fixed cost)."""
+        `[Problem] batch_fft = true`, same-(shape, complexness) spectra
+        transform as ONE batched inverse (trailing value axis) — the
+        solver-side half of the ComputeGroup.fuse_ffts optimization
+        (multi-variable decks on small grids are bound by per-transform
+        fixed cost).  Shares domain.batched_transform with BatchedFFT so
+        the two sides can't drift."""
+        from ..domain import batched_transform
+
         dom = self.domain
         if not getattr(self.problem, "batch_fft", False) or len(pairs) < 2:
             return {k: dom.ifft(u) for k, u in pairs}
-        groups = {}
-        for k, u in pairs:
-            groups.setdefault(tuple(u.shape), []).append((k, u))
-        out = {}
-        for items in groups.values():
-            if len(items) == 1:
-                k, u = items[0]
-                out[k] = dom.ifft(u)
-            else:
-                res = dom.ifft(jnp.stack([u for _, u in items], axis=-1))
-                for i, (k, _) in enumerate(items):
-                    out[k] = res[..., i]
-        return out
+        return batched_transform(dom.ifft, pairs)
+
+    def _ifft_stacked(self, names, stacked):
+        """{name: ifft(stacked[..., i])} for an ALREADY value-stacked array
+        (variable order on the trailing axis).  Under batch_fft the stack is
+        transformed whole — no slice/re-stack round-trip in the trace."""
+        dom = self.domain
+        if getattr(self.problem, "batch_fft", False) and len(names) >= 2:
+            res = dom.ifft(stacked)
+            return {k: res[..., i] for i, k in enumerate(names)}
+        return {k: dom.ifft(stacked[..., i]) for i, k in enumerate(names)}
 
 
     def group_evals_per_step(self) -> int:

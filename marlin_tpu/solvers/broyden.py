@@ -83,9 +83,8 @@ class BroydenSolver(SplitOperatorBase):
             sk = -jnp.einsum("...ij,...j->...i", M, R)
             u_new = u + sk * 0.5  # reference hard-codes the 0.5 damping (:135)
             bufs = dict(bufs)
-            bufs.update(self._ifft_all(
-                [(v.buffer, u_new[..., i])
-                 for i, v in enumerate(self.variables)]))
+            bufs.update(self._ifft_stacked(
+                [v.buffer for v in self.variables], u_new))
             st = self._run_group({**state, "buffers": bufs}, sub_time)
             bufs = dict(st["buffers"])
             u2, N2, L2 = self._stack(bufs)

@@ -169,3 +169,88 @@ def test_iterative_solvers_batched_parity(deck):
     b = run(["Problem/batch_fft=true"])
     for k in ("c", "n1", "n4"):
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+SOLVERLESS_DECK = """
+[Domain]
+  dim = 2
+  nx = 8
+  ny = 8
+  xmax = 1
+  ymax = 1
+[]
+[TensorComputes]
+  [Initialize]
+    [a]
+      type = RandomTensor
+      buffer = a
+      min = 0
+      max = 1
+      seed = 1
+    []
+    [b]
+      type = RandomTensor
+      buffer = b
+      min = 0
+      max = 1
+      seed = 2
+    []
+  []
+  [Solve]
+    [abar]
+      type = ForwardFFT
+      buffer = abar
+      input = a
+    []
+    [bbar]
+      type = ForwardFFT
+      buffer = bbar
+      input = b
+    []
+    [mix]
+      type = ParsedCompute
+      buffer = a
+      expression = 'a*0.5 + b*0.5'
+      inputs = 'a b'
+    []
+  []
+[]
+[Problem]
+  type = TensorProblem
+[]
+"""
+
+
+def _run_solverless(cli):
+    root = hit.parse(SOLVERLESS_DECK)
+    hit.apply_cli_args(root, cli + ["Domain/floating_precision=DOUBLE"])
+    hit.expand_braces(root)
+    p = TensorProblem(root)
+    s = p.init_state()
+    step = jax.jit(p._step_impl)
+    for k in range(3):
+        s = step(s, 0.1 * k, 0.1, 0.1, k == 0)
+    return p, {k: np.asarray(v) for k, v in s["buffers"].items()}
+
+
+def test_solverless_deck_batch_fft_fuses_and_matches():
+    """Decks without a [TensorSolver]/[TensorTimeIntegrators] block still
+    get batch_fft fusion (the per-step computes run in declared order,
+    reference TensorProblem::execute else-branch) with bit-exact parity."""
+    pa, a = _run_solverless([])
+    pb, b = _run_solverless(["Problem/batch_fft=true"])
+    assert pa._solverless_group is None
+    order = pb._solverless_group.execution_order()
+    assert any(n.startswith("batch_fft(") for n in order), order
+    for k in ("a", "abar", "bbar"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_solverless_deck_batch_fft_rejected_in_parallel_mode():
+    """The serial-only rejection fires even without a solver block
+    (regression: the _build_solver early return used to skip it)."""
+    root = hit.parse(SOLVERLESS_DECK)
+    hit.apply_cli_args(root, ["Problem/batch_fft=true",
+                              "Domain/parallel_mode=FFT_SLAB"])
+    with pytest.raises(Exception, match="serial-only"):
+        TensorProblem(root)
