@@ -52,7 +52,12 @@ def main(argv=None):
 
     if device:
         jax.config.update("jax_platforms", device)
-    if ns.x64 or (device == "cpu"):
+    # DEVICE_DEFAULT precision is "double where supported" (reference
+    # src/utils/MarlinUtils.C:38-42) — that includes a CPU backend selected
+    # via JAX_PLATFORMS, not just via --compute-device
+    if ns.x64 or (device == "cpu") or (
+        not device and jax.default_backend() == "cpu"
+    ):
         jax.config.update("jax_enable_x64", True)
     # persistent compilation cache (the reference's trace-once story maps
     # onto XLA's compile cache; opt-in because the axon remote-TPU backend

@@ -29,6 +29,9 @@ class BroydenSolver(SplitOperatorBase):
         self.abs_tol = params.get_float("absolute_tolerance", 1e-9)
         self.damping = params.get_float("damping", 1.0)
         self.eye_factor = params.get_float("initial_jacobian_guess", 1.0)
+        # reference BroydenSolver.C:30 "Show convergence history." — the
+        # per-iteration console print becomes an async jax.debug.print tap
+        self.verbose = params.get_bool("verbose", False)
         self.predictors = []
 
     def init_solver_state(self):
@@ -79,6 +82,8 @@ class BroydenSolver(SplitOperatorBase):
 
         def body(carry):
             it, bufs, u, R, M = carry
+            if self.verbose:  # reference :128 "i |R|=..."
+                jax.debug.print("{i} |R|={r}", i=it, r=_norm(R))
             # update step s = -M·R (reference :128-131)
             sk = -jnp.einsum("...ij,...j->...i", M, R)
             u_new = u + sk * 0.5  # reference hard-codes the 0.5 damping (:135)

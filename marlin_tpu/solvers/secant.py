@@ -35,6 +35,10 @@ class SecantSolver(SplitOperatorBase):
         self.abs_tol = params.get_float("absolute_tolerance", 1e-9)
         self.damping = params.get_float("damping", 1.0)
         self.dt_epsilon = params.get_float("dt_epsilon", 1e-4)
+        # reference SecantSolver.C:28 "Show convergence history."; the
+        # host-console prints become async jax.debug.print taps (no device
+        # sync — the solve stays a single on-device while_loop)
+        self.verbose = params.get_bool("verbose", False)
         self.predictors = []  # bound by the problem
 
     def init_solver_state(self):
@@ -61,6 +65,8 @@ class SecantSolver(SplitOperatorBase):
             Rprev.append(Rp)
             uprev.append(u)
             R0norm.append(_norm(Rp))
+            if self.verbose:  # reference :95 "|R0|=..."
+                jax.debug.print("|R0|={r}", r=R0norm[-1])
             u_old.append(u)
             # semi-implicit bootstrap (reference :80-88)
             if v.linear_reciprocal is not None:
@@ -106,6 +112,10 @@ class SecantSolver(SplitOperatorBase):
                     u + du if self.damping == 1.0 else u + du * self.damping,
                 ))
                 Rnorm = _norm(R)
+                if self.verbose:  # reference :146 "i |du| = ... |R|=..."
+                    jax.debug.print(
+                        "{i} |du| = {du} |R|={r}",
+                        i=it, du=_norm(du), r=Rnorm)
                 any_nan = any_nan | jnp.isnan(Rnorm)
                 all_conv = all_conv & (
                     (Rnorm < self.abs_tol) | (Rnorm / R0norm[i] < self.rel_tol)

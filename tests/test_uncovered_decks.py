@@ -82,3 +82,56 @@ def test_benchmark_smoke(deck, cli):
         c = np.asarray(tr.state["buffers"]["c"])
         assert np.isfinite(c).all()
         assert -0.5 < c.min() and c.max() < 1.5
+
+
+COUPLED_PF_MECH = [
+    ("test/tests/tensor_compute/coupled_pf_mech.i", []),
+    ("test/tests/tensor_compute/coupled_pf_mech_secant.i", []),
+]
+
+
+@pytest.mark.parametrize(
+    "deck,cli", COUPLED_PF_MECH,
+    ids=[d.split("/")[-1] for d, _ in COUPLED_PF_MECH])
+def test_coupled_pf_mech_smoke(deck, cli):
+    """Cahn-Hilliard coupled to the monolithic FFTQuasistaticElasticity /
+    FFTElasticChemicalPotential solve (reference
+    test/tests/tensor_compute/coupled_pf_mech*.i — no upstream test spec or
+    gold exists; shrunk 16^3 smoke, 2 steps, physical sanity).  The secant
+    variant needs double precision — in single, the secant residual hits an
+    f32 cancellation floor (|R|/|R0| ~ 3e-3) above the deck's 1e-6
+    tolerances and the solve (correctly) reports non-convergence; the same
+    math floors the reference's f32 GPU runs."""
+    if not os.path.exists(os.path.join(REF, deck)):
+        pytest.skip("deck not shipped")
+    tr, _ = run_ref_deck(deck, [
+        "Executioner/num_steps=2",
+        "Domain/nx=16", "Domain/ny=16", "Domain/nz=16",
+    ] + cli)
+    assert tr.step_count == 2
+    assert _finite(tr.pp_values)
+    c = np.asarray(tr.state["buffers"]["c"])
+    assert np.isfinite(c).all()
+    assert -0.5 < c.min() and c.max() < 1.5
+    # the eigenstrain-driven displacements must be small but nonzero
+    dx = np.asarray(tr.state["buffers"]["disp_x"])
+    assert np.isfinite(dx).all() and 0 < np.abs(dx).max() < 0.1
+
+
+@pytest.mark.parametrize("deck", [
+    "test/tests/tensor_compute/parallel_roundtrip.i",
+    "test/tests/tensor_compute/parallel_roundtrip_3d.i",
+], ids=["parallel_roundtrip", "parallel_roundtrip_3d"])
+def test_parallel_roundtrip_decks(deck):
+    """FFT roundtrip error decks under FFT_SLAB (reference
+    test/tests/tensor_compute/parallel_roundtrip*.i, incl. the
+    device_names/device_weights knobs which are accepted and ignored on a
+    homogeneous TPU mesh).  The decks compute max/L2 roundtrip error
+    postprocessors; both must sit at double-precision round-off."""
+    if not os.path.exists(os.path.join(REF, deck)):
+        pytest.skip("deck not shipped")
+    tr, _ = run_ref_deck(deck, ["Executioner/num_steps=1",
+                                "Domain/floating_precision=DOUBLE"])
+    assert tr.step_count == 1
+    assert tr.pp_values["max_error"] < 1e-12
+    assert tr.pp_values["l2_error"] < 1e-10
