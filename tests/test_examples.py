@@ -7,6 +7,7 @@ physically-sane values — capability parity for the example gallery."""
 import math
 import os
 
+import numpy as np
 import pytest
 
 from .gold import REF, run_ref_deck
@@ -164,3 +165,57 @@ def test_deck_census():
         except Exception as e:
             failures.append(f"{d.replace(REF + '/', '')}: {type(e).__name__}: {e}")
     assert not failures, "unbuildable decks:\n" + "\n".join(failures)
+
+
+def test_pebbles_example_with_synthesized_media(tmp_path):
+    """examples/lbm/Pebbles/pebbles.i — thermal double-distribution (f + g)
+    D3Q19 flow through a packed pebble bed.  The shipped deck reads
+    binary_media.h5 which upstream generates in pebbles.ipynb (packed
+    non-overlapping spheres); the notebook's generator is reproduced here
+    at reduced scale so the deck itself runs end-to-end.  (The F1
+    aerodynamics example stays build-only: its media needs an external
+    car-body STL download.)"""
+    import h5py
+
+    deck = "examples/lbm/Pebbles/pebbles.i"
+    if not os.path.exists(os.path.join(REF, deck)):
+        pytest.skip("deck not shipped")
+
+    # packed spheres, integer centres, solid=0 fluid=1 (pebbles.ipynb cell 2)
+    nx, ny, nz = 48, 16, 16
+    rng = np.random.RandomState(7)
+    media = np.ones((nx, ny, nz), dtype=np.int64)
+    x, y, z = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    centres, radius = [], 4
+    for _ in range(200):
+        c = rng.randint([radius + 8, 0, 0],
+                        [nx - radius - 8, ny, nz])
+        if all(np.sum((c - p) ** 2) >= (2 * radius) ** 2 for p in centres):
+            centres.append(c)
+        if len(centres) == 6:
+            break
+    for c in centres:
+        media[(x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2
+              <= radius ** 2] = 0
+    media_file = str(tmp_path / "binary_media.h5")
+    with h5py.File(media_file, "w") as f:
+        f.create_dataset("binary_media", data=media)
+
+    tr, _ = run_ref_deck(deck, [
+        "Domain/nx=%d" % nx, "Domain/ny=%d" % ny, "Domain/nz=%d" % nz,
+        "Domain/xmax=%d" % nx, "Domain/ymax=%d" % ny, "Domain/zmax=%d" % nz,
+        "TensorBuffers/binary_media/file=" + media_file,
+        # the shipped deck passes 2 velocity constants for the
+        # 3-component mv buffer — the reference raises the identical
+        # "number of constants must match" error (LBMConstantTensor.C:40)
+        "TensorComputes/Initialize/velocity/constants=0.0 0.0 0.0",
+        "Executioner/num_steps=2", "Problem/substeps=5",
+    ], tmpdir=str(tmp_path))
+    assert tr.step_count >= 1
+    assert _finite(tr.pp_values)
+    v = np.asarray(tr.state["buffers"]["velocity"])
+    assert np.isfinite(v).all() and np.abs(v).max() < 1.0
+    # solids keep zero velocity
+    solid = np.asarray(tr.state["buffers"]["binary_media"]) == 0
+    assert np.abs(v[solid]).max() == 0.0
