@@ -97,6 +97,7 @@ class ComputeGroup(TensorCompute):
         super().__init__(name, params, problem)
         self.members = list(members)
         self.sorted_members: List[TensorCompute] = []
+        self._fused = False
         self._update_io()
 
     def _update_io(self):
@@ -112,6 +113,13 @@ class ComputeGroup(TensorCompute):
 
     def sort(self):
         """Topological sort by buffer dataflow; error on cycles."""
+        # a group whose execution list was rewritten by fuse_ffts() is
+        # already topologically sorted — rebuilding from self.members would
+        # silently discard the BatchedFFT nodes (e.g. when init_state wraps
+        # the same member objects in a fresh '_all_solve' group and its
+        # sort() recurses into this one)
+        if self._fused:
+            return self
         # first supplier wins as the producer; later suppliers of the same
         # buffer (legal in MOOSE's resolver, used by e.g. LBM residual decks)
         # keep their declaration order
@@ -202,6 +210,7 @@ class ComputeGroup(TensorCompute):
                 fused.append(m)
         flush()
         self.sorted_members = fused
+        self._fused = True
         return self
 
     def apply(self, state: Dict, ctx: Dict) -> Dict:

@@ -414,12 +414,21 @@ class TensorProblem:
             self._apply_batch_fft(root_compute)
 
     def _apply_batch_fft(self, group):
-        """Validate `[Problem] batch_fft = true` (serial-only) and fuse a
-        group's FFT runs — shared by the solver root group and the
-        solverless per-step group, so the documented rejection fires for
-        both deck shapes."""
+        """Validate `[Problem] batch_fft = true` (serial-only, spectral
+        problems only) and fuse a group's FFT runs — shared by the solver
+        root group and the solverless per-step group, so the documented
+        rejections fire for both deck shapes."""
         from .domain import ParallelMode
 
+        if self.is_lbm:
+            # the LBM substep loop builds its own compute groups
+            # (_lbm_step_impl) and no reference LBM chain contains spectral
+            # transforms — reject rather than silently ignore the knob
+            raise ProblemError(
+                "[Problem] batch_fft = true does not apply to "
+                "LatticeBoltzmannProblem (LBM solve chains contain no "
+                "spectral transforms); remove it"
+            )
         if self.domain.parallel_mode != ParallelMode.NONE:
             raise ProblemError(
                 "[Problem] batch_fft = true is serial-only (the "

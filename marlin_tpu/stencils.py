@@ -29,6 +29,15 @@ class Stencil:
             self.top = self.op[self.bottom]
         if hasattr(self, "front") and not hasattr(self, "back"):
             self.back = self.op[self.front]
+        # constant tables take the deck's floating precision (reference
+        # stencils build with MooseTensor::floatTensorOptions()); without
+        # this, f64 numpy tables silently promote a SINGLE-precision LBM
+        # chain to f64 in an x64-enabled process
+        if problem is not None:
+            dtype = np.dtype(problem.domain.dtype)
+            for attr, value in vars(self).items():
+                if isinstance(value, np.ndarray) and value.dtype.kind == "f":
+                    setattr(self, attr, value.astype(dtype))
 
     def _build(self):
         raise NotImplementedError

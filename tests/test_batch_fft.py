@@ -254,3 +254,82 @@ def test_solverless_deck_batch_fft_rejected_in_parallel_mode():
                               "Domain/parallel_mode=FFT_SLAB"])
     with pytest.raises(Exception, match="serial-only"):
         TensorProblem(root)
+
+
+NESTED_GROUP_DECK = """
+[Domain]
+  dim = 2
+  nx = 8
+  ny = 8
+  xmax = 1
+  ymax = 1
+[]
+[TensorComputes]
+  [Initialize]
+    [a]
+      type = RandomTensor
+      buffer = a
+      min = 0
+      max = 1
+      seed = 1
+    []
+    [b]
+      type = RandomTensor
+      buffer = b
+      min = 0
+      max = 1
+      seed = 2
+    []
+  []
+  [Solve]
+    [ffts]
+      type = ComputeGroup
+      computes = 'abar bbar'
+      [abar]
+        type = ForwardFFT
+        buffer = abar
+        input = a
+      []
+      [bbar]
+        type = ForwardFFT
+        buffer = bbar
+        input = b
+      []
+    []
+    [mix]
+      type = ParsedCompute
+      buffer = a
+      expression = 'a*0.5 + b*0.5'
+      inputs = 'a b'
+    []
+  []
+[]
+[Problem]
+  type = TensorProblem
+[]
+"""
+
+
+def test_nested_group_fusion_survives_init_state():
+    """fuse_ffts recursion into a nested ComputeGroup must survive
+    init_state, which wraps the same member objects in a fresh '_all_solve'
+    group and re-sorts (regression: the recursion used to rebuild the
+    nested group's sorted_members, silently discarding the BatchedFFT)."""
+    root = hit.parse(NESTED_GROUP_DECK)
+    hit.apply_cli_args(root, ["Problem/batch_fft=true",
+                              "Domain/floating_precision=DOUBLE"])
+    hit.expand_braces(root)
+    p = TensorProblem(root)
+    p.init_state()  # re-sorts a fresh group over the same members
+    order = p._solverless_group.execution_order()
+    assert any(n.startswith("batch_fft(") for n in order), order
+
+
+def test_batch_fft_rejected_for_lbm():
+    """LatticeBoltzmannProblem decks reject batch_fft by name (the LBM
+    substep loop builds its own groups; silently ignoring the knob would
+    be worse)."""
+    deck = "/root/reference/test/tests/lbm/channel2D.i"
+    root = hit.load(deck, ["Problem/batch_fft=true"])
+    with pytest.raises(Exception, match="does not apply to"):
+        TensorProblem(root)

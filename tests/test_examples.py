@@ -102,25 +102,111 @@ LBM_EXAMPLES = [
 ]
 
 
+def _synth_cylinder_media(path):
+    """Karman-vortex channel with a circular obstacle at reduced scale
+    (cylinder.ipynb add_circles; solid=0 fluid=1)."""
+    nx, ny = 160, 40
+    x, y = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    media = np.ones((nx, ny), dtype=np.int64)
+    media[(x - 40) ** 2 + (y - 20) ** 2 <= 6 ** 2] = 0
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.create_dataset("binary_media", data=media)
+    return ["Domain/nx=%d" % nx, "Domain/ny=%d" % ny]
+
+
+def _synth_dome_media(path):
+    """natural_convection_3D dome at reduced scale (dome.ipynb): cylinder-
+    capped dome cavity, floor solid, an interior box heat source; fluid
+    cells 26-adjacent to the box become region 3 (Neumann heat flux) and
+    cells adjacent to outer walls region 2 (Dirichlet T)."""
+    nx, ny, nz = 36, 36, 54
+    x = np.arange(nx)[:, None, None]
+    y = np.arange(ny)[None, :, None]
+    z = np.arange(nz)[None, None, :]
+    R = nx / 2
+    x0, y0, zj = R, ny - R, nz - R
+    bx = by = bz = 0.3 * R
+    buf = 1
+    r2 = (x - x0) ** 2 + (y - y0) ** 2
+    Rb = R - buf
+    dome = np.where(z <= zj, r2 < Rb * Rb, r2 + (z - zj) ** 2 < Rb * Rb)
+    cx, cy, cz = x0 + 0.1 * R, y0 + 10 * ny / 270 + 25 * ny / 270, 2.0 * bz
+    box = ((np.abs(x - cx) <= bx) & (np.abs(y - cy) <= by)
+           & (np.abs(z - cz) <= bz))
+    media = np.where(z <= buf, 0, np.where(dome & ~box, 1, 0)).astype(np.int64)
+    off = [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+           for k in (-1, 0, 1) if (i, j, k) != (0, 0, 0)]
+
+    def adjacent(target_solid):
+        adj = np.zeros_like(media, bool)
+        for dx_, dy_, dz_ in off:
+            xs = slice(max(0, -dx_), nx - max(0, dx_))
+            ys = slice(max(0, -dy_), ny - max(0, dy_))
+            zs = slice(max(0, -dz_), nz - max(0, dz_))
+            xs2 = slice(max(0, dx_), nx - max(0, -dx_))
+            ys2 = slice(max(0, dy_), ny - max(0, -dy_))
+            zs2 = slice(max(0, dz_), nz - max(0, -dz_))
+            adj[xs, ys, zs] |= target_solid[xs2, ys2, zs2] & (
+                media[xs, ys, zs] == 1)
+        return adj
+
+    media[adjacent((media == 0) & box) & (media == 1)] = 3
+    media[adjacent(media == 0) & (media == 1)] = 2
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.create_dataset("binary_media", data=media)
+    return ["Domain/nx=%d" % nx, "Domain/ny=%d" % ny, "Domain/nz=%d" % nz,
+            "Domain/xmax=%d" % nx, "Domain/ymax=%d" % ny,
+            "Domain/zmax=%d" % nz]
+
+
+# upstream generates each deck's binary_media.h5 in a sibling notebook; the
+# same geometry is synthesized here at reduced scale so the decks run
+MEDIA_SYNTH = {
+    "examples/lbm/Karman-vortex/cylinder.i": _synth_cylinder_media,
+    "examples/lbm/natural_convection_3D/convection.i": _synth_dome_media,
+}
+
+
 @pytest.mark.parametrize(
     "deck,cli", LBM_EXAMPLES, ids=[d.split("/")[2] for d, _ in LBM_EXAMPLES]
 )
-def test_lbm_examples(deck, cli):
+def test_lbm_examples(deck, cli, tmp_path):
     """LBM example gallery smoke runs (reference examples/lbm/; shortened:
-    2 MOOSE steps with a handful of LBM substeps)."""
+    2 MOOSE steps with a handful of LBM substeps).  Decks whose
+    binary_media.h5 is notebook-generated upstream get an equivalent
+    reduced-scale fixture synthesized on the fly."""
     if not os.path.exists(os.path.join(REF, deck)):
         pytest.skip("deck not shipped")
     deck_dir = os.path.dirname(os.path.join(REF, deck))
+    cli = list(cli)
     with open(os.path.join(REF, deck)) as f:
         text = f.read()
     for line in text.splitlines():
         if "file =" in line:
             fname = line.split("=", 1)[1].strip().strip("'\"")
             if not os.path.exists(os.path.join(deck_dir, fname)):
-                pytest.skip(f"media file {fname} not shipped (notebook-generated)")
-    tr, _ = run_ref_deck(deck, cli + ["Executioner/num_steps=2", "Problem/substeps=5"])
+                synth = MEDIA_SYNTH.get(deck)
+                if synth is None:
+                    pytest.skip(
+                        f"media file {fname} not shipped (notebook-generated)")
+                media_file = str(tmp_path / "binary_media.h5")
+                cli += synth(media_file)
+                cli.append("TensorBuffers/binary_media/file=" + media_file)
+    tr, _ = run_ref_deck(deck, cli + ["Executioner/num_steps=2",
+                                      "Problem/substeps=5"],
+                         tmpdir=str(tmp_path))
     assert tr.step_count >= 1
     assert _finite(tr.pp_values)
+    if "binary_media" in tr.state["buffers"]:
+        u = np.asarray(tr.state["buffers"].get(
+            "velocity", tr.state["buffers"].get("u")))
+        solid = np.asarray(tr.state["buffers"]["binary_media"]) == 0
+        assert np.isfinite(u).all()
+        assert np.abs(u[solid]).max() == 0.0
 
 
 def test_libtorch_kks_example():
