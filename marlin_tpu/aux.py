@@ -168,3 +168,57 @@ class AuxSystem:
             idx[d] = np.arange(n[d] + 1) % n[d]
             arr = arr[tuple(idx)]
         return arr
+
+
+def sample_at(domain, array, points):
+    """Sample a (possibly vector/tensor-valued) grid field at arbitrary
+    physical points by periodic multilinear interpolation.
+
+    The capability equivalent of the reference's grid->FE-mesh coupling
+    surface (SURVEY §7 stage 8): MOOSE MultiApps sample tensor buffers at
+    arbitrary FE node/quadrature locations via ProjectTensorAux on a
+    conforming mesh (reference src/auxkernels/ProjectTensorAux.C:36-71);
+    here any point set is accepted directly.
+
+    Parameters
+    ----------
+    domain : Domain
+    array : (n0[,n1[,n2]][,v...]) ndarray — cell-centered field values.
+    points : (m, dim) array of physical coordinates (wrapped periodically).
+
+    Returns an (m[,v...]) ndarray.
+    """
+    arr = np.asarray(array)
+    pts = np.atleast_2d(np.asarray(points, dtype=float))
+    dim = domain.dim
+    if pts.shape[1] != dim:
+        raise AuxError(
+            f"sample_at: points must be (m, {dim}) for a {dim}-D domain, "
+            f"got {pts.shape}")
+    if arr.shape[:dim] != domain.shape[:dim]:
+        raise AuxError(
+            f"sample_at: field shape {arr.shape} does not start with the "
+            f"grid shape {domain.shape}")
+
+    # fractional cell-centered index of each point: centers sit at
+    # min + (i + 1/2) h, so u = (x - min)/h - 1/2 (periodic)
+    idx0, frac = [], []
+    for d in range(dim):
+        h = domain.grid_spacing[d]
+        u = (pts[:, d] - domain.mins[d]) / h - 0.5
+        i0 = np.floor(u).astype(int)
+        frac.append(u - i0)
+        idx0.append(i0)
+
+    out = None
+    for corner in range(1 << dim):
+        w = np.ones(pts.shape[0])
+        ix = []
+        for d in range(dim):
+            hi = (corner >> d) & 1
+            w = w * (frac[d] if hi else 1.0 - frac[d])
+            ix.append((idx0[d] + hi) % domain.shape[d])
+        vals = arr[tuple(ix)]  # (m[, v...])
+        w = w.reshape((-1,) + (1,) * (vals.ndim - 1))
+        out = w * vals if out is None else out + w * vals
+    return out
