@@ -145,14 +145,15 @@ class _CollisionBase(LatticeBoltzmannOperator):
         (reference :44-92)."""
         st = self.stencil
         fneq = f - feq  # (nx,ny,nz,q)
+        dt = np.dtype(self.domain.dtype)  # keep SINGLE decks in f32
         e = np.stack([st.ex, st.ey, st.ez], 0)  # (3, q)
         # ccr[ic] = outer(e_ic, e_ic) flattened (9)
-        ccr = np.einsum("ai,bi->iab", e, e).reshape(st.q, 9)
+        ccr = np.einsum("ai,bi->iab", e, e).reshape(st.q, 9).astype(dt)
         fneqcc = jnp.einsum("...i,ij->...j", fneq, ccr)  # (nx,ny,nz,9)
         H2 = (
             np.einsum("ai,bi->iab", e, e) / CS2
             - np.eye(3)[None, :, :]
-        ).reshape(st.q, 9)
+        ).reshape(st.q, 9).astype(dt)
         out = (
             st.weights
             * (1.0 / (2.0 * CS2))
@@ -172,7 +173,7 @@ class _CollisionBase(LatticeBoltzmannOperator):
         ez2 = np.stack([ones if nz_is_one else zeros, zeros, st.ez]) if nz_is_one \
             else np.stack([zeros, zeros, st.ez])
         # outer_products[i, k, a, b] = ez2[k,i] outer of ex2[a,i], ey2[b,i]
-        outer = np.zeros((st.q, 3, 3, 3))
+        outer = np.zeros((st.q, 3, 3, 3), dtype=np.dtype(self.domain.dtype))
         for i in range(st.q):
             outer[i] = np.einsum("i,j,k->kij", ex2[:, i], ey2[:, i], ez2[:, i])
         Q = jnp.einsum("nijk,...n->...ijk", outer, fneq)
@@ -278,7 +279,7 @@ class LBMComputeVelocity(LatticeBoltzmannOperator):
         if self.enable_forces:
             u = u + state[self.forces] / (2.0 * rho[..., None])
         if self.add_body_force:
-            bf = jnp.asarray(self.body_force[:dim])
+            bf = jnp.asarray(self.body_force[:dim], dtype=u.dtype)
             u = u + bf / (2.0 * rho[..., None])
         return {self.out: self.masked_fill_solids(u)}
 
