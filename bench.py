@@ -876,7 +876,7 @@ def _last_json_line(text):
         if line.startswith("{"):
             try:
                 return json.loads(line)
-            except (ValueError, json.JSONDecodeError):
+            except ValueError:  # includes json.JSONDecodeError
                 continue
     return None
 

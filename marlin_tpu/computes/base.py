@@ -98,6 +98,7 @@ class ComputeGroup(TensorCompute):
         self.members = list(members)
         self.sorted_members: List[TensorCompute] = []
         self._fused = False
+        self._fused_members: List[int] = []
         self._update_io()
 
     def _update_io(self):
@@ -119,6 +120,12 @@ class ComputeGroup(TensorCompute):
         # the same member objects in a fresh '_all_solve' group and its
         # sort() recurses into this one)
         if self._fused:
+            if [id(m) for m in self.members] != self._fused_members:
+                raise ComputeError(
+                    f"Compute group '{self.name}' was mutated after "
+                    "fuse_ffts(); re-run sort() + fuse_ffts() after any "
+                    "member change (prune passes must run before fusion)"
+                )
             return self
         # first supplier wins as the producer; later suppliers of the same
         # buffer (legal in MOOSE's resolver, used by e.g. LBM residual decks)
@@ -211,6 +218,7 @@ class ComputeGroup(TensorCompute):
         flush()
         self.sorted_members = fused
         self._fused = True
+        self._fused_members = [id(m) for m in self.members]
         return self
 
     def apply(self, state: Dict, ctx: Dict) -> Dict:

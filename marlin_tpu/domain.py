@@ -125,6 +125,11 @@ class Domain:
         self.mins = tuple(float(x) for x in mins[:dim])
         self.maxs = tuple(float(x) for x in maxs[:dim])
         self.parallel_mode = parallel_mode
+        if parallel_mode == ParallelMode.FFT_PENCIL and dim != 3:
+            # reference DomainAction.C:572 (the 2-D decomposition of a 2-D
+            # grid is FFT_SLAB); without this, _use_rfft would build a
+            # half-spectrum x axis that fft() never produces in 2-D
+            raise ValueError("Dimension must be 3 for pencil decomposition.")
         self.periodic = periodic
         self.mesh = mesh
         self.fft_backend = fft_backend
@@ -147,17 +152,24 @@ class Domain:
                     f"extent to factor as {pallas_fft.SUPPORTED_RULE}; "
                     f"got {bad}"
                 )
-            if parallel_mode == ParallelMode.NONE:
-                # per-extent support is necessary but not sufficient: the
-                # mid-axis kernels must also tile the transverse products
-                # (200³ passes the extent check but 200×200=40000 lanes
-                # can't block) — reject at build time, not mid-run
+            # per-extent support is necessary but not sufficient: the
+            # mid-axis kernels must also tile the transverse products
+            # (200³ passes the extent check but 200×200=40000 lanes
+            # can't block) — reject at build time, not mid-run.  FFT_SLAB
+            # checks the PER-SHARD kernel shapes; without a mesh a slab
+            # deck runs the whole-grid kernels, so the serial check
+            # applies there too.
+            if parallel_mode == ParallelMode.FFT_SLAB and mesh is not None:
+                p = int(np.prod(mesh.devices.shape))
+                reason = pallas_fft.slab_grid_unsupported_reason(
+                    self.n_global, p)
+            else:
                 reason = pallas_fft.grid_unsupported_reason(self.n_global)
-                if reason:
-                    raise ValueError(
-                        f"[Domain] fft_backend = PALLAS cannot tile this "
-                        f"grid: {reason}"
-                    )
+            if reason:
+                raise ValueError(
+                    f"[Domain] fft_backend = PALLAS cannot tile this "
+                    f"grid: {reason}"
+                )
             if floating_precision == Precision.DOUBLE:
                 raise ValueError(
                     "[Domain] fft_backend = PALLAS is single-precision "

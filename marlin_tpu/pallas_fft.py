@@ -105,6 +105,29 @@ def grid_unsupported_reason(shape) -> Optional[str]:
     return None
 
 
+def slab_grid_unsupported_reason(shape, p: int) -> Optional[str]:
+    """Build-time feasibility check for the 3-D FFT_SLAB Pallas path at
+    ``p`` ranks (parallel.fft_slab_pallas): the z (lanes) and x (mid)
+    kernels see the Y-sharded local block (nx, ny/p, nz), the y (mid)
+    kernel the X-sharded block (nx/p, ny, nz).  Mirrors `_pick_tb`/
+    `_pick_tl` on plain ints so Domain can reject at build time with a
+    named error instead of failing inside the jitted shard_map trace."""
+    nx, ny, nz = (int(s) for s in shape)
+    for n in (nx, ny, nz):
+        if not supported(n):
+            return f"extent {n} does not factor as {SUPPORTED_RULE}"
+    if ny % p or nx % p:
+        return (f"FFT_SLAB PALLAS needs nx and ny divisible by the mesh "
+                f"size {p} (got {nx}x{ny})")
+    try:
+        _pick_tb(nx * (ny // p), nz)          # z kernel, real block
+        _pick_tl((ny // p) * nz, nx)          # x kernel, real block
+        _pick_tl(nz, ny)                      # y kernel, reciprocal block
+    except ValueError as e:
+        return str(e)
+    return None
+
+
 def true_k_order(n: int) -> np.ndarray:
     """true_k[k'] — the natural frequency index stored at permuted slot k'."""
     b = base(n)
@@ -546,6 +569,11 @@ def fwd_axes_planar(x, axes, pre=None, imag=None):
             raise ValueError(f"pallas fft: unsupported extent {shape[d]}")
     if pre is not None and (dim - 1) not in axes:
         raise ValueError("pre-op fusion requires the last axis in `axes`")
+    if pre is not None and imag is not None:
+        # the fused pointwise producer is only defined for a real input
+        # plane — silently dropping it would return fft(x) where the
+        # caller asked for fft(pre(x))
+        raise ValueError("pre-op fusion requires a real input (imag=None)")
     rr, ri = x.astype(jnp.float32), imag
     for d in sorted(axes, reverse=True):
         if d == dim - 1:

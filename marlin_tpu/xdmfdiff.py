@@ -154,7 +154,32 @@ def compare(path_a: str, path_b: str, rtol: float = 5.5e-6,
     if len(sa) != len(sb):
         print(f"snapshot count differs: {len(sa)} vs {len(sb)}", file=out)
         failures += 1
-    for i, ((ta, fa), (tb, fb)) in enumerate(zip(sa, sb)):
+    # pair by time value when both series carry times (one run may have an
+    # extra leading frame — index pairing would misalign every comparison);
+    # fall back to index pairing otherwise
+    if all(t is not None for t, _ in sa) and all(t is not None for t, _ in sb):
+        tb_list = [t for t, _ in sb]
+        pairs = []
+        used = set()
+        for ta, fa in sa:
+            best = None
+            for j, t in enumerate(tb_list):
+                if j not in used and np.isclose(ta, t):
+                    best = j
+                    break
+            if best is None:
+                print(f"t={ta}: no matching snapshot in {path_b}", file=out)
+                failures += 1
+                continue
+            used.add(best)
+            pairs.append(((ta, fa), sb[best]))
+        for j, (t, _) in enumerate(sb):
+            if j not in used:
+                print(f"t={t}: no matching snapshot in {path_a}", file=out)
+                failures += 1
+    else:
+        pairs = list(zip(sa, sb))
+    for i, ((ta, fa), (tb, fb)) in enumerate(pairs):
         label = f"T{i} (t={ta})"
         if ta is not None and tb is not None and not np.isclose(ta, tb):
             print(f"{label}: time differs ({ta} vs {tb})", file=out)

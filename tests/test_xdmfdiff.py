@@ -149,3 +149,28 @@ def test_serial_vs_parallel_series_match(tmp_path):
     # and the parallel series really was a multi-piece spatial collection
     snaps = xdmfdiff.read_series(b)
     assert snaps[0][1]["c"].shape == (16, 16)
+
+
+def test_time_based_pairing_with_extra_leading_frame(tmp_path):
+    """Snapshots pair by TIME value, not index: a series with one extra
+    leading frame still compares its equal-time frames cleanly (plus a
+    count-mismatch + unpaired-frame report)."""
+    xmf, _ = _make_outputs(tmp_path)
+    import xml.etree.ElementTree as ET
+
+    tree = ET.parse(xmf)
+    for dom in tree.getroot():
+        for grid in dom:
+            if grid.get("CollectionType") == "Temporal":
+                grid.remove(list(grid)[0])  # drop the t=0 frame
+    xmf_b = str(tmp_path / "late.xmf")
+    tree.write(xmf_b)
+    out = io.StringIO()
+    failures = xdmfdiff.compare(xmf, xmf_b, out=out)
+    text = out.getvalue()
+    # both remaining frames matched at their true times...
+    assert "[FAIL]" not in text
+    assert "[OK]" in text
+    # ...and the dropped frame is reported as unpaired (+ count mismatch)
+    assert "no matching snapshot" in text
+    assert failures == 2
