@@ -116,19 +116,30 @@ def build_stepper(exec_node: Optional[HitNode], global_params) -> TimeStepper:
 
 
 class Terminator:
-    """[UserObjects] Terminator: stop the run when an expression over
-    postprocessor values becomes true (used by reference
-    benchmarks/01_spinodal_decomposition/1a.i:107-111)."""
+    """[UserObjects] Terminator: act when an expression over postprocessor
+    values becomes true (used by reference
+    benchmarks/01_spinodal_decomposition/1a.i:107-111).  MOOSE semantics:
+    fail_mode = HARD (default) ends the run — cleanly for the default
+    error_level, as an error for error_level = ERROR; fail_mode = SOFT
+    fails the CURRENT timestep so the stepper retries it at cut dt."""
 
     def __init__(self, params: Params):
         self.expression = params.get_str("expression", required=True)
-        self.fail_mode = params.get_str("fail_mode", "HARD")
+        self.fail_mode = params.get_enum("fail_mode", ["HARD", "SOFT"], "HARD")
+        self.error_level = params.get_enum(
+            "error_level", ["NONE", "INFO", "WARNING", "ERROR"], "INFO")
+        self.message = params.get_str("message", None)
 
     def check(self, pp_values: Dict[str, float]) -> bool:
+        # a broken expression (misspelled postprocessor, syntax error) must
+        # surface, not silently disable termination
         try:
             return fparse(self.expression, pp_values) != 0.0
-        except Exception:
-            return False
+        except Exception as e:
+            raise RuntimeError(
+                f"Terminator expression '{self.expression}' failed to "
+                f"evaluate: {e}"
+            ) from e
 
 
 class CSVWriter:
@@ -154,14 +165,30 @@ class CSVWriter:
             return "0"
         return f"{x:.14g}"
 
+    _written = 0          # rows already on disk
+    _written_cols = None  # column set they were written with
+
     def write(self):
+        """Flush to disk.  Called every timestep (a mid-run abort must not
+        lose the rows so far — MOOSE flushes per step), so new rows APPEND
+        in O(1); the file is only rewritten when the column set changes
+        (it never does after row 0: the postprocessor set is fixed at
+        build and every row is seeded with all names)."""
         cols = ["time"] + sorted(self.columns)
-        with open(self.path, "w") as f:
-            f.write(",".join(cols) + "\n")
-            for row in self.rows:
-                f.write(
-                    ",".join(self._fmt(row.get(c, 0.0)) for c in cols) + "\n"
-                )
+        if cols != self._written_cols:
+            with open(self.path, "w") as f:
+                f.write(",".join(cols) + "\n")
+                for row in self.rows:
+                    f.write(",".join(self._fmt(row.get(c, 0.0))
+                                     for c in cols) + "\n")
+            self._written_cols = cols
+            self._written = len(self.rows)
+            return
+        with open(self.path, "a") as f:
+            for row in self.rows[self._written:]:
+                f.write(",".join(self._fmt(row.get(c, 0.0))
+                                 for c in cols) + "\n")
+        self._written = len(self.rows)
 
 
 class Transient:
@@ -197,6 +224,7 @@ class Transient:
                     self.terminators.append(Terminator(bp))
 
         os.makedirs(output_dir or ".", exist_ok=True)
+        self.output_dir = output_dir or "."
         self.csv = None
         op = Params(outputs_node, gp)
         # always read the deck's file_base through Params (even when the
@@ -293,7 +321,7 @@ class Transient:
             self._vpp_counter += 1
         if not active:
             return
-        outdir = os.path.dirname(self.csv.path) if self.csv else "."
+        outdir = self.output_dir
         for v in active:
             cols = v.compute(self.state, {"t": self.time})
             path = os.path.join(
@@ -326,12 +354,14 @@ class Transient:
         self.state = state
         self.time = meta["time"]
         self.step_count = meta["step"]
+        self._vpp_counter = meta["step"]
         self._last_dt = meta["dt"]
         self._lbm_residual = None  # re-fetch from the restored state
         self.pp_values = dict(meta.get("pp_values", {}))
 
     _last_dt = 0.0
     _lbm_residual = None
+    _vpp_counter = 0
 
     def run(self) -> Dict[str, float]:
         if self.state is None:
@@ -378,11 +408,20 @@ class Transient:
                         first_step=(self.step_count == 1),
                     )
                 solver_info = self._solver_info()
-                if (
+                # SOFT terminators fail the CURRENT step (MOOSE fail_mode =
+                # SOFT): retry at cut dt like a non-converged solve
+                soft_fired = any(
+                    t.check({**self.pp_values,
+                             **{k: v for k, v in values.items()
+                                if not k.startswith("_")}})
+                    for t in self.terminators if t.fail_mode == "SOFT"
+                )
+                solve_ok = (
                     solver_info is None
                     or solver_info.get("converged", True)
-                    or not hasattr(self.stepper, "failed_dt")
-                ):
+                )
+                if (solve_ok and not soft_fired) or not hasattr(
+                        self.stepper, "failed_dt"):
                     break
                 if dt <= self.dtmin:
                     raise RuntimeError(
@@ -400,6 +439,7 @@ class Transient:
             self.pp_values.update(values)
             if self.csv is not None:
                 self.csv.add_row(self.time, dict(self.pp_values))
+                self.csv.write()
             self._run_outputs()
             self._write_vpps("TIMESTEP_END")
             if (
@@ -408,7 +448,16 @@ class Transient:
             ):
                 self.save_checkpoint()
 
-            if any(t.check(self.pp_values) for t in self.terminators):
+            hard_fired = [t for t in self.terminators
+                          if t.fail_mode == "HARD" and t.check(self.pp_values)]
+            if hard_fired:
+                t = hard_fired[0]
+                msg = t.message or (
+                    f"Terminator expression '{t.expression}' is true")
+                if t.error_level == "ERROR":
+                    raise RuntimeError(msg)
+                if t.error_level != "NONE":
+                    print(msg)
                 break
 
         if self.csv is not None:

@@ -77,6 +77,7 @@ class XDMFTensorOutput:
         self._frames: List[Dict] = []
         self._h5 = None
         self._thread: Optional[threading.Thread] = None
+        self._thread_error: Optional[BaseException] = None
 
     # ------------------------------------------------------------------
     def _dims(self):
@@ -123,7 +124,11 @@ class XDMFTensorOutput:
             slices = local_slices(self.domain)
         for bname in self.buffers:
             if bname not in state["buffers"]:
-                continue
+                raise KeyError(
+                    f"XDMF output '{self.name}': buffer '{bname}' does not "
+                    "exist (declared buffers: "
+                    + ", ".join(sorted(state["buffers"])) + ")"
+                )
             garr = np.asarray(state["buffers"][bname])
             mode = self.output_mode[bname]
             for r in range(self.n_ranks):
@@ -156,8 +161,11 @@ class XDMFTensorOutput:
         self.frame += 1
 
         def write():
-            self._write_h5(frame_data)
-            self._write_xmf()
+            try:
+                self._write_h5(frame_data)
+                self._write_xmf()
+            except BaseException as e:  # re-raised on the main thread
+                self._thread_error = e
 
         self._thread = threading.Thread(target=write)
         self._thread.start()
@@ -166,6 +174,11 @@ class XDMFTensorOutput:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._thread_error is not None:
+            e, self._thread_error = self._thread_error, None
+            raise RuntimeError(
+                f"XDMF output '{self.name}' failed in the writer thread: {e}"
+            ) from e
 
     def finalize(self):
         self.wait()
@@ -194,11 +207,6 @@ class XDMFTensorOutput:
         dim = self.domain.dim
         n, h, origin = self._dims()
         node_grid = " ".join(str(x + 1) for x in n)
-        data_grid = {
-            True: " ".join(str(x) for x in n),  # cell
-            False: " ".join(str(x + 1) for x in n),  # node
-        }
-        geometry_type = "ORIGIN_" + "".join("DXYZ"[1 + i] for i in range(dim))
         # ORIGIN_DX / ORIGIN_DXDY / ORIGIN_DXDYDZ
         geometry_type = "ORIGIN_" + "".join(["DX", "DY", "DZ"][i] for i in range(dim))
 

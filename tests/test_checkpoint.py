@@ -86,3 +86,23 @@ def test_resume_bit_exact(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(res.state["buffers"]["c"]), np.asarray(full.state["buffers"]["c"])
     )
+
+
+def test_recover_without_init_runs(tmp_path):
+    """recover() -> run() must work WITHOUT an init() call (regression:
+    _vpp_counter was only set in init(), so this path crashed with
+    AttributeError on the first step)."""
+    part = _make(tmp_path / "part", 5)
+    part.run()
+    part.save_checkpoint()
+
+    res = _make(tmp_path / "part", 10)
+    res.recover(part.checkpoint_path)  # no init()
+    res.run()
+    assert res.step_count == 10
+
+    full = _make(tmp_path / "full", 10)
+    full.run()
+    np.testing.assert_array_equal(
+        np.asarray(res.state["buffers"]["c"]),
+        np.asarray(full.state["buffers"]["c"]))

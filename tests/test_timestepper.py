@@ -262,3 +262,109 @@ def test_carry_reciprocal_rejected_for_non_abm():
     deck = deck.replace("substeps = 1", "substeps = 1\n  carry_reciprocal = true")
     with pytest.raises(ParamError, match="carry_reciprocal"):
         TensorProblem(hit.parse(deck))
+
+
+_TERM_DECK_TAIL = """
+[UserObjects]
+  [term]
+    type = Terminator
+    expression = '{expr}'
+    {extra}
+  []
+[]
+"""
+
+
+def _run_terminator(expr, extra="", num_steps=5):
+    deck = _LIMIT_DECK.replace("num_steps = 3", f"num_steps = {num_steps}") \
+        + _TERM_DECK_TAIL.format(expr=expr, extra=extra)
+    root = hit.parse(deck)
+    problem = TensorProblem(root)
+    tr = Transient(problem,
+                   exec_node=root.children.get("Executioner"),
+                   user_objects_node=root.children.get("UserObjects"))
+    tr.run()
+    return tr
+
+
+def test_terminator_stops_run():
+    """Default HARD/INFO terminator ends the run cleanly (reference
+    benchmarks/01_spinodal_decomposition/1a.i usage)."""
+    tr = _run_terminator("dt_crit > 0")  # true from step 1
+    assert tr.step_count == 1
+
+
+def test_terminator_error_level_error_raises():
+    """MOOSE fail_mode=HARD + error_level=ERROR aborts as an error."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="boom"):
+        _run_terminator("dt_crit > 0",
+                        extra="error_level = ERROR\n    message = 'boom'")
+
+
+def test_terminator_broken_expression_raises():
+    """A misspelled postprocessor in the expression must surface instead
+    of silently disabling termination (regression: check() used to
+    swallow every exception and return False)."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="failed to.*evaluate"):
+        _run_terminator("dt_crti > 0")
+
+
+def test_terminator_soft_fails_the_step():
+    """fail_mode=SOFT fails the CURRENT timestep: the stepper retries at
+    cut dt until dtmin, then hard-errors (MOOSE semantics)."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="dtmin"):
+        _run_terminator("dt_crit > 0", extra="fail_mode = SOFT", num_steps=2)
+
+
+def test_vpp_csv_respects_output_dir(tmp_path):
+    """Vector-postprocessor CSV series land in output_dir even when the
+    scalar CSV output is disabled (regression: they fell back to cwd)."""
+    import os
+
+    from marlin_tpu import hit as hit_mod
+    from marlin_tpu.executioner import run_deck
+
+    root = hit_mod.load(
+        "/root/reference/test/tests/histogram/test.i",
+        ["Executioner/num_steps=1", "Outputs/csv=false"])
+    run_deck(root, file_base="hist_out", output_dir=str(tmp_path),
+             deck_stem="test")
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("hist_out_hist_") and f.endswith(".csv")
+               for f in files), files
+
+
+def test_csv_flushed_every_step(tmp_path):
+    """The scalar CSV is (re)written each timestep, so a mid-run abort
+    still leaves the rows written so far (MOOSE flush-per-step behavior)."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    deck = (_LIMIT_DECK.replace("num_steps = 3", "num_steps = 10")
+            + _TERM_DECK_TAIL.format(
+                expr="dt_crit > 0",
+                extra="error_level = ERROR\n    message = 'stop'"))
+    root = hit.parse(deck)
+    problem = TensorProblem(root)
+    from marlin_tpu.executioner import Transient
+
+    tr = Transient(problem,
+                   exec_node=root.children.get("Executioner"),
+                   outputs_node=hit.parse("[Outputs]\ncsv = true\n[]")
+                   .children["Outputs"],
+                   user_objects_node=root.children.get("UserObjects"),
+                   file_base="abort", output_dir=str(tmp_path))
+    with pytest.raises(RuntimeError, match="stop"):
+        tr.run()
+    path = os.path.join(str(tmp_path), "abort.csv")
+    assert os.path.exists(path)
+    rows = np.genfromtxt(path, delimiter=",", names=True)
+    assert np.atleast_1d(rows).shape[0] >= 2  # initial + step 1

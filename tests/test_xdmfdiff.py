@@ -174,3 +174,40 @@ def test_time_based_pairing_with_extra_leading_frame(tmp_path):
     # ...and the dropped frame is reported as unpaired (+ count mismatch)
     assert "no matching snapshot" in text
     assert failures == 2
+
+
+def test_xdmf_mistyped_buffer_raises(tmp_path):
+    """A mistyped name in the XDMF `buffer` list errors by name instead of
+    silently writing a series without the field (same policy as
+    outputs.py's mistyped-type error)."""
+    import pytest
+
+    from marlin_tpu import hit
+    from marlin_tpu.executioner import run_deck
+
+    root = hit.parse(DET_DECK)
+    hit.apply_cli_args(root, ["TensorOutputs/xdmf/buffer=concnetration"])
+    hit.expand_braces(root)
+    with pytest.raises(Exception, match="concnetration"):
+        run_deck(root, file_base="det_out", output_dir=str(tmp_path),
+                 deck_stem="det")
+
+
+def test_xdmf_writer_thread_error_propagates(tmp_path, monkeypatch):
+    """An exception inside the async writer thread (disk full, missing
+    h5py...) re-raises at the next join point — the run must not exit 0
+    with missing output."""
+    import pytest
+
+    from marlin_tpu import hit
+    from marlin_tpu import xdmf as xdmf_mod
+    from marlin_tpu.executioner import run_deck
+
+    monkeypatch.setattr(
+        xdmf_mod.XDMFTensorOutput, "_write_h5",
+        lambda self, frame_data: (_ for _ in ()).throw(OSError("disk full")))
+    root = hit.parse(DET_DECK)
+    hit.expand_braces(root)
+    with pytest.raises(RuntimeError, match="writer thread.*disk full"):
+        run_deck(root, file_base="det_out", output_dir=str(tmp_path),
+                 deck_stem="det")
