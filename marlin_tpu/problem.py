@@ -380,9 +380,13 @@ class TensorProblem:
             root_name = None
         else:
             # no solver block: batch_fft must still validate (and fuse) —
-            # the per-step computes run in DECLARED order (reference
-            # TensorProblem::execute else-branch, TensorProblem.C:186-188),
-            # so the group is fused unsorted to preserve that order
+            # the TOP-LEVEL per-step computes run in DECLARED order
+            # (reference TensorProblem::execute else-branch,
+            # TensorProblem.C:186-188), so the wrapper group is fused
+            # unsorted; NESTED groups are dependency-sorted everywhere in
+            # the reference, so sort them first or fuse_ffts would freeze
+            # their declared order (silently different execution order vs
+            # the unbatched path)
             if self.batch_fft:
                 group = ComputeGroup(
                     "_solve_root",
@@ -390,6 +394,9 @@ class TensorProblem:
                     self,
                     self.solve_computes,
                 )
+                for m in group.members:
+                    if isinstance(m, ComputeGroup):
+                        m.sort()
                 self._apply_batch_fft(group)
                 self._solverless_group = group
             return

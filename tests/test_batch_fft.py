@@ -333,3 +333,69 @@ def test_batch_fft_rejected_for_lbm():
     root = hit.load(deck, ["Problem/batch_fft=true"])
     with pytest.raises(Exception, match="does not apply to"):
         TensorProblem(root)
+
+
+SOLVERLESS_NESTED_DEP_DECK = """
+[Domain]
+  dim = 2
+  nx = 8
+  ny = 8
+  xmax = 1
+  ymax = 1
+[]
+[TensorComputes]
+  [Initialize]
+    [a]
+      type = RandomTensor
+      buffer = a
+      min = 1
+      max = 2
+      seed = 1
+    []
+  []
+  [Solve]
+    [grp]
+      type = ComputeGroup
+      computes = 'c d'
+      # consumer declared BEFORE its producer: only a topological sort
+      # of the nested group executes d first
+      [c]
+        type = ParsedCompute
+        buffer = c
+        expression = 'd*2'
+        inputs = d
+      []
+      [d]
+        type = ParsedCompute
+        buffer = d
+        expression = 'a+1'
+        inputs = a
+      []
+    []
+  []
+[]
+[Problem]
+  type = TensorProblem
+[]
+"""
+
+
+def test_solverless_nested_group_is_sorted_under_batch_fft():
+    """Nested groups are dependency-sorted in the reference even when the
+    top level runs in declared order; the solverless batch_fft path must
+    not freeze them unsorted (regression: fuse_ffts froze the declared
+    consumer-before-producer order, producing c=0 instead of 2(a+1))."""
+    def run(cli):
+        root = hit.parse(SOLVERLESS_NESTED_DEP_DECK)
+        hit.apply_cli_args(root, cli + ["Domain/floating_precision=DOUBLE"])
+        hit.expand_braces(root)
+        p = TensorProblem(root)
+        s = jax.jit(p._step_impl)(p.init_state(), 0.0, 0.1, 0.1, True)
+        return {k: np.asarray(v) for k, v in s["buffers"].items()}
+
+    a = run([])
+    b = run(["Problem/batch_fft=true"])
+    np.testing.assert_array_equal(a["d"], a["a"] + 1.0)
+    np.testing.assert_array_equal(a["c"], 2.0 * (a["a"] + 1.0))
+    for k in ("a", "c", "d"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
