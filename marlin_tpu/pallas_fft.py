@@ -76,9 +76,6 @@ def supported(n: int) -> bool:
 SUPPORTED_RULE = (f"a multiple of 128 up to 1024, or any extent in "
                   f"[8, {DIRECT_MAX}] (direct DFT matmul)")
 
-# kept for error messages / older callers
-_SUPPORTED = SUPPORTED_RULE
-
 
 def grid_unsupported_reason(shape) -> Optional[str]:
     """Build-time feasibility check for `fftn_unordered` on a full grid.
@@ -574,7 +571,8 @@ def fwd_axes_planar(x, axes, pre=None, imag=None):
         # plane — silently dropping it would return fft(x) where the
         # caller asked for fft(pre(x))
         raise ValueError("pre-op fusion requires a real input (imag=None)")
-    rr, ri = x.astype(jnp.float32), imag
+    rr = x.astype(jnp.float32)
+    ri = imag.astype(jnp.float32) if imag is not None else None
     for d in sorted(axes, reverse=True):
         if d == dim - 1:
             n = shape[-1]
@@ -597,6 +595,10 @@ def inv_axes_planar(rr, ri, axes, real_output=False, shape=None):
     result is returned alone; otherwise planar (re, im)."""
     shape = rr.shape if shape is None else shape
     dim = len(shape)
+    if real_output and (dim - 1) not in axes:
+        # falling through would return a planar tuple where the caller
+        # expects one real array — fail here, not far downstream
+        raise ValueError("real_output requires the last axis in `axes`")
     for d in sorted(axes):
         n_d = shape[d]
         if d == dim - 1:

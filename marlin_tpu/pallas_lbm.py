@@ -103,10 +103,8 @@ class FusedLBMConfig:
 @dataclass(frozen=True)
 class FusedLBMPlan:
     config: FusedLBMConfig
-    f: str  # streamed-distribution buffer (recomputed by the final substep)
     fpc: str  # post-collision distribution (the carried state)
     speed: Optional[str]  # velocity-magnitude buffer (residual input)
-    has_residual: bool
     media: Optional[str] = None  # binary-media buffer name
 
 
@@ -523,7 +521,7 @@ def fused_substep(fpc_qm, media, cfg: FusedLBMConfig, ext=None):
     return fpc_new, speed_new
 
 
-def _ring(axis_name, axis_size):
+def _ring(axis_size):
     to_right = [(s, (s + 1) % axis_size) for s in range(axis_size)]
     to_left = [(s, (s - 1) % axis_size) for s in range(axis_size)]
     return to_right, to_left
@@ -560,8 +558,8 @@ def exchange_media_halo(media, cfg: FusedLBMConfig, axis_names, axis_sizes):
     planes/rows — hoisted out of the substep loop by the caller."""
     if not cfg.has_media:
         return None
-    x_ring = _ring(axis_names[0], axis_sizes[0])
-    y_ring = _ring(axis_names[1], axis_sizes[1]) if cfg.shard_y else None
+    x_ring = _ring(axis_sizes[0])
+    y_ring = _ring(axis_sizes[1]) if cfg.shard_y else None
     return _exchange_xy(media, axis_names, cfg, x_ring, y_ring, 0, 1)
 
 
@@ -573,8 +571,8 @@ def fused_substep_sharded(fpc_qm, media, media_ext, cfg: FusedLBMConfig,
     corners on 2-D meshes — and run the local fused kernel with the
     received data substituted at the shard boundaries.
     `media_ext`: the hoisted exchange_media_halo result."""
-    x_ring = _ring(axis_names[0], axis_sizes[0])
-    y_ring = _ring(axis_names[1], axis_sizes[1]) if cfg.shard_y else None
+    x_ring = _ring(axis_sizes[0])
+    y_ring = _ring(axis_sizes[1]) if cfg.shard_y else None
     f_ext = _exchange_xy(fpc_qm, axis_names, cfg, x_ring, y_ring, 1, 2)
     xoff = jax.lax.axis_index(axis_names[0]) * cfg.nx
     yoff = (jax.lax.axis_index(axis_names[1]) * cfg.ny if cfg.shard_y
@@ -662,7 +660,6 @@ def match_chain(problem) -> FusedLBMPlan:
 
     st = problem.lbm_stencil()
     faces = []
-    wall_bounce_back = False
     for bc in problem.bc_computes:
         if not isinstance(bc, LB.LBMBounceBack):
             _reject(f"boundary compute '{bc.name}' is not LBMBounceBack")
@@ -671,7 +668,6 @@ def match_chain(problem) -> FusedLBMPlan:
         if bc.boundary == "wall":
             if not has_media:
                 _reject("wall bounce-back requires binary media")
-            wall_bounce_back = True
             faces.append((-1, 0, ()))  # keep the deck's BC ordering
             continue
         if bc.boundary not in _FACE_AXIS_SIDE:
@@ -771,9 +767,7 @@ def match_chain(problem) -> FusedLBMPlan:
         _reject(f"unsupported old-state history on {sorted(old_keys)}")
     return FusedLBMPlan(
         config=cfg,
-        f=f_name,
         fpc=fpc_name,
         speed=speed.out if speed is not None else None,
-        has_residual=residual is not None,
         media=problem.lbm_binary_media if has_media else None,
     )

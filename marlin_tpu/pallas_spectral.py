@@ -145,6 +145,18 @@ def _call_update(mr, mi, cr, ci, onr, oni, kx2, kyz2, scal, plan):
     )
     kern = _fwd_x_update_kernel(n, tl, plan.mobility, plan.lin)
     consts = pf._consts(n, False)
+    # the fused kernel holds ~2-3x the live footprint _pick_tl's 8 MB
+    # heuristic assumes (10 block-sized I/O refs + DFT tables + update
+    # temporaries) — raise the scoped-VMEM limit past the 16 MB default
+    # like the LBM kernel so whole-L direct-DFT blocks (e.g. 400²) don't
+    # die in a raw Mosaic VMEM error after passing every build-time check
+    import os
+
+    vmem_mb = int(os.environ.get("MARLIN_TPU_SPECTRAL_VMEM_MB", "64"))
+    params = (
+        pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 2 ** 20)
+        if not pf._interpret() else None
+    )
     return pl.pallas_call(
         kern,
         out_shape=out_shape,
@@ -152,6 +164,7 @@ def _call_update(mr, mi, cr, ci, onr, oni, kx2, kyz2, scal, plan):
         in_specs=in_specs,
         out_specs=tuple(bs for _ in range(4)),
         interpret=pf._interpret(),
+        compiler_params=params,
     )(mr, mi, *consts, cr, ci, onr, oni, kx2, kyz2, scal)
 
 
