@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -201,6 +202,18 @@ class RandomTensor(TensorCompute):
 
     def apply(self, state, ctx):
         import torch
+
+        if not self.generate_on_cpu:
+            # reference generate_on_cpu=false draws from the DEVICE RNG —
+            # a different stream per device family, which upstream itself
+            # flags as non-reproducible (RandomTensor.C:24-27).  Here the
+            # device stream is jax.random; only the default CPU stream is
+            # bit-compatible with the reference golds.
+            key = jax.random.PRNGKey(self.seed if self.seed is not None else 0)
+            u = jax.random.uniform(
+                key, self.problem.local_tensor_shape(),
+                dtype=self.domain.dtype)
+            return {self.out: u * (self.max - self.min) + self.min}
 
         tdtype = torch.float64 if self.domain.dtype == jnp.float64 else torch.float32
         if self.domain.mesh is None:

@@ -170,7 +170,7 @@ class _CollisionBase(LatticeBoltzmannOperator):
         ones = np.ones(st.q, dtype=np.int64)
         ex2 = np.stack([st.ex, zeros, zeros])
         ey2 = np.stack([zeros, st.ey, zeros])
-        ez2 = np.stack([ones if nz_is_one else zeros, zeros, st.ez]) if nz_is_one \
+        ez2 = np.stack([ones, zeros, st.ez]) if nz_is_one \
             else np.stack([zeros, zeros, st.ez])
         # outer_products[i, k, a, b] = ez2[k,i] outer of ex2[a,i], ey2[b,i]
         outer = np.zeros((st.q, 3, 3, 3), dtype=np.dtype(self.domain.dtype))
@@ -436,7 +436,7 @@ class LBMApplyForces(LatticeBoltzmannOperator):
         Fx = F[..., 0][..., None]
         Fy = F[..., 1][..., None]
         Fz = F[..., 2][..., None] if dim == 3 else jnp.zeros_like(Fx)
-        source = st.weights * rho[..., 0][..., None] * (
+        source = st.weights * rho * (
             (st.ex * Fx + st.ey * Fy + st.ez * Fz) / CS2
         )
         u = state[self.out] + (1.0 - 1.0 / (2.0 * self.tau)) * source

@@ -146,13 +146,20 @@ class LBMBounceBack(LBMBoundaryCondition):
             if media is None:
                 raise ComputeError("wall boundary requires binary media")
             st = self.stencil
-            dirmask = np.zeros(media.shape + (st.q,), dtype=bool)
+            # pack the per-direction mask as ONE media-sized uint32
+            # bitfield (bit ic set where direction ic bounces; q <= 27).
+            # A (nx,ny,nz,q) bool would embed a q-times-larger constant
+            # into every traced step — ~319 MB of HLO literal at 256³
+            # D3Q19, the same constant-size failure ConstantReciprocal
+            # avoids (remote compile rejects huge literals)
+            bits = np.zeros(media.shape, dtype=np.uint32)
+            fluid = media >= 1
             for ic in range(1, st.q):
                 upstream_solid = (
                     np.roll(media, (st.ex[ic], st.ey[ic], st.ez[ic]), (0, 1, 2)) == 0
                 )
-                dirmask[..., ic] = upstream_solid & (media >= 1)
-            self._wall_mask = dirmask
+                bits |= (upstream_solid & fluid).astype(np.uint32) << ic
+            self._wall_mask = bits
         fold = self._fold(ctx)
         st = self.stencil
         f_bounce = jnp.concatenate(
@@ -162,16 +169,9 @@ class LBMBounceBack(LBMBoundaryCondition):
             ],
             axis=-1,
         )
-        return jnp.where(jnp.asarray(self._wall_mask), f_bounce, u)
-
-
-def _d2q9_density_left(f, value):
-    return (
-        1.0
-        / (1.0 - value)
-        * (f[0, :, :, 0] + f[0, :, :, 2] + f[0, :, :, 4]
-           + 2.0 * (f[0, :, :, 3] + f[0, :, :, 6] + f[0, :, :, 7]))
-    )
+        bits = jnp.asarray(self._wall_mask)[..., None]
+        mask = (bits >> jnp.arange(st.q, dtype=jnp.uint32)) & jnp.uint32(1)
+        return jnp.where(mask != 0, f_bounce, u)
 
 
 @computes.register("LBMFixedFirstOrderBC")

@@ -224,6 +224,15 @@ class RankTwoIdentity(TensorCompute):
         return {self.out: jnp.broadcast_to(eye, dom.value_shape((dom.dim, dom.dim)))}
 
 
+def _check_newton_converged(done, name):
+    if not bool(done):
+        raise RuntimeError(
+            f"FFTMechanics '{name}': Exceeded the maximum number of "
+            "nonlinear iterations without converging (reference "
+            "FFTMechanics.C error; raise nl_max_its or loosen nl_*_tol)"
+        )
+
+
 @computes.register("FFTMechanics")
 class FFTMechanics(TensorCompute):
     """Galerkin FFT micromechanics: Ĝ projection built once, Newton loop with
@@ -415,6 +424,12 @@ class FFTMechanics(TensorCompute):
         dFm0 = jnp.zeros_like(b)
         init = (jnp.zeros((), jnp.int32), dFm0, b, pack(scope), jnp.asarray(False))
         iiter, dFm, b, cscope, done = jax.lax.while_loop(cond, body, init)
+        # the reference hard-errors when nl_max_its is exhausted
+        # (FFTMechanics.C "Exceeded the maximum number of nonlinear
+        # iterations without converging"); silently continuing would write
+        # unconverged fields into outputs.  The host callback raises at the
+        # step's next sync point — physics is unchanged on success.
+        jax.debug.callback(_check_newton_converged, done, self.name)
         return {k: cscope[k] for k in carried_keys}
 
 

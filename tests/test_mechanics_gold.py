@@ -111,3 +111,28 @@ def test_gate_requires_methods_actually_called(monkeypatch):
     assert build().analytic_tangent is True
     monkeypatch.delattr(M.HyperElasticIsotropic, "tangent_fields")
     assert build().analytic_tangent is False
+
+
+def test_newton_nonconvergence_raises():
+    """Exhausting nl_max_its must surface as an error (reference
+    FFTMechanics.C paramError), not silently write unconverged fields."""
+    import pytest
+
+    from marlin_tpu import hit as hit_mod
+    from marlin_tpu.problem import TensorProblem
+
+    from .gold import REF
+
+    root = hit_mod.load(
+        REF + "/test/tests/mechanics/mech.i",
+        ["TensorComputes/Solve/root/mech/nl_max_its=1",
+         "TensorComputes/Solve/root/mech/nl_rel_tol=1e-30",
+         "TensorComputes/Solve/root/mech/nl_abs_tol=1e-30"])
+    p = TensorProblem(root)
+    s = p.init_state()
+    with pytest.raises(Exception, match="[Nn]onlinear iterations"):
+        import jax
+        import numpy as np
+
+        s = jax.jit(p._step_impl)(s, 0.0, 0.1, 0.0, True)
+        np.asarray(jax.tree_util.tree_leaves(s)[0])  # sync

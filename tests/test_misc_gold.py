@@ -116,3 +116,51 @@ def test_xmf_gold(deck, gold, out):
         pytest.skip("no gold")
     _, tmp = run_ref_deck(deck)
     xml_diff(os.path.join(REF, gold), f"{tmp}/{out}")
+
+
+def test_random_tensor_generate_on_device():
+    """RandomTensor generate_on_cpu=false draws from the JAX device RNG
+    (the reference's device-RNG path, RandomTensor.C:46-53) — seeded,
+    in-range, and a DIFFERENT stream than the CPU default."""
+    import numpy as np
+
+    from marlin_tpu import hit
+    from marlin_tpu.problem import TensorProblem
+
+    deck = """
+[Domain]
+  dim = 2
+  nx = 8
+  ny = 8
+  xmax = 1
+  ymax = 1
+[]
+[TensorComputes]
+  [Initialize]
+    [c]
+      type = RandomTensor
+      buffer = c
+      min = 2
+      max = 3
+      seed = 7
+      generate_on_cpu = {gen}
+    []
+  []
+[]
+[Problem]
+  type = TensorProblem
+[]
+"""
+
+    def run(gen):
+        root = hit.parse(deck.format(gen=gen))
+        hit.expand_braces(root)
+        p = TensorProblem(root)
+        return np.asarray(p.init_state()["buffers"]["c"])
+
+    dev = run("false")
+    cpu = run("true")
+    assert dev.shape == cpu.shape
+    assert 2.0 <= dev.min() and dev.max() <= 3.0
+    assert not np.array_equal(dev, cpu)  # different stream by design
+    np.testing.assert_array_equal(dev, run("false"))  # but seeded
