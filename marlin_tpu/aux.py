@@ -61,6 +61,8 @@ class AuxSystem:
         self.variables: Dict[str, AuxVariable] = {}
         self._map: Dict[str, str] = {}  # var -> buffer
         self.kernel_execute_on: Dict[str, set] = {}
+        self.kernel_type: Dict[str, str] = {}
+        self._initial_cache: Dict[str, np.ndarray] = {}
 
         av = root.children.get("AuxVariables")
         if av is not None:
@@ -116,6 +118,7 @@ class AuxSystem:
                         f"(not declared and not produced by any compute)"
                     )
                 self._map.setdefault(var, buf)
+                self.kernel_type[var] = t
                 self.kernel_execute_on[var] = set(
                     x.upper() for x in p.get_str_vector(
                         "execute_on", default=["INITIAL", "TIMESTEP_END"]
@@ -145,28 +148,38 @@ class AuxSystem:
         if buf is None:
             shape = tuple(x + 1 for x in n) if self.is_nodal(var) else n
             return np.zeros(shape)
+        # an AuxKernel restricted to INITIAL keeps its first sample
+        # (MOOSE only re-executes kernels on their execute_on flags)
+        exec_on = self.kernel_execute_on.get(var)
+        if exec_on is not None and "TIMESTEP_END" not in exec_on:
+            if var in self._initial_cache:
+                return self._initial_cache[var]
         arr = np.asarray(state["buffers"][buf])
-        if arr.ndim == dom.dim + 1 and var in self.kernel_execute_on:
+        if arr.ndim == dom.dim + 1 and \
+                self.kernel_type.get(var) == "ProjectVectorTensorAux":
             # ProjectVectorTensorAux: component-wise sampling of a vector
             # buffer (periodic wrap applies to the spatial axes only)
-            if not self.is_nodal(var):
-                return arr
-            for d in range(dom.dim):
-                idx = [slice(None)] * arr.ndim
-                idx[d] = np.arange(n[d] + 1) % n[d]
-                arr = arr[tuple(idx)]
+            if self.is_nodal(var):
+                for d in range(dom.dim):
+                    idx = [slice(None)] * arr.ndim
+                    idx[d] = np.arange(n[d] + 1) % n[d]
+                    arr = arr[tuple(idx)]
+            if exec_on is not None and "TIMESTEP_END" not in exec_on:
+                self._initial_cache[var] = arr
             return arr
         if arr.ndim != dom.dim:
             raise AuxError(
                 f"Buffer '{buf}' is not a scalar field; cannot map to aux "
-                f"variable '{var}' (reference TensorProblem.C:341-346)"
+                f"variable '{var}' (reference TensorProblem.C:341-346; use "
+                "ProjectVectorTensorAux for vector buffers)"
             )
-        if not self.is_nodal(var):
-            return arr
-        for d in range(dom.dim):
-            idx = [slice(None)] * dom.dim
-            idx[d] = np.arange(n[d] + 1) % n[d]
-            arr = arr[tuple(idx)]
+        if self.is_nodal(var):
+            for d in range(dom.dim):
+                idx = [slice(None)] * dom.dim
+                idx[d] = np.arange(n[d] + 1) % n[d]
+                arr = arr[tuple(idx)]
+        if exec_on is not None and "TIMESTEP_END" not in exec_on:
+            self._initial_cache[var] = arr
         return arr
 
 

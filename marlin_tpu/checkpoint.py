@@ -24,7 +24,12 @@ def _flatten(state: Dict, prefix="") -> Dict[str, np.ndarray]:
     for k, v in state.items():
         key = f"{prefix}{k}"
         if isinstance(v, dict):
-            out.update(_flatten(v, key + "/"))
+            if not v:
+                # an EMPTY dict (e.g. state['old'] on history-free decks)
+                # must survive the round-trip or resume loses the key
+                out[key + "/__empty__"] = np.zeros(0, dtype=np.uint8)
+            else:
+                out.update(_flatten(v, key + "/"))
         else:
             out[key] = np.asarray(v)
     return out
@@ -37,6 +42,8 @@ def _unflatten(arrays: Dict[str, np.ndarray]) -> Dict:
         d = root
         for p in parts[:-1]:
             d = d.setdefault(p, {})
+        if parts[-1] == "__empty__":
+            continue  # marker: the parent dict exists but is empty
         d[parts[-1]] = jax.numpy.asarray(arr)
     return root
 

@@ -99,7 +99,9 @@ def write_exodus(path, domain, times, nodal=None, elem=None, glo=None, title=Non
     f.floating_point_word_size = np.int32(8)
     f.file_size = np.int32(1)
     f.int64_status = np.int32(0)
-    f.maximum_name_length = np.int32(32)
+    # names live in a 256-wide len_name dimension; advertising 32
+    # here would make ex_get_names readers truncate longer names
+    f.maximum_name_length = np.int32(255)
 
     f.createDimension("time_step", None)  # scipy: unlimited dim must be first
     f.createDimension("len_name", LEN_NAME)

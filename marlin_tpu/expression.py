@@ -382,10 +382,6 @@ _UNARY_FUNCS = (
     "exp log log10 log2 sqrt abs ceil floor round trunc erf"
 ).split()
 
-_BINARY_FUNCS = "min max atan2 hypot pow plog".split()
-
-_TERNARY_FUNCS = ["if"]
-
 
 @dataclass(frozen=True)
 class FunctionCall(Expr):
@@ -517,6 +513,12 @@ class FunctionCall(Expr):
         )
 
     def evaluate(self, env, ops):
+        if (self.name == "if" and len(self.args) == 3
+                and getattr(ops, "lazy_if", False)):
+            # FParser semantics: only the taken branch is evaluated, so
+            # guarded division if(a!=0, 1/a, 0) cannot crash on the host
+            cond = self.args[0].evaluate(env, ops)
+            return self.args[1 if cond != 0.0 else 2].evaluate(env, ops)
         args = [a.evaluate(env, ops) for a in self.args]
         return ops.call(self.name, args)
 
@@ -589,18 +591,28 @@ class Let(Expr):
     body: Expr
 
     def simplify(self):
-        # inline bindings that reduce to constants (substituting forward into
-        # later bindings and the body)
+        # inline bindings that reduce to constants, substituting forward into
+        # later bindings and the body — but STOP at a re-binding of the same
+        # name: `x := 2; x := x+1; x` re-binds x, so the constant 2 may only
+        # flow into that re-binding's RHS, never past it (shadowing)
         pending = list(self.bindings)
         body = self.body
         keep = []
         for i, (n, e) in enumerate(pending):
-            e = e.simplify()
+            e = pending[i][1].simplify()
+            pending[i] = (n, e)
             if isinstance(e, Constant):
-                pending[i + 1 :] = [
-                    (pn, pe.substitute(n, e)) for pn, pe in pending[i + 1 :]
-                ]
-                body = body.substitute(n, e)
+                shadowed = False
+                for j in range(i + 1, len(pending)):
+                    pn, pe = pending[j]
+                    pending[j] = (pn, pe.substitute(n, e))
+                    if pn == n:  # re-binding: later refs mean the NEW x
+                        shadowed = True
+                        break
+                if not shadowed:
+                    body = body.substitute(n, e)
+                # shadowed: every possible reference got the substitution
+                # (up to the re-binding RHS), so the binding is dead
             else:
                 keep.append((n, e))
         body = body.simplify()
@@ -869,6 +881,10 @@ def parse(text: str, constants: Sequence[str] = ()) -> Expr:
 class Ops:
     """Scalar math backend (used for deck `${fparse ...}` evaluation)."""
 
+    #: FParser evaluates if() with conditional jumps — only the taken
+    #: branch runs.  The tensor backend overrides this (torch/jnp where)
+    lazy_if = True
+
     def neg(self, a):
         return -a
 
@@ -914,6 +930,8 @@ class Ops:
 
 class JaxOps(Ops):
     """jax.numpy evaluation backend for tensor expressions."""
+
+    lazy_if = False  # if() lowers to jnp.where (reference: torch where)
 
     def __init__(self):
         import jax.numpy as jnp  # deferred import
@@ -1090,3 +1108,9 @@ class CompiledExpression:
         scope = dict(self.constants)
         scope.update(env)
         return self.ast.evaluate(scope, self._ops)
+
+    def evaluate_host(self, env: Dict[str, float]) -> float:
+        """Scalar host-side evaluation (FParser semantics: lazy if())."""
+        scope = dict(self.constants)
+        scope.update(env)
+        return float(self.ast.evaluate(scope, Ops()))

@@ -16,6 +16,7 @@ marlin decks use, so existing decks run unmodified:
 
 from __future__ import annotations
 
+import math
 import os
 import re
 from typing import Dict, List, Optional, Tuple
@@ -193,7 +194,8 @@ def _process_includes(text: str, base_dir: Optional[str]) -> str:
     out_lines = []
     for line in text.splitlines():
         stripped = line.strip()
-        if stripped.startswith("!include"):
+        if stripped == "!include" or stripped.startswith("!include ") \
+                or stripped.startswith("!include\t"):
             rel = stripped[len("!include") :].strip()
             if base_dir is None:
                 raise HitError(f"'!include {rel}' requires a file context")
@@ -256,15 +258,20 @@ def parse(text: str, base_dir: Optional[str] = None) -> HitNode:
 _BRACE_RE = re.compile(r"\$\{([^{}]*)\}")
 
 
-def _lookup(node: HitNode, name: str, extra: Dict[str, str]) -> Optional[str]:
+def _lookup(node: HitNode, name: str, extra: Dict[str, str],
+            active=frozenset()):
+    """-> (value, defining_node).  ``active`` holds (id(node), name) pairs
+    currently being expanded, so a self-referential param like
+    `[Executioner] dt = ${dt}` resolves to the ANCESTOR definition
+    (MOOSE hit semantics) instead of itself."""
     if name in extra:
-        return extra[name]
+        return extra[name], None
     n = node
     while n is not None:
-        if name in n.params:
-            return n.params[name]
+        if name in n.params and (id(n), name) not in active:
+            return n.params[name], n
         n = n.parent
-    return None
+    return None, None
 
 
 def _scalar(value: str) -> float:
@@ -278,34 +285,39 @@ def expand_braces(root: HitNode, variables: Optional[Dict[str, str]] = None):
     """Expand ``${...}`` substitutions in-place, with lexical scoping."""
     variables = variables or {}
 
-    def expand_value(node: HitNode, value: str, stack=()) -> str:
+    def expand_value(node: HitNode, value: str, stack=(),
+                     active=frozenset()) -> str:
         def repl(m):
             inner = m.group(1).strip()
-            if inner.startswith("units"):
+            if re.match(r"units\s", inner):
                 # `${units 10 s}` — value with unit annotation; MOOSE converts
                 # to base units, shipped decks only use base units already
                 return inner.split()[1]
-            if inner.startswith("fparse"):
+            if re.match(r"fparse\s", inner):
                 exprsrc = inner[len("fparse") :].strip()
                 # brace expressions may reference deck variables
                 env = {}
                 for var in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", exprsrc):
                     if var in ("pi", "e"):
                         continue
-                    v = _lookup(node, var, variables)
+                    v, defnode = _lookup(node, var, variables, active)
                     if v is not None:
                         if var in stack:
                             raise HitError(f"Recursive brace expression via '{var}'")
-                        v = expand_value(node, v, stack + (var,))
+                        v = expand_value(
+                            defnode or node, v, stack + (var,),
+                            active | ({(id(defnode), var)} if defnode else set()))
                         env[var] = _scalar(v)
                 result = fparse(exprsrc, env)
                 return _fmt_number(result)
-            v = _lookup(node, inner, variables)
+            v, defnode = _lookup(node, inner, variables, active)
             if v is None:
                 raise HitError(f"Undefined brace variable '{inner}'")
             if inner in stack:
                 raise HitError(f"Recursive brace expression via '{inner}'")
-            return expand_value(node, v, stack + (inner,))
+            return expand_value(
+                defnode or node, v, stack + (inner,),
+                active | ({(id(defnode), inner)} if defnode else set()))
 
         while _BRACE_RE.search(value):
             value = _BRACE_RE.sub(repl, value)
@@ -313,7 +325,8 @@ def expand_braces(root: HitNode, variables: Optional[Dict[str, str]] = None):
 
     def walk(node: HitNode):
         for key in list(node.params):
-            node.params[key] = expand_value(node, node.params[key])
+            node.params[key] = expand_value(
+                node, node.params[key], active={(id(node), key)})
         for sub in node.all_blocks():
             walk(sub)
 
@@ -321,6 +334,8 @@ def expand_braces(root: HitNode, variables: Optional[Dict[str, str]] = None):
 
 
 def _fmt_number(x: float) -> str:
+    if math.isinf(x) or math.isnan(x):
+        return repr(x)  # FParser-style 'inf'/'nan' substitution
     if x == int(x) and abs(x) < 1e15:
         return str(int(x))
     return repr(x)

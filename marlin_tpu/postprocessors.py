@@ -167,6 +167,9 @@ class ComputeReynoldsNumber(TensorPostprocessor):
 
     def compute(self, state, ctx):
         u = state["buffers"][self.buffer]
+        # NOTE: the reference uses nu = (tau - 0.5)/sqrt(3) — i.e. c_s, not
+        # the textbook c_s² = 1/3 (ComputeReynoldsNumber.C:34).  Kept
+        # verbatim for parity; do not "fix" to cs2 without a deck flag.
         kinematic_viscosity = 1.0 / math.sqrt(3.0) * (self.tau - 0.5)
         avg_speed = jnp.sum(u) / u.size
         return avg_speed * self.D / kinematic_viscosity
@@ -190,19 +193,33 @@ class ParsedPostprocessor(Postprocessor):
 
     def __init__(self, name, params: Params, problem):
         super().__init__(name, params, problem)
-        from .expression import parse as parse_expr
+        from .expression import CompiledExpression
 
         self.pp_names = params.get_str_vector("pp_names")
         self.pp_symbols = params.get_str_vector("pp_symbols", default=self.pp_names)
-        self.expression = params.get_str("expression", required=True)
+        if len(self.pp_symbols) != len(self.pp_names):
+            params.error(
+                "pp_symbols",
+                f"pp_symbols (size {len(self.pp_symbols)}) and pp_names "
+                f"(size {len(self.pp_names)}) must have equal length.")
+        known = {pp.name for pp in problem.postprocessors} | set(self.pp_names)
+        for n in self.pp_names:
+            if n not in {pp.name for pp in problem.postprocessors} and \
+                    n != self.name:
+                # misspelled names must error, not silently evaluate as 0
+                params.error(
+                    "pp_names", f"postprocessor '{n}' does not exist")
+        # parse once at build time (syntax errors surface immediately);
+        # evaluation is host-side scalar math
+        self._expr = CompiledExpression(
+            params.get_str("expression", required=True),
+            list(self.pp_symbols) + ["t"])
 
     def compute_host(self, pp_values, t):
-        from .expression import fparse
-
         env = {"t": t}
         for sym, name in zip(self.pp_symbols, self.pp_names):
-            env[sym] = pp_values.get(name, 0.0)
-        return fparse(self.expression, env)
+            env[sym] = pp_values[name]
+        return self._expr.evaluate_host(env)
 
 
 @postprocessors.register("FunctionElementIntegral")

@@ -27,6 +27,9 @@ BETA = [
     [3.0 / 2.0, -1.0 / 2.0, 0.0, 0.0, 0.0],
     [23.0 / 12.0, -16.0 / 12.0, 5.0 / 12.0, 0.0, 0.0],
     [55.0 / 24.0, -59.0 / 24.0, 37.0 / 24.0, -9.0 / 24.0, 0.0],
+    # NOTE: textbook AB5 leads with 1901/720; 190/720 is the REFERENCE's
+    # own table (AdamsBashforthMoulton.C:72) and is kept verbatim for
+    # parity (golds cover orders 1-4; order 5 inherits the upstream typo)
     [190.0 / 720.0, -2774.0 / 720.0, 2616.0 / 720.0, -1274.0 / 720.0, 251.0 / 720.0],
 ]
 

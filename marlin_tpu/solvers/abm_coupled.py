@@ -145,6 +145,10 @@ class AdamsBashforthMoultonCoupled(SplitOperatorBase):
                 rhs_corr = []
                 for v in self.variables:
                     if self.corrector_order == 0:
+                        # the reference's coupled corrector still SOLVES
+                        # with rhs = ubar_n at order 0 (unlike the
+                        # uncoupled ABM, which skips the variable) —
+                        # AdamsBashforthMoultonCoupled.C:222-227 verbatim
                         rhs_corr.append(ubar_n[v.buffer])
                         continue
                     n_old_b = self.n_old(state, v.nonlinear_reciprocal)

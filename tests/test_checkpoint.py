@@ -106,3 +106,19 @@ def test_recover_without_init_runs(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(res.state["buffers"]["c"]),
         np.asarray(full.state["buffers"]["c"]))
+
+
+def test_resume_history_free_deck(tmp_path):
+    """A deck with NO old-state history (empty state['old']) must survive
+    the checkpoint round-trip (regression: _flatten dropped empty dicts
+    and resume crashed with KeyError: 'old')."""
+    from marlin_tpu import checkpoint
+
+    part = _make(tmp_path / "p", 3)
+    part.init()
+    # simulate a history-free solver state
+    part.state = {**part.state, "old": {}}
+    checkpoint.save(str(tmp_path / "ck.npz"), part.state, 1.0, 3, 0.1)
+    state, meta = checkpoint.load(str(tmp_path / "ck.npz"))
+    assert "old" in state and state["old"] == {}
+    assert meta["step"] == 3

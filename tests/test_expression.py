@@ -16,6 +16,7 @@ from marlin_tpu.expression import (
     CompiledExpression,
     ExpressionError,
     JaxOps,
+    Ops,
     fparse,
     parse,
 )
@@ -221,3 +222,20 @@ class TestCompiledExpression:
         ) / (2 * h)
         out = float(ce({"c": jnp.array(c0)}))
         assert out == pytest.approx(fd, rel=1e-6)
+
+
+def test_let_shadowing_survives_simplify():
+    """`x := 2; x := x+1; x` — constant inlining must stop at the
+    re-binding (regression: simplify substituted past the shadow and
+    returned 2 instead of 3)."""
+    e = parse("x := 2; x := x+1; x")
+    assert fparse("x := 2; x := x+1; x", {}) == 3.0
+    assert e.simplify().evaluate({}, Ops()) == 3.0
+
+
+def test_scalar_if_is_lazy():
+    """FParser if() evaluates only the taken branch — the guarded-division
+    idiom must not crash on the host-scalar path (the tensor backend keeps
+    jnp.where, matching the reference's torch-where lowering)."""
+    assert fparse("if(a!=0, 1/a, 0)", {"a": 0.0}) == 0.0
+    assert fparse("if(a!=0, 1/a, 0)", {"a": 4.0}) == 0.25

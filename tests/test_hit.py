@@ -122,3 +122,43 @@ class TestReferenceDecks:
         mu = root.child("TensorComputes/Solve/mu")
         assert mu.get("type") == "ParsedCompute"
         assert mu.get("derivatives") == "c"
+
+
+def test_brace_prefix_variables_not_misrouted():
+    """Variables whose names merely START with 'units'/'fparse' are plain
+    substitutions (regression: startswith dispatch hijacked them)."""
+    root = hit.parse("""
+units_cell = 2
+fparse_tol = 3
+[Domain]
+  nx = ${units_cell}
+  ny = ${fparse_tol}
+  nz = ${fparse units_cell + fparse_tol}
+[]
+""")
+    hit.expand_braces(root)
+    d = root.children["Domain"]
+    assert d.get("nx") == "2"
+    assert d.get("ny") == "3"
+    assert d.get("nz") == "5"
+
+
+def test_fparse_nonfinite_substitutes_inf():
+    """`${fparse 1e200*1e200}` substitutes 'inf' (FParser behavior) instead
+    of crashing the int() fast-path formatter."""
+    root = hit.parse("[X]\n  v = ${fparse 1e200*1e200}\n[]")
+    hit.expand_braces(root)
+    assert root.children["X"].get("v") == "inf"
+
+
+def test_self_referential_param_resolves_to_ancestor():
+    """`[Executioner] dt = ${dt}` resolves to the top-level dt (MOOSE hit
+    lexical scoping), not to itself (regression: raised 'Recursive brace
+    expression'); mutual recursion still errors."""
+    root = hit.parse("dt = '${units 10 s }'\n[Executioner]\n  dt = ${dt}\n[]")
+    hit.expand_braces(root)
+    assert root.children["Executioner"].get("dt") == "10"
+
+    bad = hit.parse("a = ${b}\nb = ${a}\n[X]\n  v = ${a}\n[]")
+    with pytest.raises(hit.HitError):
+        hit.expand_braces(bad)
