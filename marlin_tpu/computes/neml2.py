@@ -45,8 +45,13 @@ class ScalarMultiplication(_NEML2Model):
         self.from_var = params.get_str_vector("from_var", required=True)
         self.to_var = params.get_str("to_var", required=True)
         self.coefficient = params.get_float("coefficient", 1.0)
+        from ..params import _BOOL_FALSE, _BOOL_TRUE
+
         recip = params.get_str_vector("reciprocal", [])
-        self.reciprocal = [r.lower() in ("true", "1") for r in recip] or [
+        for r in recip:
+            if r.lower() not in _BOOL_TRUE | _BOOL_FALSE:
+                params.error("reciprocal", f"cannot parse '{r}' as a bool")
+        self.reciprocal = [r.lower() in _BOOL_TRUE for r in recip] or [
             False
         ] * len(self.from_var)
         if len(self.reciprocal) != len(self.from_var):
@@ -144,20 +149,26 @@ class NEML2TensorCompute(TensorCompute):
             params.error("marlin_outputs", "one marlin buffer per NEML2 output")
 
         fname = params.get_str("neml2_input_file", required=True)
-        deck_dir = getattr(problem, "deck_dir", None)
-        if not os.path.isabs(fname):
-            for base in filter(None, [deck_dir, "."]):
-                cand = os.path.join(base, fname)
-                if os.path.exists(cand):
-                    fname = cand
-                    break
-        if not os.path.exists(fname):
-            raise ComputeError(f"NEML2 input file '{fname}' not found")
+        from .nn import resolve_data_file
+
+        # same resolution rules as every other data file (deck-relative,
+        # cwd, registered data roots)
+        fname = resolve_data_file(fname, getattr(problem, "deck_dir", None))
         self.model = load_neml2_model(
             fname,
             params.get_str("neml2_model", required=True),
             params.get_str_vector("cli_args", []),
         )
+        # every model input must be mapped, or forward() would die with a
+        # bare KeyError from inside the jitted step
+        needed = set(getattr(self.model, "from_var", []) or [])
+        missing = needed - set(self.neml2_inputs)
+        if missing:
+            raise ComputeError(
+                f"NEML2TensorCompute '{name}': model variables "
+                f"{sorted(missing)} are not mapped by neml2_inputs "
+                f"(mapped: {self.neml2_inputs})"
+            )
 
         for b in self.marlin_inputs:
             if b not in self.inputs:

@@ -50,7 +50,7 @@ def resolve_data_file(path: str, deck_dir=None) -> str:
     for root in DATA_ROOTS:
         hits = _glob.glob(os.path.join(root, "**", os.path.basename(path)), recursive=True)
         if hits:
-            return hits[0]
+            return sorted(hits)[0]  # deterministic across filesystems
     raise ComputeError(f"Data file '{path}' not found")
 
 
@@ -98,6 +98,11 @@ def torchscript_to_jax(module, dtype):
                 break
             steps.append(("const", outs, val))
         elif kind in _ATEN_OPS:
+            if kind == "aten::div" and len(ins) > 2:
+                # div with a rounding_mode ('floor'/'trunc') would silently
+                # evaluate as true division — take the host fallback
+                supported = False
+                break
             steps.append(("op", outs, kind, ins))
         else:
             supported = False
@@ -110,10 +115,12 @@ def torchscript_to_jax(module, dtype):
     if len(ret) != 1:
         return None
 
+    data_inputs = [n for n in graph_inputs if not n.startswith("self")]
+    if len(data_inputs) != 1:
+        return None  # multi-input graphs take the host fallback
+
     def fn(x):
         env = {}
-        # first graph input is `self` for module graphs
-        data_inputs = [n for n in graph_inputs if not n.startswith("self")]
         env[data_inputs[0]] = x
         for step in steps:
             if step[0] == "const":
@@ -156,7 +163,9 @@ _ATEN_OPS = {
     "aten::linear": lambda a, B: a[0] @ a[1].T + (a[2] if a[2] is not None else 0),
     "aten::addmm": lambda a, B: (a[3] if len(a) > 3 else 1) * a[0]
     + (a[4] if len(a) > 4 else 1) * (a[1] @ a[2]),
-    "aten::squeeze": lambda a, B: jnp.squeeze(a[0]) if len(a) == 1 else jnp.squeeze(a[0], axis=a[1]),
+    # torch squeeze(dim) is a no-op when that dim is not size 1
+    "aten::squeeze": lambda a, B: jnp.squeeze(a[0]) if len(a) == 1
+    else (jnp.squeeze(a[0], axis=a[1]) if a[0].shape[a[1]] == 1 else a[0]),
     "aten::unsqueeze": lambda a, B: jnp.expand_dims(a[0], a[1]),
 }
 
@@ -202,7 +211,11 @@ class LibtorchGibbsEnergy(TensorCompute):
         """Host-side: G and dG/dX via torch autograd
         (the reference's forward + torch::autograd::grad)."""
         torch = self._torch
-        x = torch.tensor(np.asarray(X_flat, dtype=np.float64), requires_grad=True)
+        # match the model's own parameter dtype (most checkpoints are f32;
+        # a hard f64 cast would raise 'expected Float but found Double')
+        mdtype = next(self._model.parameters()).dtype
+        x = torch.tensor(np.asarray(X_flat), dtype=mdtype,
+                         requires_grad=True)
         G = self._model(x).squeeze()
         (jac,) = torch.autograd.grad(G.sum(), x)
         return (

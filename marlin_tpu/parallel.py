@@ -127,6 +127,18 @@ def shard_state(domain, state):
             return reciprocal_spec(domain, arr.ndim)
         if arr.ndim >= dim and tuple(arr.shape[:dim]) == tuple(domain.shape):
             return real_spec(domain, arr.ndim)
+        # old-state history stacks carry a LEADING depth axis (S, *grid,
+        # [v...]) — leaving them replicated costs a full field copy per
+        # device per history slot (0.5 GB/slot at 512³) plus a re-shard
+        # when the jitted step first touches them
+        if arr.ndim >= dim + 1:
+            if tuple(arr.shape[1:dim + 1]) == tuple(domain.reciprocal_shape) \
+                    and jnp.iscomplexobj(arr):
+                inner = reciprocal_spec(domain, arr.ndim - 1)
+                return P(None, *inner)
+            if tuple(arr.shape[1:dim + 1]) == tuple(domain.shape):
+                inner = real_spec(domain, arr.ndim - 1)
+                return P(None, *inner)
         return P()
 
     mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))

@@ -70,9 +70,14 @@ class Params:
                 self.error(key, "is required")
             return default
         try:
-            return int(float(v))
+            f = float(v)
         except ValueError:
             self.error(key, f"cannot parse '{v}' as an integer")
+        if not f.is_integer():
+            # MOOSE rejects non-integer int params; silent truncation
+            # (num_steps = 2.7 -> 2) hides deck typos
+            self.error(key, f"'{v}' is not an integer")
+        return int(f)
 
     def get_bool(self, key: str, default: bool = False) -> bool:
         v = self._raw(key)
@@ -115,9 +120,14 @@ class Params:
         ]
 
     def get_int_vector(self, key: str, default: Optional[List[int]] = None, required: bool = False) -> List[int]:
-        return [int(x) for x in self.get_float_vector(
+        out = []
+        for x in self.get_float_vector(
             key, default=None if default is None else [float(d) for d in default], required=required
-        )]
+        ):
+            if not float(x).is_integer():
+                self.error(key, f"'{x}' is not an integer")
+            out.append(int(x))
+        return out
 
     def _parse_float(self, key, x):
         try:
