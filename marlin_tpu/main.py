@@ -47,6 +47,9 @@ def main(argv=None):
         or os.environ.get("MARLIN_TORCH_DEVICE")
     )
     if device:
+        # torch device names may carry an index ('cuda:0'); JAX platform
+        # names don't
+        device = device.split(":")[0]
         device = {"cuda": "gpu", "mps": "cpu"}.get(device, device)
     import jax
 

@@ -152,8 +152,14 @@ class ComputeGroupExecutionCount(Postprocessor):
         super().__init__(name, params, problem)
         self.compute_group = params.get_str("compute_group", None)
 
+    wants_group_evals = True  # problem fetches the device accumulator
+
     def compute_host(self, pp_values, t):
-        return float(self.problem.compute_count)
+        # iterative solvers accumulate their data-dependent iteration
+        # evals on-device (solver state 'group_evals', fetched by the
+        # problem when this pp exists); the static count covers the rest
+        return float(self.problem.compute_count) + float(
+            getattr(self.problem, "device_group_evals", 0) or 0)
 
 
 @postprocessors.register("ComputeReynoldsNumber")

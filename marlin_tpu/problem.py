@@ -1123,11 +1123,23 @@ class TensorProblem:
         )
         if self.solver is not None:
             self.compute_count += self.solver.group_evals_per_step()
+        self._fetch_group_evals(state)
         host_vals = {k: float(v) for k, v in vals.items()}
         for pp in self.postprocessors:
             if "TIMESTEP_END" in pp.execute_on and getattr(pp, "depends_on_pps", False):
                 host_vals[pp.name] = float(pp.compute_host(host_vals, float(t) + float(dt)))
         return state, host_vals
+
+    def _fetch_group_evals(self, state):
+        """Sync the iterative solvers' on-device eval accumulator — only
+        when a ComputeGroupExecutionCount pp exists (an extra scalar fetch
+        per step otherwise)."""
+        if not any(getattr(pp, "wants_group_evals", False)
+                   for pp in self.postprocessors):
+            return
+        ge = state.get("solver", {}).get("group_evals")
+        if ge is not None:
+            self.device_group_evals = int(ge)
 
     # ------------------------------------------------------------------
     def execute_postprocessors(self, state, flag: str, t, dt) -> Dict[str, float]:

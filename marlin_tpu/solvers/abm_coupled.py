@@ -88,6 +88,9 @@ class AdamsBashforthMoultonCoupled(SplitOperatorBase):
         eye = jnp.eye(N, dtype=dtype)
         return eye - sub_dt * L
 
+    def group_evals_per_step(self):
+        return self.substeps * (1 + self.corrector_steps)
+
     def substep(self, state, sub_time, sub_dt, dt, dt_old, substep_index, first_step):
         dom = self.domain
         N = len(self.variables)

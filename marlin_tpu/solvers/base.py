@@ -85,6 +85,9 @@ class TensorSolver:
         self.problem = problem
         self.domain = problem.domain
         self.substeps = params.get_int("substeps", 1)
+        if self.substeps < 1:
+            params.error("substeps",
+                         "must be >= 1 (0 would silently freeze every step)")
         fb = params.get_str_vector("forward_buffer")
         fbn = params.get_str_vector("forward_buffer_new")
         if len(fb) != len(fbn):
@@ -262,6 +265,14 @@ class SplitOperatorBase(TensorSolver):
 
         targets = {v.reciprocal_buffer: v.buffer for v in self.variables}
         found = set()
+
+        if not isinstance(self.compute, ComputeGroup):
+            raise ValueError(
+                "carry_reciprocal = true requires the solver's root compute "
+                "to be a ComputeGroup containing the ForwardFFT producers "
+                f"(got a single '{type(self.compute).__name__}' via "
+                "root_compute)"
+            )
 
         def prune(group):
             kept = []

@@ -44,6 +44,7 @@ class BroydenSolver(SplitOperatorBase):
             "M": M,
             "iterations": jnp.zeros((), jnp.int32),
             "converged": jnp.ones((), bool),
+            "group_evals": jnp.zeros((), jnp.int32),  # see secant.py
         }
 
     def _stack(self, bufs):
@@ -109,4 +110,7 @@ class BroydenSolver(SplitOperatorBase):
         solver_state["M"] = M
         solver_state["iterations"] = it
         solver_state["converged"] = is_conv
+        solver_state["group_evals"] = (
+            solver_state.get("group_evals", jnp.zeros((), jnp.int32)) + it
+        )
         return {**state, "buffers": buffers, "solver": solver_state}

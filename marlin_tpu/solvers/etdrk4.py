@@ -29,6 +29,10 @@ class ETDRK4Solver(SplitOperatorBase):
         # (reference getVariables(0), ETDRK4Solver.C:33)
         self.cox_matthews = params.get_bool("cox_matthews", False)
 
+    def group_evals_per_step(self):
+        # initial evaluation + 3 stage re-evaluations per substep
+        return self.substeps * 4
+
     def substep(self, state, sub_time, sub_dt, dt, dt_old, substep_index, first_step):
         dom = self.domain
         state = self._run_group(state, sub_time)

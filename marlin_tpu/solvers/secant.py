@@ -45,6 +45,10 @@ class SecantSolver(SplitOperatorBase):
         return {
             "iterations": jnp.zeros((), jnp.int32),
             "converged": jnp.ones((), bool),
+            # accumulated ITERATION-loop group evaluations (the one
+            # initial evaluation per substep is counted statically by
+            # group_evals_per_step); feeds ComputeGroupExecutionCount
+            "group_evals": jnp.zeros((), jnp.int32),
         }
 
     def substep(self, state, sub_time, sub_dt, dt, dt_old, substep_index, first_step):
@@ -145,4 +149,7 @@ class SecantSolver(SplitOperatorBase):
         solver_state = dict(state.get("solver", {}))
         solver_state["iterations"] = it
         solver_state["converged"] = converged
+        solver_state["group_evals"] = (
+            solver_state.get("group_evals", jnp.zeros((), jnp.int32)) + it
+        )
         return {**state, "buffers": final, "solver": solver_state}

@@ -47,7 +47,18 @@ def write_structured_vtk(
     dim = len(base)
     if dim not in (1, 2, 3):
         raise ValueError(f"unsupported grid rank {dim}")
-    for name, a in arrays.items():
+    for name in list(arrays):
+        a = arrays[name]
+        if np.iscomplexobj(a):
+            raise ValueError(
+                f"field '{name}' is complex; legacy VTK has no complex "
+                "type — export np.real/np.imag separately"
+            )
+        if a.ndim > dim + 1 and a.shape[:dim] == base:
+            # rank-2+ tensor values: flatten the trailing value axes to
+            # one component axis (emitted as per-component scalars below)
+            arrays[name] = a.reshape(base + (-1,))
+            continue
         if a.shape != base and a.shape[:-1] != base:
             raise ValueError(
                 f"field '{name}' shape {a.shape} does not match grid {base}"

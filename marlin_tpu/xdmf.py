@@ -21,8 +21,10 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from .params import Params
+from .registry import outputs as output_registry
 
 
+@output_registry.register("XDMFTensorOutput")
 class XDMFTensorOutput:
     MODES = ("CELL", "NODE", "OVERSIZED_NODAL")
 

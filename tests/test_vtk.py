@@ -168,3 +168,24 @@ def test_mismatched_shapes_rejected(tmp_path):
             str(tmp_path / "x.vtk"),
             {"a": np.zeros((4, 4)), "b": np.zeros((5, 5))},
         )
+
+
+def test_tensor_valued_field_flattens(tmp_path):
+    """Rank-2 tensor buffers export as flattened per-component scalars."""
+    from marlin_tpu.vtk import write_structured_vtk
+
+    path = str(tmp_path / "t.vtk")
+    stress = np.arange(4 * 4 * 2 * 2, dtype=float).reshape(4, 4, 2, 2)
+    write_structured_vtk(path, {"stress": stress}, grid_shape=(4, 4))
+    text = open(path).read()
+    assert "SCALARS stress_0 double 1" in text
+    assert "SCALARS stress_3 double 1" in text
+
+
+def test_complex_field_rejected(tmp_path):
+    from marlin_tpu.vtk import write_structured_vtk
+
+    with pytest.raises(ValueError, match="complex"):
+        write_structured_vtk(str(tmp_path / "c.vtk"),
+                             {"cbar": np.zeros((4, 4), complex)},
+                             grid_shape=(4, 4))
