@@ -48,15 +48,6 @@ class LatticeBoltzmannOperator(TensorCompute):
             return jnp.where(mask, value, t)
         return jnp.where(mask[..., None], value, t)
 
-    def constant(self, key, default=None, required=False):
-        raw = self.params.get_str(key, required=required)
-        if raw is None:
-            return default
-        try:
-            return float(raw)
-        except ValueError:
-            return self.problem.get_constant(raw)
-
 
 def _ensure3d(a):
     """Reference LBM ops unsqueeze bare-grid (2-D) fields in place

@@ -36,13 +36,6 @@ class LBMBoundaryCondition(LatticeBoltzmannOperator):
         if self.boundary is None:
             params.error("boundary", "is required")
 
-    def grid_size(self):
-        dom = self.domain
-        n = list(dom.shape)
-        while len(n) < 3:
-            n.append(1)
-        return n
-
     def boundary_adjacent_mask(self):
         """Cells adjacent to solid cells, marked via stencil rolls
         (reference LBMBounceBack.C ctor binary-media block)."""
@@ -490,8 +483,9 @@ class LBMDirichletBC(_EquilibriumBC):
     def boundary_feq(self, state):
         feq = state[self.feq]
         rho_b = jnp.full(feq.shape, self.boundary_value, dtype=feq.dtype)
-        # reference computeBoundaryEquilibrium expands rho over q already
-        return _equilibrium_full(
+        # reference computeBoundaryEquilibrium expands rho over q already;
+        # _equilibrium broadcasts the trailing q axis the same way
+        return _equilibrium(
             self.stencil, rho_b, state[self.velocity], self.domain.dim
         )
 
@@ -568,21 +562,6 @@ class LBMNeumannBC(_EquilibriumBC):
         return self._mask_update(
             u, self._neq(state, ctx), self.region_id or 0, marked=False
         )
-
-
-def _equilibrium_full(stencil, rho_full_q, velocity, dim):
-    """Equilibrium with rho already expanded over the q axis (the Dirichlet
-    BC path, reference LBMDirichletBC::computeBoundaryEquilibrium)."""
-    from .lbm import CS2 as _CS2, CS4 as _CS4
-
-    ux = velocity[..., 0][..., None]
-    uy = velocity[..., 1][..., None]
-    uz = velocity[..., 2][..., None] if dim == 3 else jnp.zeros_like(ux)
-    edotu = stencil.ex * ux + stencil.ey * uy + stencil.ez * uz
-    usqr = ux * ux + uy * uy + uz * uz
-    second = edotu / _CS2 + 0.5 * edotu * edotu / _CS4
-    third = 0.5 * usqr / _CS2
-    return stencil.weights * rho_full_q * (1.0 + second - third)
 
 
 @computes.register("LBMMicroscopicZeroGradientBC")

@@ -44,7 +44,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
+        # ALWAYS run the (incremental) build: a prebuilt .so may be stale
+        # after source edits or built for a different arch/glibc
+        _build()
+        if not os.path.exists(_LIB_PATH):
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)

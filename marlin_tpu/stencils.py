@@ -166,6 +166,11 @@ class LBMD3Q27(Stencil):
             [0, 2, 1, 4, 3, 6, 5, 10, 9, 8, 7, 14, 13, 12, 11, 18, 17, 16, 15,
              25, 26, 23, 24, 21, 22, 19, 20]
         )
+        # NOTE: this M is the REFERENCE's table verbatim (LBMD3Q27.C:50-78).
+        # Its columns follow a rest-LAST direction ordering while ex/ey/ez
+        # are rest-first (M[1]@w = 0.29, not 0 as for D2Q9/D3Q19) — an
+        # upstream inconsistency kept for parity; no shipped deck pairs
+        # D3Q27 with MRT.
         self.M = np.array(
             [
                 [1.0] * 27,

@@ -34,14 +34,25 @@ def _local(tag: str) -> str:
 def _read_dataitem(item: ET.Element, base_dir: str) -> np.ndarray:
     fmt = (item.get("Format") or "XML").upper()
     text = "".join(item.itertext()).strip()
+    dims = item.get("Dimensions")
     if fmt in ("HDF", "HDF5"):
         import h5py
 
         fname, _, dset = text.partition(":")
         with h5py.File(os.path.join(base_dir, fname), "r") as f:
             return np.asarray(f[dset])
+    if fmt == "BINARY":
+        # raw .bin sidecar files (this package's default enable_hdf5=false
+        # layout): dtype from DataType + Precision
+        prec = int(item.get("Precision") or 8)
+        kind = (item.get("DataType") or "Float").lower()
+        dtype = {("float", 4): np.float32, ("float", 8): np.float64,
+                 ("int", 4): np.int32, ("int", 8): np.int64}[(kind, prec)]
+        arr = np.fromfile(os.path.join(base_dir, text), dtype=dtype)
+        if dims:
+            arr = arr.reshape([int(d) for d in dims.split()])
+        return arr
     arr = np.array(text.split(), dtype=float)
-    dims = item.get("Dimensions")
     if dims:
         arr = arr.reshape([int(d) for d in dims.split()])
     return arr
@@ -197,12 +208,17 @@ def compare(path_a: str, path_b: str, rtol: float = 5.5e-6,
                 continue
             a, b = a.ravel(), b.ravel()
             adiff = np.abs(a - b)
-            max_abs = float(adiff.max()) if a.size else 0.0
+            max_abs = float(np.nanmax(adiff)) if a.size else 0.0
             denom = np.maximum(np.abs(a), np.abs(b))
             with np.errstate(invalid="ignore", divide="ignore"):
                 rel = np.where(denom > 0, adiff / denom, 0.0)
-            max_rel = float(rel.max()) if a.size else 0.0
-            ok = bool(np.all((adiff <= atol) | (rel <= rtol)))
+            max_rel = float(np.nanmax(rel)) if a.size else 0.0
+            # NaN anywhere is a FAIL unless it appears in BOTH files at the
+            # same positions — a diff tool must never pass on NaN noise
+            nan_ok = bool(np.array_equal(np.isnan(a), np.isnan(b)))
+            both = ~(np.isnan(a) | np.isnan(b))
+            ok = nan_ok and bool(
+                np.all((adiff[both] <= atol) | (rel[both] <= rtol)))
             status = "OK" if ok else "FAIL"
             print(f"{label} {name}: max abs {max_abs:.3e} "
                   f"max rel {max_rel:.3e} [{status}]", file=out)

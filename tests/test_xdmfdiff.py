@@ -211,3 +211,39 @@ def test_xdmf_writer_thread_error_propagates(tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="writer thread.*disk full"):
         run_deck(root, file_base="det_out", output_dir=str(tmp_path),
                  deck_stem="det")
+
+
+def test_binary_layout_and_nan_fails(tmp_path):
+    """The default (enable_hdf5=false) .bin sidecar layout reads back, and
+    NaN values FAIL the comparison (a diff tool must never pass on NaN)."""
+    from marlin_tpu import hit
+    from marlin_tpu.executioner import run_deck
+
+    root = hit.parse(DET_DECK.replace("enable_hdf5 = true",
+                                      "enable_hdf5 = false"))
+    hit.apply_cli_args(root, ["Domain/floating_precision=DOUBLE"])
+    hit.expand_braces(root)
+    run_deck(root, file_base="det_out", output_dir=str(tmp_path / "bin"),
+             deck_stem="det")
+    xmf = str(tmp_path / "bin" / "det.xmf")
+    series = xdmfdiff.read_series(xmf)
+    assert series and series[0][1]["c"].shape == (16, 16)
+    out = io.StringIO()
+    assert xdmfdiff.compare(xmf, xmf, out=out) == 0
+
+    # poison one value with NaN in a copy
+    import glob
+
+    bins = sorted(glob.glob(str(tmp_path / "bin" / "*.bin")))
+    assert bins
+    import shutil
+
+    shutil.copytree(tmp_path / "bin", tmp_path / "nan")
+    target = sorted(glob.glob(str(tmp_path / "nan" / "*.bin")))[0]
+    data = np.fromfile(target, dtype=np.float64)
+    data[0] = np.nan
+    data.tofile(target)
+    out = io.StringIO()
+    assert xdmfdiff.compare(
+        xmf, str(tmp_path / "nan" / "det.xmf"), out=out) >= 1
+    assert "[FAIL]" in out.getvalue()
