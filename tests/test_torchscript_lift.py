@@ -1,0 +1,65 @@
+"""torchscript_to_jax — the TorchScript→jnp graph lifter (computes/nn.py).
+
+The contract under test: supported graphs lift to functions matching the
+torch forward bit-for-close; unsupported graphs return None (triggering the
+host pure_callback fallback) instead of dying inside a jit trace."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from marlin_tpu.computes.nn import torchscript_to_jax  # noqa: E402
+
+
+def _lift(model):
+    scripted = torch.jit.script(model.eval())
+    return torchscript_to_jax(scripted, np.float32)
+
+
+def test_mlp_lifts_and_matches():
+    model = torch.nn.Sequential(
+        torch.nn.Linear(3, 8), torch.nn.Tanh(), torch.nn.Linear(8, 1))
+    fn = _lift(model)
+    assert fn is not None
+    x = np.random.RandomState(0).rand(5, 3).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.tensor(x)).numpy()
+    got = np.asarray(fn(x))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_floor_division_takes_host_fallback():
+    """aten::div with a rounding_mode would silently lift as TRUE division
+    — the lifter must return None instead."""
+
+    class FloorDiv(torch.nn.Module):
+        def forward(self, x):
+            return torch.div(x, 2.0, rounding_mode="floor")
+
+    assert _lift(FloorDiv()) is None
+
+
+def test_multi_input_graph_takes_host_fallback():
+    class TwoInputs(torch.nn.Module):
+        def forward(self, x, y):
+            return x + y
+
+    scripted = torch.jit.script(TwoInputs().eval())
+    assert torchscript_to_jax(scripted, np.float32) is None
+
+
+def test_squeeze_dim_noop_matches_torch():
+    """torch squeeze(dim) is a no-op when the dim is not size 1."""
+
+    class Sq(torch.nn.Module):
+        def forward(self, x):
+            return x.squeeze(1) * 2.0
+
+    fn = _lift(Sq())
+    if fn is None:
+        pytest.skip("squeeze graph not liftable in this torch version")
+    x = np.ones((4, 3), np.float32)  # dim 1 has size 3: squeeze is a no-op
+    got = np.asarray(fn(x))
+    assert got.shape == (4, 3)
+    np.testing.assert_allclose(got, 2.0 * x)
