@@ -224,13 +224,14 @@ class RankTwoIdentity(TensorCompute):
         return {self.out: jnp.broadcast_to(eye, dom.value_shape((dom.dim, dom.dim)))}
 
 
-def _check_newton_converged(done, name):
-    if not bool(done):
-        raise RuntimeError(
-            f"FFTMechanics '{name}': Exceeded the maximum number of "
-            "nonlinear iterations without converging (reference "
-            "FFTMechanics.C error; raise nl_max_its or loosen nl_*_tol)"
-        )
+def newton_exhausted_message(name):
+    """Error raised when a Newton solve runs out of iterations (reference
+    FFTMechanics.C "Exceeded the maximum number of nonlinear iterations")."""
+    return (
+        f"FFTMechanics '{name}': Exceeded the maximum number of "
+        "nonlinear iterations without converging (reference "
+        "FFTMechanics.C error; raise nl_max_its or loosen nl_*_tol)"
+    )
 
 
 @computes.register("FFTMechanics")
@@ -257,6 +258,11 @@ class FFTMechanics(TensorCompute):
         self.nl_max_its = params.get_int("nl_max_its", 100)
         self.constitutive_name = params.get_str("constitutive_model", required=True)
         self.constitutive = None  # bound in check()
+        # convergence diagnostic: a pseudo-buffer ANDed across substeps and
+        # checked at the executioner's per-step host sync (a jax.debug
+        # callback here would lower to host send/recv, which the axon TPU
+        # backend does not implement)
+        self.converged_key = f"__converged_{name}__"
         # analytic tangent contraction: 'auto' (default) keeps the
         # reference's exact op order on gold-test-sized grids (1e-13
         # parity; the reference specs run 32² and 16³) and switches above
@@ -427,10 +433,15 @@ class FFTMechanics(TensorCompute):
         # the reference hard-errors when nl_max_its is exhausted
         # (FFTMechanics.C "Exceeded the maximum number of nonlinear
         # iterations without converging"); silently continuing would write
-        # unconverged fields into outputs.  The host callback raises at the
-        # step's next sync point — physics is unchanged on success.
-        jax.debug.callback(_check_newton_converged, done, self.name)
-        return {k: cscope[k] for k in carried_keys}
+        # unconverged fields into outputs.  The flag rides the state as a
+        # pseudo-buffer (ANDed across substeps; pre-seeded True at init so
+        # the substep-loop carry structure is stable) and the executioner
+        # raises at its per-step host sync — a jax.debug callback here
+        # would need host send/recv, unimplemented on the axon TPU backend.
+        out = {k: cscope[k] for k in carried_keys}
+        prev = state.get(self.converged_key, jnp.asarray(True))
+        out[self.converged_key] = prev & done
+        return out
 
 
 @computes.register("ComputeVonMisesStress")

@@ -622,6 +622,36 @@ class TensorProblem:
         walk([self.pp_computes, self.ic_computes])
         return req
 
+    def newton_diag_keys(self):
+        """Pseudo-buffer keys of Newton-convergence flags (FFTMechanics)
+        anywhere in the solve/IC/postprocess chains."""
+        if getattr(self, "_newton_diag_keys", None) is not None:
+            return self._newton_diag_keys
+        keys = []
+
+        def walk(members):
+            for m in members:
+                if isinstance(m, ComputeGroup):
+                    walk(m.members)
+                elif getattr(m, "converged_key", None):
+                    keys.append(m.converged_key)
+
+        walk(self.solve_computes)
+        walk([self.pp_computes, self.ic_computes])
+        self._newton_diag_keys = keys
+        return keys
+
+    def check_newton_diags(self, values):
+        """Raise if a Newton solve exhausted nl_max_its this step (the
+        reference's FFTMechanics.C hard error).  ``values`` maps pseudo-key
+        -> host float (0.0 = not converged)."""
+        from .computes.mechanics import newton_exhausted_message
+
+        for key, ok in values.items():
+            if not ok:
+                name = key[len("__converged_"):-2]
+                raise RuntimeError(newton_exhausted_message(name))
+
     def check_constants(self):
         missing = [n for n in self._fetched_constants if n not in self.constants]
         if len(missing) == 1:
@@ -762,6 +792,13 @@ class TensorProblem:
                     state["buffers"][b] = host_zeros(
                         self.domain.shape, self.domain.dtype
                     )
+
+        # Newton-convergence diagnostics (FFTMechanics): pre-seed the
+        # pseudo-buffers True so the substep-loop carry structure is stable
+        # from the first step; checked at the per-step host sync
+        # (step_with_pps) — the reference hard-errors on exhausted nl_max_its
+        for key in self.newton_diag_keys():
+            state["buffers"][key] = jnp.asarray(True)
 
         # history stacks
         old_max = 0
@@ -1094,6 +1131,9 @@ class TensorProblem:
             if self.solver is not None:
                 self.compute_count += self.solver.group_evals_per_step()
             vals = self.execute_postprocessors(state, "TIMESTEP_END", t + dt, dt)
+            self.check_newton_diags({
+                k: float(state["buffers"][k]) for k in self.newton_diag_keys()
+            })
             return state, vals
         active = [
             pp
@@ -1115,6 +1155,10 @@ class TensorProblem:
                 # round-trip (VERDICT r01 item 10; ~30 ms/step on axon)
                 if self.is_lbm and "residual" in state.get("solver", {}):
                     vals = {**vals, "_lbm_residual": state["solver"]["residual"]}
+                # Newton-convergence flags ride the same sync (no extra
+                # device round-trip; ~30 ms each on axon)
+                for key in self.newton_diag_keys():
+                    vals = {**vals, key: state["buffers"][key]}
                 return state, vals
 
             self._step_fns["step_pp"] = jax.jit(fn)
@@ -1125,6 +1169,9 @@ class TensorProblem:
             self.compute_count += self.solver.group_evals_per_step()
         self._fetch_group_evals(state)
         host_vals = {k: float(v) for k, v in vals.items()}
+        self.check_newton_diags({
+            k: host_vals.pop(k) for k in self.newton_diag_keys()
+        })
         for pp in self.postprocessors:
             if "TIMESTEP_END" in pp.execute_on and getattr(pp, "depends_on_pps", False):
                 host_vals[pp.name] = float(pp.compute_host(host_vals, float(t) + float(dt)))

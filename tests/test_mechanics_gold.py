@@ -130,9 +130,8 @@ def test_newton_nonconvergence_raises():
          "TensorComputes/Solve/root/mech/nl_abs_tol=1e-30"])
     p = TensorProblem(root)
     s = p.init_state()
-    with pytest.raises(Exception, match="[Nn]onlinear iterations"):
-        import jax
-        import numpy as np
-
-        s = jax.jit(p._step_impl)(s, 0.0, 0.1, 0.0, True)
-        np.asarray(jax.tree_util.tree_leaves(s)[0])  # sync
+    # the flag rides the state pytree to the per-step host sync (a device
+    # callback would need host send/recv — unimplemented on the axon TPU
+    # backend, where this check first shipped broken)
+    with pytest.raises(RuntimeError, match="[Nn]onlinear iterations"):
+        p.step_with_pps(s, 0.0, 0.1, 0.0, first_step=True)
