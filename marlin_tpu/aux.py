@@ -136,6 +136,15 @@ class AuxSystem:
     def is_nodal(self, var: str) -> bool:
         return self.variables[var].nodal
 
+    def seed_initial(self, state):
+        """Populate the INITIAL-only kernel cache from the actual t=0 state.
+        Without this, a variable first sampled at step N > 0 (output
+        interval > 1, FINAL-only outputs) would cache step-N data as its
+        'initial' value."""
+        for var, exec_on in self.kernel_execute_on.items():
+            if "TIMESTEP_END" not in exec_on:
+                self.values(state, var)
+
     def values(self, state, var: str) -> np.ndarray:
         """Sample the mapped buffer onto the variable's support.
 

@@ -208,8 +208,16 @@ class RandomTensor(TensorCompute):
             # a different stream per device family, which upstream itself
             # flags as non-reproducible (RandomTensor.C:24-27).  Here the
             # device stream is jax.random; only the default CPU stream is
-            # bit-compatible with the reference golds.
-            key = jax.random.PRNGKey(self.seed if self.seed is not None else 0)
+            # bit-compatible with the reference golds.  Unseeded computes
+            # fold in the compute name so two unseeded RandomTensors draw
+            # INDEPENDENT noise (a shared PRNGKey(0) would correlate them
+            # bit-for-bit; the reference's global device stream advances
+            # between calls).
+            import zlib
+
+            key = jax.random.PRNGKey(self.seed) if self.seed is not None \
+                else jax.random.fold_in(
+                    jax.random.PRNGKey(0), zlib.crc32(self.name.encode()))
             u = jax.random.uniform(
                 key, self.problem.local_tensor_shape(),
                 dtype=self.domain.dtype)

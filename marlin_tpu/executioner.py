@@ -296,6 +296,9 @@ class Transient:
         self.pp_values.update(initial)
         if self.csv is not None:
             self.csv.add_row(self.time, dict(self.pp_values))
+        # INITIAL-only aux kernels keep their t=0 projection even if the
+        # first output sampling happens at a later step
+        self.problem.aux.seed_initial(self.state)
         self._run_outputs(initial=True)
         self._vpp_counter = 0
         self._write_vpps("INITIAL")

@@ -197,6 +197,8 @@ def _process_includes(text: str, base_dir: Optional[str]) -> str:
         if stripped == "!include" or stripped.startswith("!include ") \
                 or stripped.startswith("!include\t"):
             rel = stripped[len("!include") :].strip()
+            if not rel:
+                raise HitError("'!include' directive is missing a file path")
             if base_dir is None:
                 raise HitError(f"'!include {rel}' requires a file context")
             path = rel if os.path.isabs(rel) else os.path.join(base_dir, rel)

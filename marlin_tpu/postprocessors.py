@@ -33,6 +33,10 @@ class Postprocessor:
     def history_requests(self):
         return {}
 
+    def check(self, problem):
+        """Cross-postprocessor validation; runs after ALL pps are built
+        (deck declaration order must not matter)."""
+
     def compute(self, state, ctx):
         raise NotImplementedError
 
@@ -208,23 +212,30 @@ class ParsedPostprocessor(Postprocessor):
                 "pp_symbols",
                 f"pp_symbols (size {len(self.pp_symbols)}) and pp_names "
                 f"(size {len(self.pp_names)}) must have equal length.")
-        known = {pp.name for pp in problem.postprocessors} | set(self.pp_names)
-        for n in self.pp_names:
-            if n not in {pp.name for pp in problem.postprocessors} and \
-                    n != self.name:
-                # misspelled names must error, not silently evaluate as 0
-                params.error(
-                    "pp_names", f"postprocessor '{n}' does not exist")
         # parse once at build time (syntax errors surface immediately);
-        # evaluation is host-side scalar math
+        # evaluation is host-side scalar math.  pi/e are FParser built-ins
+        # (every other CompiledExpression call site seeds them too).
         self._expr = CompiledExpression(
             params.get_str("expression", required=True),
-            list(self.pp_symbols) + ["t"])
+            list(self.pp_symbols) + ["t"],
+            constants={"pi": math.pi, "e": math.e})
+
+    def check(self, problem):
+        # name validation runs AFTER all pps are built — MOOSE decks are
+        # declaration-order independent, so forward references are legal
+        known = {pp.name for pp in problem.postprocessors}
+        for n in self.pp_names:
+            if n not in known:
+                # misspelled names must error, not silently evaluate as 0
+                self.params.error(
+                    "pp_names", f"postprocessor '{n}' does not exist")
 
     def compute_host(self, pp_values, t):
         env = {"t": t}
         for sym, name in zip(self.pp_symbols, self.pp_names):
-            env[sym] = pp_values[name]
+            # a referenced pp that did not execute on the current flag
+            # reports its initial 0 (MOOSE: the pp's current value)
+            env[sym] = pp_values.get(name, 0.0)
         return self._expr.evaluate_host(env)
 
 

@@ -292,6 +292,10 @@ class TensorProblem:
                 self.postprocessors.append(
                     pp_registry.create(p.get_str("type", required=True), b.name, p, self)
                 )
+        for pp in self.postprocessors:
+            # cross-pp validation after ALL are built (forward references
+            # between pps are legal in MOOSE decks)
+            pp.check(self)
 
         self._step_fns = {}
         self._pp_fns = {}
@@ -1130,6 +1134,7 @@ class TensorProblem:
             state = self.step(state, t, dt, dt_old, first_step)
             if self.solver is not None:
                 self.compute_count += self.solver.group_evals_per_step()
+            self._fetch_group_evals(state)
             vals = self.execute_postprocessors(state, "TIMESTEP_END", t + dt, dt)
             self.check_newton_diags({
                 k: float(state["buffers"][k]) for k in self.newton_diag_keys()
