@@ -136,13 +136,21 @@ class AuxSystem:
     def is_nodal(self, var: str) -> bool:
         return self.variables[var].nodal
 
+    @staticmethod
+    def _initial_only(exec_on) -> bool:
+        """True when the kernel executes ONLY at INITIAL — the one case
+        where MOOSE would never re-sample the buffer.  Kernels with other
+        flags (TIMESTEP_BEGIN, FINAL, ...) are sampled live at output time
+        instead of being frozen at t=0."""
+        return exec_on is not None and exec_on <= {"INITIAL", "NONE"}
+
     def seed_initial(self, state):
         """Populate the INITIAL-only kernel cache from the actual t=0 state.
         Without this, a variable first sampled at step N > 0 (output
         interval > 1, FINAL-only outputs) would cache step-N data as its
         'initial' value."""
         for var, exec_on in self.kernel_execute_on.items():
-            if "TIMESTEP_END" not in exec_on:
+            if self._initial_only(exec_on):
                 self.values(state, var)
 
     def values(self, state, var: str) -> np.ndarray:
@@ -160,7 +168,7 @@ class AuxSystem:
         # an AuxKernel restricted to INITIAL keeps its first sample
         # (MOOSE only re-executes kernels on their execute_on flags)
         exec_on = self.kernel_execute_on.get(var)
-        if exec_on is not None and "TIMESTEP_END" not in exec_on:
+        if self._initial_only(exec_on):
             if var in self._initial_cache:
                 return self._initial_cache[var]
         arr = np.asarray(state["buffers"][buf])
@@ -173,7 +181,7 @@ class AuxSystem:
                     idx = [slice(None)] * arr.ndim
                     idx[d] = np.arange(n[d] + 1) % n[d]
                     arr = arr[tuple(idx)]
-            if exec_on is not None and "TIMESTEP_END" not in exec_on:
+            if self._initial_only(exec_on):
                 self._initial_cache[var] = arr
             return arr
         if arr.ndim != dom.dim:
@@ -187,7 +195,7 @@ class AuxSystem:
                 idx = [slice(None)] * dom.dim
                 idx[d] = np.arange(n[d] + 1) % n[d]
                 arr = arr[tuple(idx)]
-        if exec_on is not None and "TIMESTEP_END" not in exec_on:
+        if self._initial_only(exec_on):
             self._initial_cache[var] = arr
         return arr
 

@@ -48,9 +48,15 @@ def _unflatten(arrays: Dict[str, np.ndarray]) -> Dict:
     return root
 
 
-def save(path: str, state: Dict, time: float, step: int, dt: float, pp_values=None):
+def save(path: str, state: Dict, time: float, step: int, dt: float,
+         pp_values=None, aux_cache=None):
     payload = _flatten(state)
     meta = {"time": time, "step": step, "dt": dt, "pp_values": pp_values or {}}
+    # host-side INITIAL-only aux-kernel samples (aux.AuxSystem._initial_cache):
+    # they cannot be reconstructed after resume (the t=0 state is gone), so
+    # they ride the checkpoint under a reserved prefix
+    for var, arr in (aux_cache or {}).items():
+        payload[f"__aux__/{var}"] = np.asarray(arr)
     payload["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     ).copy()
@@ -59,7 +65,13 @@ def save(path: str, state: Dict, time: float, step: int, dt: float, pp_values=No
 
 
 def load(path: str) -> Tuple[Dict, Dict]:
+    """Returns (state, meta); meta['aux_cache'] holds the INITIAL-only aux
+    samples as numpy arrays (empty dict for checkpoints written without)."""
     with np.load(path if path.endswith(".npz") else path + ".npz") as f:
-        arrays = {k: f[k] for k in f.files if k != "__meta__"}
+        arrays = {k: f[k] for k in f.files
+                  if k != "__meta__" and not k.startswith("__aux__/")}
+        aux = {k[len("__aux__/"):]: f[k] for k in f.files
+               if k.startswith("__aux__/")}
         meta = json.loads(bytes(f["__meta__"]).decode())
+    meta["aux_cache"] = aux
     return _unflatten(arrays), meta

@@ -12,6 +12,8 @@ import math
 import os
 from typing import Dict, List, Optional
 
+import numpy as np
+
 from .expression import fparse
 from .hit import HitNode
 from .params import Params
@@ -347,6 +349,7 @@ class Transient:
             self.step_count,
             self._last_dt,
             self.pp_values,
+            aux_cache=self.problem.aux._initial_cache,
         )
 
     def recover(self, path=None):
@@ -361,6 +364,14 @@ class Transient:
         self._last_dt = meta["dt"]
         self._lbm_residual = None  # re-fetch from the restored state
         self.pp_values = dict(meta.get("pp_values", {}))
+        # restore the INITIAL-only aux-kernel samples; a checkpoint written
+        # before this field existed leaves the cache empty, in which case
+        # the first post-resume sample would otherwise masquerade as t=0 —
+        # seed from the restored state is wrong too, so re-seeding is NOT
+        # attempted: the saved cache is the only valid source
+        self.problem.aux._initial_cache.update({
+            k: np.asarray(v) for k, v in meta.get("aux_cache", {}).items()
+        })
 
     _last_dt = 0.0
     _lbm_residual = None
@@ -423,8 +434,22 @@ class Transient:
                     solver_info is None
                     or solver_info.get("converged", True)
                 )
-                if (solve_ok and not soft_fired) or not hasattr(
-                        self.stepper, "failed_dt"):
+                if solve_ok and not soft_fired:
+                    break
+                if not hasattr(self.stepper, "failed_dt"):
+                    if soft_fired:
+                        # MOOSE fails the step; with no adaptive stepper
+                        # there is no cutback path, which MOOSE reports as
+                        # a dtmin abort — never silently ignore the
+                        # terminator (reference Terminator fail_mode=SOFT)
+                        raise RuntimeError(
+                            "Terminator fired with fail_mode = SOFT but the "
+                            "TimeStepper cannot cut back the timestep (no "
+                            "IterationAdaptiveDT); cannot continue!"
+                        )
+                    # non-converged iterative solve with constant dt: the
+                    # reference solvers roll back to the old solution, warn,
+                    # and the run continues (SecantSolver.C:185-193)
                     break
                 if dt <= self.dtmin:
                     raise RuntimeError(

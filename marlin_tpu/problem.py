@@ -1136,8 +1136,11 @@ class TensorProblem:
                 self.compute_count += self.solver.group_evals_per_step()
             self._fetch_group_evals(state)
             vals = self.execute_postprocessors(state, "TIMESTEP_END", t + dt, dt)
+            # solve-chain flags live in the stepped state; pp-chain flags
+            # were checked (and stripped) inside execute_postprocessors
             self.check_newton_diags({
                 k: float(state["buffers"][k]) for k in self.newton_diag_keys()
+                if k in state["buffers"]
             })
             return state, vals
         active = [
@@ -1161,9 +1164,11 @@ class TensorProblem:
                 if self.is_lbm and "residual" in state.get("solver", {}):
                     vals = {**vals, "_lbm_residual": state["solver"]["residual"]}
                 # Newton-convergence flags ride the same sync (no extra
-                # device round-trip; ~30 ms each on axon)
+                # device round-trip; ~30 ms each on axon).  Read from
+                # ``buffers`` (post-pp), not ``state``: an FFTMechanics in
+                # the postprocess chain writes its flag only there.
                 for key in self.newton_diag_keys():
-                    vals = {**vals, key: state["buffers"][key]}
+                    vals = {**vals, key: buffers[key]}
                 return state, vals
 
             self._step_fns["step_pp"] = jax.jit(fn)
@@ -1212,11 +1217,21 @@ class TensorProblem:
                     buffers = dict(state["buffers"])
                     buffers.update(self.pp_computes.apply(buffers, ctx))
                     st = {**state, "buffers": buffers}
-                    return {pp.name: pp.compute(st, ctx) for pp in tensor_pps}
+                    out = {pp.name: pp.compute(st, ctx) for pp in tensor_pps}
+                    # pp-chain Newton flags (FFTMechanics in [Postprocess])
+                    # ride this sync — they exist only in the local buffers
+                    for k in self.newton_diag_keys():
+                        if k in buffers:
+                            out[k] = buffers[k]
+                    return out
 
                 self._pp_fns[key] = jax.jit(fn)
             out = self._pp_fns[key](state, t, dt)
-            result.update({k: float(v) for k, v in out.items()})
+            host = {k: float(v) for k, v in out.items()}
+            self.check_newton_diags({
+                k: host.pop(k) for k in self.newton_diag_keys() if k in host
+            })
+            result.update(host)
         for pp in host_pps:
             result[pp.name] = float(pp.compute_host(result, float(t)))
         return result
@@ -1226,5 +1241,12 @@ class TensorProblem:
         field outputs)."""
         ctx = {"t": t}
         buffers = dict(state["buffers"])
-        buffers.update(self.pp_computes.apply(buffers, ctx))
+        updates = self.pp_computes.apply(buffers, ctx)
+        buffers.update(updates)
+        # a pp-chain FFTMechanics must hard-error on nl_max_its exhaustion
+        # here too (this is the only pp execution on pp-less unfused decks)
+        self.check_newton_diags({
+            k: float(updates[k]) for k in self.newton_diag_keys()
+            if k in updates
+        })
         return {**state, "buffers": buffers}

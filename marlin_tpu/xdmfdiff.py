@@ -156,6 +156,44 @@ def read_series(path: str):
     return snapshots
 
 
+def _pair_by_time(sa, sb):
+    """Nearest-time snapshot pairing with a spacing-aware tolerance.
+
+    np.isclose's fixed atol=1e-8/rtol=1e-5 alone would greedily mis-pair
+    frames spaced closer than that (sub-1e-8 dt, tightly-spaced adaptive-dt
+    frames), so a candidate must ALSO be nearer than half the smallest
+    frame gap of either series.  Returns (pairs, (unpaired_a_times,
+    unpaired_b_times))."""
+    tb_list = [t for t, _ in sb]
+    gaps = []
+    for times in ([t for t, _ in sa], tb_list):
+        arr = np.diff(np.sort(np.asarray(times, float)))
+        arr = arr[arr > 0]
+        if arr.size:
+            gaps.append(float(arr.min()))
+    min_gap = min(gaps) if gaps else np.inf
+    pairs = []
+    used = set()
+    unpaired_a = []
+    for ta, fa in sa:
+        free = [j for j in range(len(tb_list)) if j not in used]
+        best = min(free, key=lambda j: abs(tb_list[j] - ta), default=None)
+        if best is not None:
+            d = abs(tb_list[best] - ta)
+            ok = np.isclose(ta, tb_list[best]) and (
+                d == 0.0 or not np.isfinite(min_gap) or d <= min_gap / 2
+            )
+            if not ok:
+                best = None
+        if best is None:
+            unpaired_a.append(ta)
+            continue
+        used.add(best)
+        pairs.append(((ta, fa), sb[best]))
+    unpaired_b = [t for j, (t, _) in enumerate(sb) if j not in used]
+    return pairs, (unpaired_a, unpaired_b)
+
+
 def compare(path_a: str, path_b: str, rtol: float = 5.5e-6,
             atol: float = 1e-11, out=sys.stdout) -> int:
     """Print the per-snapshot per-field differences; return the number of
@@ -169,25 +207,13 @@ def compare(path_a: str, path_b: str, rtol: float = 5.5e-6,
     # extra leading frame — index pairing would misalign every comparison);
     # fall back to index pairing otherwise
     if all(t is not None for t, _ in sa) and all(t is not None for t, _ in sb):
-        tb_list = [t for t, _ in sb]
-        pairs = []
-        used = set()
-        for ta, fa in sa:
-            best = None
-            for j, t in enumerate(tb_list):
-                if j not in used and np.isclose(ta, t):
-                    best = j
-                    break
-            if best is None:
-                print(f"t={ta}: no matching snapshot in {path_b}", file=out)
-                failures += 1
-                continue
-            used.add(best)
-            pairs.append(((ta, fa), sb[best]))
-        for j, (t, _) in enumerate(sb):
-            if j not in used:
-                print(f"t={t}: no matching snapshot in {path_a}", file=out)
-                failures += 1
+        pairs, unpaired = _pair_by_time(sa, sb)
+        for ta in unpaired[0]:
+            print(f"t={ta}: no matching snapshot in {path_b}", file=out)
+            failures += 1
+        for tb in unpaired[1]:
+            print(f"t={tb}: no matching snapshot in {path_a}", file=out)
+            failures += 1
     else:
         pairs = list(zip(sa, sb))
     for i, ((ta, fa), (tb, fb)) in enumerate(pairs):
