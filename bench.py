@@ -974,9 +974,11 @@ def main():
         # the reference's second headline deck (5 coupled fields; the
         # tuned variant exercises batch_fft)
         ("benchmark_2a", "2a", 1, 600),
+        # degeus before the LBM comparison children: it is a BASELINE.json
+        # metric and must survive a budget cut by a cold fused-LBM compile
+        ("degeus_rve_32", "degeus", 1, 600),
         ("lbm_channel3d_128", "lbm", 1, 600),
         ("lbm_porous_128_pallas", "lbm_porous", 1, 600),
-        ("degeus_rve_32", "degeus", 1, 600),
         # the 512 child compiles 4 whole-step programs (base / carry /
         # pallas / fused); cold remote compiles can exceed 10 min
         ("ch3d_512", "ch3d_512", 1, 1500),

@@ -109,7 +109,11 @@ class ParsedCompute(TensorCompute):
             env["t"] = ctx["t"]
         u = self.expr(env)
         if self.is_integer:
-            u = jnp.asarray(u).astype(jnp.int64)
+            # reference casts to torch int64; int64 silently degrades to
+            # int32 under jax without x64 — pick the widest available
+            # integer dtype explicitly (int64 on the x64 gold path)
+            idtype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+            u = jnp.asarray(u).astype(idtype)
         else:
             u = jnp.asarray(u)
         if self.expand == "REAL":
@@ -127,6 +131,9 @@ class ConstantTensor(TensorCompute):
     def __init__(self, name, params: Params, problem):
         super().__init__(name, params, problem)
         self.real = self.constant("real", 0.0)
+        # declared-but-unused upstream too: the reference's computeBuffer
+        # always torch::full-s regardless (ConstantTensor.C:30,44-52);
+        # accepted as inert for deck parity
         self.full = params.get_bool("full", False)
 
     def apply(self, state, ctx):
@@ -479,28 +486,28 @@ class ReciprocalMatDiffusion(TensorCompute):
         k = [dom.reciprocal_axis(d) for d in range(3)]
         mu = state[self.chem_pot]
         M = state[self.M]
+        # loop the ACTUAL dimensionality: the padding axes carry k=0, so
+        # their flux components are identically zero — transforming them
+        # would waste 2-3 full-grid FFTs per evaluation on 2-D decks
+        dims = range(dom.dim)
         if self.psi is not None:
             psi = state[self.psi]
             psi_thresh = psi > 0.0
             psibar = dom.fft(psi)
             grad_psi_by_psi = [
                 jnp.where(psi_thresh, dom.ifft(k[d] * psibar * 1j) / psi, 0.0)
-                for d in range(3)
+                for d in dims
             ]
             psi_M = M * psi_thresh
         else:
             grad_psi_by_psi = None
             psi_M = M
         mubar = dom.fft(mu)
-        J = [psi_M * dom.ifft(k[d] * mubar * 1j) for d in range(3)]
-        div_J_hat = 1j * (
-            k[0] * dom.fft(J[0]) + k[1] * dom.fft(J[1]) + k[2] * dom.fft(J[2])
-        )
+        J = [psi_M * dom.ifft(k[d] * mubar * 1j) for d in dims]
+        div_J_hat = 1j * sum(k[d] * dom.fft(J[d]) for d in dims)
         if grad_psi_by_psi is not None:
             no_flux_hat = dom.fft(
-                grad_psi_by_psi[0] * J[0]
-                + grad_psi_by_psi[1] * J[1]
-                + grad_psi_by_psi[2] * J[2]
+                sum(grad_psi_by_psi[d] * J[d] for d in dims)
             )
             return {self.out: div_J_hat + no_flux_hat}
         return {self.out: div_J_hat}

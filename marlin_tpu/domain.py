@@ -505,6 +505,13 @@ class Domain:
                     tuple(range(self.dim, t.ndim)))
             return pallas_fft.ifftn_unordered(t, self.shape).astype(self.dtype)
         if self.parallel_mode == ParallelMode.NONE:
+            last = self.dim - 1
+            if (t.shape[last] != self.reciprocal_shape[last]
+                    and t.shape[last] == self.shape[last]):
+                # full spectrum (forward transform of a COMPLEX field uses
+                # fftn, line above) — irfftn would silently crop it to the
+                # half layout; mirror the mesh-less slab/pencil convention
+                return jnp.fft.ifftn(t, axes=spatial).real.astype(self.dtype)
             return jnp.fft.irfftn(t, s=self.shape, axes=spatial).astype(self.dtype)
         if self.mesh is None:
             s = self.shape

@@ -622,11 +622,19 @@ class Let(Expr):
 
     def differentiate(self, var):
         # new bindings: originals plus d<name> derivative bindings; each
-        # binding's derivative chains through all previously bound locals
+        # binding's derivative chains through all previously bound locals.
+        # Shadowing: once a binding re-binds `var` itself, later references
+        # to that name mean the LOCAL — the direct partial w.r.t. the outer
+        # `var` is then zero and only the chain-rule term applies (the
+        # reference implementation double-counts here,
+        # MarlinExpressionParser.C:1078-1100 — deliberately not replicated:
+        # 'c := 2*c; c' w.r.t. c is 2, not 3).  Re-bound locals likewise
+        # chain only once, through their LATEST d<name> binding.
         new_bindings: List[Tuple[str, Expr]] = []
-        previous: List[str] = []
+        previous: List[str] = []  # unique, in first-seen order
+        shadowed = False
         for n, e in self.bindings:
-            de: Expr = e.differentiate(var)
+            de: Expr = Constant(0.0) if shadowed else e.differentiate(var)
             for p in previous:
                 partial = e.differentiate(p)
                 if _const(partial) == 0.0:
@@ -634,9 +642,13 @@ class Let(Expr):
                 de = BinaryOp("+", de, BinaryOp("*", partial, Variable("d" + p)))
             new_bindings.append((n, e))
             new_bindings.append(("d" + n, de))
-            previous.append(n)
-        dbody = self.body.differentiate(var)
-        for n, _e in self.bindings:
+            if n not in previous:
+                previous.append(n)
+            if n == var:
+                shadowed = True
+        dbody = (Constant(0.0) if shadowed
+                 else self.body.differentiate(var))
+        for n in previous:
             partial = self.body.differentiate(n)
             c = _const(partial)
             if c == 0.0:
@@ -1090,16 +1102,22 @@ class CompiledExpression:
                 f"Unknown symbols in expression: {sorted(unknown)}; "
                 f"declared inputs: {self.variables}"
             )
+        self._simplify = simplify
         if simplify:
             self.ast = self.ast.simplify()
         self._ops = None
 
     def differentiate(self, var: str):
-        self.ast = self.ast.differentiate(var).simplify()
+        # honor enable_fpoptimizer=false here too: a user opting out keeps
+        # IEEE evaluation-order semantics (0*log(u) stays NaN-propagating)
+        self.ast = self.ast.differentiate(var)
+        if self._simplify:
+            self.ast = self.ast.simplify()
         return self
 
     def compile(self):
-        self.ast = self.ast.simplify()
+        if self._simplify:
+            self.ast = self.ast.simplify()
         return self
 
     def __call__(self, env: Dict[str, object]):

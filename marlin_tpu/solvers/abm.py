@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..params import Params
 from ..registry import solvers
@@ -57,8 +58,8 @@ class AdamsBashforthMoulton(SplitOperatorBase):
         self.corrector_order = corder - 1
         self.corrector_steps = params.get_int("corrector_steps", 0)
         self.request_history(max(self.predictor_order, self.corrector_order))
-        self._beta = __import__("numpy").asarray(BETA)
-        self._alpha = __import__("numpy").asarray(ALPHA)
+        self._beta = np.asarray(BETA)
+        self._alpha = np.asarray(ALPHA)
         # marlin_tpu extension (perf): run all but the last substep of each
         # step as fused Pallas passes (pallas_spectral.py); requires
         # carry_reciprocal and fft_backend = PALLAS, pattern-matched at

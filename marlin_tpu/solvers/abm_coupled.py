@@ -18,6 +18,7 @@ time and use t+dt for corrector evaluations like the uncoupled ABM.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..params import Params
 from ..registry import solvers
@@ -52,8 +53,8 @@ class AdamsBashforthMoultonCoupled(SplitOperatorBase):
                 params.error("linear_offdiag_rows", "Off-diagonal indices out of range.")
         self.offdiag_indices = list(zip(rows, cols))
         self.request_history(max(self.predictor_order, self.corrector_order))
-        self._beta = __import__("numpy").asarray(BETA)
-        self._alpha = __import__("numpy").asarray(ALPHA)
+        self._beta = np.asarray(BETA)
+        self._alpha = np.asarray(ALPHA)
 
     def extra_input_buffers(self):
         return super().extra_input_buffers() + list(self.offdiag_names)

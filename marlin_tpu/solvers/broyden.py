@@ -27,11 +27,17 @@ class BroydenSolver(SplitOperatorBase):
         self.max_iterations = params.get_int("max_iterations", 100)
         self.rel_tol = params.get_float("relative_tolerance", 1e-9)
         self.abs_tol = params.get_float("absolute_tolerance", 1e-9)
+        # declared-but-unused upstream: the reference reads damping
+        # (BroydenSolver.C:24,42) but hard-codes sk*0.5 in the update
+        # (:135) — accepted as inert for step-for-step parity
         self.damping = params.get_float("damping", 1.0)
         self.eye_factor = params.get_float("initial_jacobian_guess", 1.0)
         # reference BroydenSolver.C:30 "Show convergence history." — the
         # per-iteration console print becomes an async jax.debug.print tap
         self.verbose = params.get_bool("verbose", False)
+        # reference parity: only SecantSolver applies predictors
+        # (SecantSolver.C:100); BroydenSolver never calls applyPredictors,
+        # so attached [Predictors] blocks are built but inert — same here
         self.predictors = []
 
     def init_solver_state(self):

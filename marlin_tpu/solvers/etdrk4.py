@@ -60,23 +60,24 @@ class ETDRK4Solver(SplitOperatorBase):
         for i, v in enumerate(self.variables):
             Ldt = linear[i] * sub_dt
             eL = jnp.exp(Ldt)
-            denom = Ldt * Ldt * Ldt
-            # REFERENCE-EXACT phi tables (ETDRK4Solver.C:80-92), including
-            # two deviations from the Cox-Matthews (2002) f1/f3 and the
-            # L->0 limits {dt, dt^2/2, dt^2/6} (Cox-Matthews: dt/6 each).
-            # Kept verbatim for parity — the shipped reference deck
-            # (etdrk4_diffusion.i) is purely linear so only exp(Ldt)
-            # matters there.  Cox-Matthews coefficients are available via
-            # `cox_matthews = true` below.
-            p1 = sub_dt * (-4.0 - 3.0 * Ldt + eL * (4.0 - Ldt)) / denom
-            p2 = sub_dt * (2.0 + Ldt + eL * (-2.0 + Ldt)) / denom
-            p3 = sub_dt * (-4.0 - 3.0 * Ldt - Ldt * Ldt + eL * (4.0 - Ldt)) / denom
-            zero = Ldt == 0.0
-            p1 = jnp.where(zero, sub_dt, p1)
-            p2 = jnp.where(zero, sub_dt * sub_dt / 2.0, p2)
-            p3 = jnp.where(zero, sub_dt * sub_dt / 6.0, p3)
             if self.cox_matthews:
                 p1, p2, p3 = _cox_matthews_phis(Ldt, eL, sub_dt)
+            else:
+                denom = Ldt * Ldt * Ldt
+                # REFERENCE-EXACT phi tables (ETDRK4Solver.C:80-92),
+                # including two deviations from the Cox-Matthews (2002)
+                # f1/f3 and the L->0 limits {dt, dt^2/2, dt^2/6}
+                # (Cox-Matthews: dt/6 each).  Kept verbatim for parity —
+                # the shipped reference deck (etdrk4_diffusion.i) is purely
+                # linear so only exp(Ldt) matters there.
+                p1 = sub_dt * (-4.0 - 3.0 * Ldt + eL * (4.0 - Ldt)) / denom
+                p2 = sub_dt * (2.0 + Ldt + eL * (-2.0 + Ldt)) / denom
+                p3 = sub_dt * (-4.0 - 3.0 * Ldt - Ldt * Ldt
+                               + eL * (4.0 - Ldt)) / denom
+                zero = Ldt == 0.0
+                p1 = jnp.where(zero, sub_dt, p1)
+                p2 = jnp.where(zero, sub_dt * sub_dt / 2.0, p2)
+                p3 = jnp.where(zero, sub_dt * sub_dt / 6.0, p3)
             expLdt.append(eL)
             expHalf.append(jnp.exp(Ldt / 2.0))
             phi1.append(p1)

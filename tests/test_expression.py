@@ -239,3 +239,53 @@ def test_scalar_if_is_lazy():
     jnp.where, matching the reference's torch-where lowering)."""
     assert fparse("if(a!=0, 1/a, 0)", {"a": 0.0}) == 0.0
     assert fparse("if(a!=0, 1/a, 0)", {"a": 4.0}) == 0.25
+
+
+class TestLetShadowedDifferentiation:
+    """Differentiating w.r.t. a variable that a let-binding re-binds: the
+    body's references mean the LOCAL, so only the chain-rule term applies.
+    The reference's own implementation double-counts here
+    (MarlinExpressionParser.C:1078-1100 computes d/dvar[body] with the
+    shadowed name treated as the outer var) — deliberately not replicated."""
+
+    def _d(self, expr, var, env):
+        import jax.numpy as jnp
+
+        from marlin_tpu.expression import JaxOps, parse
+
+        ast = parse(expr).differentiate(var).simplify()
+        return float(ast.evaluate(
+            {k: jnp.array(v) for k, v in env.items()}, JaxOps()))
+
+    def test_rebinding_differentiation_var(self):
+        # c_local = 2c; body = c_local -> d/dc = 2 (NOT 3)
+        assert self._d("c := 2*c; c", "c", {"c": 1.3}) == pytest.approx(2.0)
+
+    def test_rebinding_later_in_chain(self):
+        # a = c_outer; c_local = 2*c_outer; body = a + c_local -> d/dc = 3
+        assert self._d("a := c; c := 2*c; a + c", "c",
+                       {"c": 0.7}) == pytest.approx(3.0)
+
+    def test_rebound_local_chains_once(self):
+        # a = x; a = 2a = 2x; body = a*x = 2x^2 -> d/dx = 4x
+        assert self._d("a := x; a := 2*a; a * x", "x",
+                       {"x": 1.5}) == pytest.approx(6.0)
+
+    def test_nonshadowing_unchanged(self):
+        # the plain chain-rule path must be unaffected
+        assert self._d("a := sin(x^2); a + 2*a + 3*a", "x",
+                       {"x": 0.5}) == pytest.approx(
+                           6 * 2 * 0.5 * math.cos(0.25))
+
+
+def test_enable_fpoptimizer_false_preserves_ieee_order():
+    """simplify=False must survive compile(): 0*log(u) keeps NaN semantics
+    for u <= 0 instead of being folded away."""
+    import jax.numpy as jnp
+
+    from marlin_tpu.expression import CompiledExpression
+
+    e = CompiledExpression("0*log(u) + u", ["u"], simplify=False).compile()
+    assert math.isnan(float(e({"u": jnp.array(-1.0)})))
+    folded = CompiledExpression("0*log(u) + u", ["u"], simplify=True).compile()
+    assert float(folded({"u": jnp.array(-1.0)})) == -1.0

@@ -285,3 +285,28 @@ def test_xdmfdiff_tolerant_pairing_still_works():
     sb = [(0.1 + 1e-12, f), (0.2 - 1e-12, f)]
     pairs, (ua, ub) = _pair_by_time(sa, sb)
     assert not ua and not ub and len(pairs) == 2
+
+
+# ---------------------------------------------------------------------------
+# serial (NONE) complex round-trip: ifft must shape-detect a full spectrum
+# instead of silently cropping it through irfftn
+
+
+def test_serial_complex_fft_roundtrip():
+    import jax.numpy as jnp
+
+    from marlin_tpu.domain import Domain
+
+    dom = Domain(dim=2, n=(8, 8), maxs=(1.0, 1.0))
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 8), dom.dtype)
+    z = x + 0.5j * x[::-1]
+    spec = dom.fft(z)
+    assert spec.shape == (8, 8)  # full spectrum for complex input
+    back = dom.ifft(spec)
+    # real-dtype buffers: the round-trip returns Re(z) (mesh-less slab
+    # convention); previously irfftn silently cropped the spectrum
+    assert np.allclose(back, np.real(z), atol=1e-6)
+    # the half-spectrum path is untouched
+    specr = dom.fft(x)
+    assert specr.shape == (8, 5)
+    assert np.allclose(dom.ifft(specr), x, atol=1e-6)
