@@ -506,6 +506,17 @@ class Domain:
             return pallas_fft.ifftn_unordered(t, self.shape).astype(self.dtype)
         if self.parallel_mode == ParallelMode.NONE:
             last = self.dim - 1
+            # Spectrum kind (half rfftn vs full fftn of a complex field) is
+            # inferred from the last spatial extent.  When n_last <= 2 the
+            # two layouts COINCIDE (n == n//2+1: bins k=0 and Nyquist only),
+            # so the irfftn path below is taken either way; that is exact
+            # for any Hermitian-in-last-axis spectrum (every real-field
+            # forward transform, including quasi-1D decks with ny=2 such as
+            # the reference interface-velocity test).  Only a genuinely
+            # complex FIELD transformed at n_last <= 2 would lose its
+            # imaginary part here — the full-spectrum branch discards .imag
+            # too, so there is no silent-crop hazard beyond that documented
+            # degeneracy.
             if (t.shape[last] != self.reciprocal_shape[last]
                     and t.shape[last] == self.shape[last]):
                 # full spectrum (forward transform of a COMPLEX field uses

@@ -640,8 +640,12 @@ class Let(Expr):
                 if _const(partial) == 0.0:
                     continue
                 de = BinaryOp("+", de, BinaryOp("*", partial, Variable("d" + p)))
-            new_bindings.append((n, e))
+            # d<n> binds BEFORE the (re)binding of n: de only references the
+            # OLD n / old d<n> (e's variables mean their pre-binding values),
+            # so for a re-binding like 'a := x; a := a*a' the chain partial
+            # 2*a must see the previous a, not the new one.
             new_bindings.append(("d" + n, de))
+            new_bindings.append((n, e))
             if n not in previous:
                 previous.append(n)
             if n == var:

@@ -1123,8 +1123,11 @@ class TensorProblem:
         }
 
     #: fuse the timestep and postprocessors into one XLA program (fastest);
-    #: set False to run them as two programs (the axon remote-TPU backend
-    #: currently rejects the fused program)
+    #: set False to run them as two programs.  If a backend rejects the
+    #: fused program at compile time (observed on the axon remote-TPU
+    #: backend), step_with_pps catches the rejection on the FIRST call,
+    #: warns once, and recompiles split automatically — decks with
+    #: postprocessors run out of the box either way.
     fuse_pps = True
 
     def step_with_pps(self, state, t, dt, dt_old, first_step: bool):
@@ -1172,9 +1175,29 @@ class TensorProblem:
                 return state, vals
 
             self._step_fns["step_pp"] = jax.jit(fn)
-        state, vals = self._step_fns["step_pp"](
-            state, t, dt, dt_old, jnp.asarray(first_step, bool)
-        )
+        try:
+            state, vals = self._step_fns["step_pp"](
+                state, t, dt, dt_old, jnp.asarray(first_step, bool)
+            )
+            self._step_pp_verified = True
+        except Exception as e:
+            if getattr(self, "_step_pp_verified", False):
+                raise  # the fused program worked before: a real error
+            # compile-time rejection of the fused step+pp program (some
+            # backends refuse it): warn once, recompile split, and serve
+            # the whole run unfused — never surface the rejection to a
+            # deck that is otherwise valid.
+            import warnings
+
+            warnings.warn(
+                "backend rejected the fused step+postprocessor program "
+                f"({type(e).__name__}: {str(e)[:200]}); falling back to "
+                "split step/pp programs (fuse_pps = False)",
+                RuntimeWarning,
+            )
+            self._step_fns.pop("step_pp", None)
+            self.fuse_pps = False
+            return self.step_with_pps(state, t, dt, dt_old, first_step)
         if self.solver is not None:
             self.compute_count += self.solver.group_evals_per_step()
         self._fetch_group_evals(state)

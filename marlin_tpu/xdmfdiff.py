@@ -161,17 +161,19 @@ def _pair_by_time(sa, sb):
 
     np.isclose's fixed atol=1e-8/rtol=1e-5 alone would greedily mis-pair
     frames spaced closer than that (sub-1e-8 dt, tightly-spaced adaptive-dt
-    frames), so a candidate must ALSO be nearer than half the smallest
-    frame gap of either series.  Returns (pairs, (unpaired_a_times,
+    frames), so a candidate must ALSO be nearer than half the LOCAL frame
+    gap — the spacing to each time's nearest same-series neighbor — so one
+    tightly-spaced adaptive-dt pair somewhere does not clamp matching for
+    the whole series.  Returns (pairs, (unpaired_a_times,
     unpaired_b_times))."""
     tb_list = [t for t, _ in sb]
-    gaps = []
-    for times in ([t for t, _ in sa], tb_list):
-        arr = np.diff(np.sort(np.asarray(times, float)))
-        arr = arr[arr > 0]
-        if arr.size:
-            gaps.append(float(arr.min()))
-    min_gap = min(gaps) if gaps else np.inf
+
+    def local_gap(times, t):
+        # distance from t to its nearest OTHER frame in the same series
+        ds = [abs(x - t) for x in times if x != t]
+        return min(ds) if ds else np.inf
+
+    ta_list = [t for t, _ in sa]
     pairs = []
     used = set()
     unpaired_a = []
@@ -180,8 +182,9 @@ def _pair_by_time(sa, sb):
         best = min(free, key=lambda j: abs(tb_list[j] - ta), default=None)
         if best is not None:
             d = abs(tb_list[best] - ta)
+            gap = min(local_gap(ta_list, ta), local_gap(tb_list, tb_list[best]))
             ok = np.isclose(ta, tb_list[best]) and (
-                d == 0.0 or not np.isfinite(min_gap) or d <= min_gap / 2
+                d == 0.0 or not np.isfinite(gap) or d <= gap / 2
             )
             if not ok:
                 best = None

@@ -271,6 +271,18 @@ class TestLetShadowedDifferentiation:
         assert self._d("a := x; a := 2*a; a * x", "x",
                        {"x": 1.5}) == pytest.approx(6.0)
 
+    def test_rebinding_nonconstant_partial_uses_old_value(self):
+        # a = x; a = a*a = x^2; body = a -> d/dx = 2x. The chain partial
+        # 2*a must evaluate against the OLD a (=x), not the rebound a (=x^2):
+        # at x=1.5 the answer is 3.0, not 4.5.
+        assert self._d("a := x; a := a*a; a", "x",
+                       {"x": 1.5}) == pytest.approx(3.0)
+
+    def test_rebinding_nonconstant_partial_chain_body(self):
+        # a = x; a = a*a; body = a*x = x^3 -> d/dx = 3x^2
+        assert self._d("a := x; a := a*a; a * x", "x",
+                       {"x": 2.0}) == pytest.approx(12.0)
+
     def test_nonshadowing_unchanged(self):
         # the plain chain-rule path must be unaffected
         assert self._d("a := sin(x^2); a + 2*a + 3*a", "x",

@@ -1,0 +1,104 @@
+"""Regression tests for the round-3 review items (VERDICT.md r02):
+fuse_pps auto-fallback when a backend rejects the fused step+pp program,
+Let.differentiate rebinding order (ADVICE r02 medium), and xdmfdiff
+local-gap pairing live in their subsystem test files."""
+
+import warnings
+
+import pytest
+
+from marlin_tpu import hit
+from marlin_tpu.problem import TensorProblem
+
+PP_DECK = """
+[Domain]
+  dim = 2
+  nx = 8
+  ny = 8
+  xmax = 1
+  ymax = 1
+[]
+[TensorComputes]
+  [Initialize]
+    [c]
+      type = ParsedCompute
+      buffer = c
+      extra_symbols = true
+      expression = 'sin(2*pi*x)*cos(2*pi*y)+1'
+    []
+  []
+  [Solve]
+    [decay]
+      type = ParsedCompute
+      buffer = c
+      expression = 'c*0.9'
+      inputs = c
+    []
+  []
+[]
+[Problem]
+  type = TensorProblem
+[]
+[Postprocessors]
+  [avg_c]
+    type = TensorAveragePostprocessor
+    buffer = c
+  []
+[]
+"""
+
+
+class _RejectOnce:
+    """Stand-in for a jitted fused step+pp program whose backend compile
+    fails (the axon remote-TPU rejection signature)."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def __call__(self, *a, **k):
+        self.calls += 1
+        raise RuntimeError("UNIMPLEMENTED: backend rejected fused program")
+
+
+def test_fuse_pps_auto_fallback():
+    """A backend that rejects the fused step+pp program on its first call
+    must NOT break the run: step_with_pps warns once, flips fuse_pps off,
+    and serves the step + postprocessors via the split path."""
+    root = hit.parse(PP_DECK)
+    p = TensorProblem(root)
+    state = p.init_state()
+    assert p.fuse_pps
+
+    reject = _RejectOnce()
+    p._step_fns["step_pp"] = reject  # pre-seed the cache with the rejection
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        new_state, vals = p.step_with_pps(state, 0.0, 0.1, 0.0, True)
+    assert reject.calls == 1
+    assert any("fuse_pps" in str(x.message) for x in w)
+    assert p.fuse_pps is False
+    assert vals["avg_c"] == pytest.approx(0.9, rel=1e-6)
+
+    # subsequent steps stay on the split path with no further warnings
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        _, vals2 = p.step_with_pps(new_state, 0.1, 0.1, 0.1, False)
+    assert not [x for x in w2 if "fuse_pps" in str(x.message)]
+    assert vals2["avg_c"] == pytest.approx(0.81, rel=1e-6)
+
+
+def test_fuse_pps_later_failure_reraises():
+    """Once the fused program has served a call, a later exception is a
+    real error and must surface, not silently fall back."""
+    root = hit.parse(PP_DECK)
+    p = TensorProblem(root)
+    state = p.init_state()
+    state, vals = p.step_with_pps(state, 0.0, 0.1, 0.0, True)
+    assert p.fuse_pps and getattr(p, "_step_pp_verified", False)
+
+    def boom(*a, **k):
+        raise RuntimeError("mid-run failure")
+
+    p._step_fns["step_pp"] = boom
+    with pytest.raises(RuntimeError, match="mid-run failure"):
+        p.step_with_pps(state, 0.1, 0.1, 0.1, False)

@@ -247,3 +247,19 @@ def test_binary_layout_and_nan_fails(tmp_path):
     assert xdmfdiff.compare(
         xmf, str(tmp_path / "nan" / "det.xmf"), out=out) >= 1
     assert "[FAIL]" in out.getvalue()
+
+
+def test_pair_by_time_local_gap():
+    """One tightly-spaced adaptive-dt frame pair must not clamp the pairing
+    tolerance for the whole series: pairing uses the LOCAL neighbor gap, so
+    frames at t=100 vs t=100+1e-6 (local gap ~50) still pair even when two
+    other frames sit 1e-5 apart."""
+    fa = {"c": np.zeros((2, 2))}
+    # global min gap is 1e-5 (the first two frames); the t=100 pair differs
+    # by 1e-4 — within isclose's rtol and WELL within its local gap (50),
+    # but 20x the global min gap that the old logic clamped everything to.
+    sa = [(0.0, fa), (1e-5, fa), (50.0, fa), (100.0, fa)]
+    sb = [(0.0, fa), (1e-5, fa), (50.0, fa), (100.0 + 1e-4, fa)]
+    pairs, (ua, ub) = xdmfdiff._pair_by_time(sa, sb)
+    assert not ua and not ub
+    assert len(pairs) == 4
