@@ -405,6 +405,25 @@ def bench_2a(num_steps=100):
         })
     except Exception as e:  # report, never break the headline
         out["tuned_error"] = repr(e)[:300]
+
+    # fused variant (r03): the whole 5-field substep as batched Pallas
+    # passes — per-variable M̄/L̄ polynomials in-kernel, µ stack in one XLA
+    # stage (pallas_spectral.ch_substep_multi)
+    if _remaining() < 420:
+        out["fused_skipped"] = "budget"
+        return out
+    try:
+        wall3, first3, s3, t3, pps3, sub3 = run([
+            "Domain/fft_backend=PALLAS",
+            "TensorSolver/carry_reciprocal=true",
+            "TensorSolver/fused_spectral=true"])
+        out.update({
+            "fused_value": round(wall3, 3),
+            "fused_substep_us": round(wall3 / (s3 * sub3) * 1e6, 1),
+            "fused_F_final": round(pps3.get("F", float("nan")), 3),
+        })
+    except Exception as e:
+        out["fused_error"] = repr(e)[:300]
     return out
 
 

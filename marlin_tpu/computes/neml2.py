@@ -97,10 +97,123 @@ class ScalarParameterToState(_NEML2Model):
         return {self.to_var: jnp.asarray(self.value)}
 
 
+class LinearIsotropicElasticity(_NEML2Model):
+    """S = 3K·vol(E) + 2G·dev(E) on Mandel-notation SR2 fields (trailing
+    axis 6: [xx, yy, zz, √2·yz, √2·xz, √2·xy]) — NEML2's
+    LinearIsotropicElasticity (solid_mechanics/elasticity).  `coefficients`
+    + `coefficient_types` accept YOUNGS_MODULUS/POISSONS_RATIO or
+    BULK_MODULUS/SHEAR_MODULUS pairs; `compliance = true` inverts the map
+    (stress -> strain)."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.strain = params.get_str("strain", "forces/E")
+        self.stress = params.get_str("stress", "state/S")
+        self.compliance = params.get_bool("compliance", False)
+        coeffs = params.get_float_vector("coefficients", required=True)
+        types = params.get_str_vector("coefficient_types", required=True)
+        if len(coeffs) != 2 or len(types) != 2:
+            params.error("coefficients",
+                         "exactly two (value, type) pairs are supported")
+        vals = dict(zip([t.upper() for t in types], coeffs))
+        if {"YOUNGS_MODULUS", "POISSONS_RATIO"} <= set(vals):
+            E, nu = vals["YOUNGS_MODULUS"], vals["POISSONS_RATIO"]
+            self.K = E / (3.0 * (1.0 - 2.0 * nu))
+            self.G = E / (2.0 * (1.0 + nu))
+        elif {"BULK_MODULUS", "SHEAR_MODULUS"} <= set(vals):
+            self.K, self.G = vals["BULK_MODULUS"], vals["SHEAR_MODULUS"]
+        else:
+            params.error(
+                "coefficient_types",
+                "supported pairs: YOUNGS_MODULUS+POISSONS_RATIO or "
+                f"BULK_MODULUS+SHEAR_MODULUS (got {types})")
+        self.from_var = [self.stress if self.compliance else self.strain]
+        self.to_var = self.strain if self.compliance else self.stress
+
+    def forward(self, env):
+        x = env[self.from_var[0]]
+        if x.shape[-1] != 6:
+            raise NEML2Error(
+                f"LinearIsotropicElasticity '{self.name}' expects a Mandel "
+                f"SR2 field (trailing axis 6), got shape {x.shape}")
+        tr = x[..., 0] + x[..., 1] + x[..., 2]
+        vol = (tr / 3.0)[..., None] * jnp.asarray(
+            [1.0, 1.0, 1.0, 0.0, 0.0, 0.0], x.dtype)
+        dev = x - vol
+        if self.compliance:  # strain from stress: E = vol(S)/3K + dev(S)/2G
+            out = vol / (3.0 * self.K) + dev / (2.0 * self.G)
+        else:
+            out = 3.0 * self.K * vol + 2.0 * self.G * dev
+        return {self.to_var: out}
+
+
+class SR2Invariant(_NEML2Model):
+    """Scalar invariant of a Mandel SR2 field — NEML2's SR2Invariant.
+    VONMISES = sqrt(3/2 · dev(S):dev(S)) (the Mandel 6-vector dot product
+    IS the full double contraction), I1 = trace, I2 = ½(tr²−tr(S²)),
+    EFFECTIVE_STRAIN = sqrt(2/3 · S:S)."""
+
+    TYPES = ("VONMISES", "I1", "I2", "EFFECTIVE_STRAIN")
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.tensor = params.get_str("tensor", "state/S")
+        self.to_var = params.get_str("invariant", "state/s")
+        self.invariant_type = params.get_str(
+            "invariant_type", required=True).upper()
+        if self.invariant_type not in self.TYPES:
+            params.error("invariant_type",
+                         f"supported: {self.TYPES} (got {self.invariant_type})")
+        self.from_var = [self.tensor]
+
+    def forward(self, env):
+        s = env[self.tensor]
+        tr = s[..., 0] + s[..., 1] + s[..., 2]
+        if self.invariant_type == "I1":
+            out = tr
+        elif self.invariant_type == "I2":
+            s_contract = jnp.sum(s * s, axis=-1)  # tr(S²) in Mandel
+            out = 0.5 * (tr * tr - s_contract)
+        elif self.invariant_type == "EFFECTIVE_STRAIN":
+            out = jnp.sqrt(2.0 / 3.0 * jnp.sum(s * s, axis=-1))
+        else:  # VONMISES
+            vol = (tr / 3.0)[..., None] * jnp.asarray(
+                [1.0, 1.0, 1.0, 0.0, 0.0, 0.0], s.dtype)
+            dev = s - vol
+            out = jnp.sqrt(1.5 * jnp.sum(dev * dev, axis=-1))
+        return {self.to_var: out}
+
+
+class ScalarForwardEulerTimeIntegration(_NEML2Model):
+    """s = s_old + ṡ·(t − t_old) — NEML2's forward-Euler rate-form
+    integration (ForwardEulerTimeIntegration<Scalar>).  Variables follow
+    NEML2's axis convention: the target lives on state/<var>, its rate on
+    state/<var>_rate, the previous value on old_state/<var>, and times on
+    forces/t and old_forces/t."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        var = params.get_str("variable", required=True)
+        base = var.split("/")[-1]
+        self.rate = f"state/{base}_rate"
+        self.old = f"old_state/{base}"
+        self.t = params.get_str("time", "forces/t")
+        self.t_old = f"old_{self.t}"
+        self.to_var = var if "/" in var else f"state/{var}"
+        self.from_var = [self.rate, self.old, self.t, self.t_old]
+
+    def forward(self, env):
+        return {self.to_var: env[self.old]
+                + env[self.rate] * (env[self.t] - env[self.t_old])}
+
+
 _MODEL_TYPES = {
     "ScalarMultiplication": ScalarMultiplication,
     "ScalarLinearCombination": ScalarLinearCombination,
     "ScalarParameterToState": ScalarParameterToState,
+    "LinearIsotropicElasticity": LinearIsotropicElasticity,
+    "SR2Invariant": SR2Invariant,
+    "ScalarForwardEulerTimeIntegration": ScalarForwardEulerTimeIntegration,
 }
 
 
@@ -187,7 +300,9 @@ class NEML2TensorCompute(TensorCompute):
                     f"NEML2 model '{self.model.name}' did not produce '{nv}'"
                 )
             arr = result[nv]
-            out[mb] = jnp.broadcast_to(arr, self.domain.shape).astype(
-                self.domain.dtype
-            )
+            if arr.ndim <= self.domain.dim:
+                # scalar NEML2 variables broadcast over the grid; tensor-
+                # valued ones (SR2/Vector Mandel trailing axes) keep theirs
+                arr = jnp.broadcast_to(arr, self.domain.shape)
+            out[mb] = arr.astype(self.domain.dtype)
         return out

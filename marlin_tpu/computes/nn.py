@@ -97,7 +97,17 @@ def torchscript_to_jax(module, dtype):
                 supported = False
                 break
             steps.append(("const", outs, val))
-        elif kind in _ATEN_OPS:
+            continue
+        if kind == "prim::ListConstruct":
+            # shape lists for view/reshape/flatten, tensor lists for cat,
+            # normalized_shape for layer_norm
+            steps.append(("list", outs, ins))
+            continue
+        # in-place variants (relu_, add_, ...) are value-equivalent in a
+        # pure interpretation
+        if kind.endswith("_") and kind[:-1] in _ATEN_OPS:
+            kind = kind[:-1]
+        if kind in _ATEN_OPS:
             if kind == "aten::div" and len(ins) > 2:
                 # div with a rounding_mode ('floor'/'trunc') would silently
                 # evaluate as true division — take the host fallback
@@ -125,6 +135,8 @@ def torchscript_to_jax(module, dtype):
         for step in steps:
             if step[0] == "const":
                 env[step[1][0]] = to_dev(step[2])
+            elif step[0] == "list":
+                env[step[1][0]] = [env.get(n) for n in step[2]]
             else:
                 _, outs, kind, ins = step
                 args = [env.get(n) for n in ins]
@@ -167,7 +179,80 @@ _ATEN_OPS = {
     "aten::squeeze": lambda a, B: jnp.squeeze(a[0]) if len(a) == 1
     else (jnp.squeeze(a[0], axis=a[1]) if a[0].shape[a[1]] == 1 else a[0]),
     "aten::unsqueeze": lambda a, B: jnp.expand_dims(a[0], a[1]),
+    # -- the conv-free MLP zoo (VERDICT r02 item 8) ------------------------
+    "aten::gelu": lambda a, B: jax.nn.gelu(
+        a[0], approximate=(len(a) > 1 and a[1] == "tanh")),
+    "aten::silu": lambda a, B: jax.nn.silu(a[0]),
+    "aten::mish": lambda a, B: a[0] * jnp.tanh(jax.nn.softplus(a[0])),
+    "aten::elu": lambda a, B: jax.nn.elu(a[0], alpha=a[1] if len(a) > 1 else 1.0),
+    "aten::leaky_relu": lambda a, B: jax.nn.leaky_relu(
+        a[0], negative_slope=a[1] if len(a) > 1 else 0.01),
+    "aten::hardtanh": lambda a, B: jnp.clip(
+        a[0], a[1] if len(a) > 1 else -1.0, a[2] if len(a) > 2 else 1.0),
+    "aten::softmax": lambda a, B: jax.nn.softmax(a[0], axis=a[1]),
+    "aten::log_softmax": lambda a, B: jax.nn.log_softmax(a[0], axis=a[1]),
+    "aten::layer_norm": lambda a, B: _aten_layer_norm(a),
+    "aten::sqrt": lambda a, B: jnp.sqrt(a[0]),
+    "aten::rsqrt": lambda a, B: 1.0 / jnp.sqrt(a[0]),
+    "aten::abs": lambda a, B: jnp.abs(a[0]),
+    "aten::sin": lambda a, B: jnp.sin(a[0]),
+    "aten::cos": lambda a, B: jnp.cos(a[0]),
+    "aten::erf": lambda a, B: jax.scipy.special.erf(a[0]),
+    "aten::log1p": lambda a, B: jnp.log1p(a[0]),
+    "aten::expm1": lambda a, B: jnp.expm1(a[0]),
+    "aten::reciprocal": lambda a, B: 1.0 / a[0],
+    "aten::clamp": lambda a, B: jnp.clip(
+        a[0],
+        a[1] if len(a) > 1 and a[1] is not None else -jnp.inf,
+        a[2] if len(a) > 2 and a[2] is not None else jnp.inf),
+    "aten::clamp_min": lambda a, B: jnp.maximum(a[0], a[1]),
+    "aten::clamp_max": lambda a, B: jnp.minimum(a[0], a[1]),
+    "aten::minimum": lambda a, B: jnp.minimum(a[0], a[1]),
+    "aten::maximum": lambda a, B: jnp.maximum(a[0], a[1]),
+    "aten::mm": lambda a, B: a[0] @ a[1],
+    "aten::bmm": lambda a, B: a[0] @ a[1],
+    # shape ops take lists from prim::ListConstruct; torch's -1 wildcard
+    # maps straight onto jnp.reshape's
+    "aten::view": lambda a, B: jnp.reshape(a[0], a[1]),
+    "aten::reshape": lambda a, B: jnp.reshape(a[0], a[1]),
+    "aten::flatten": lambda a, B: _aten_flatten(a),
+    "aten::cat": lambda a, B: jnp.concatenate(a[0], axis=a[1] if len(a) > 1 else 0),
+    "aten::stack": lambda a, B: jnp.stack(a[0], axis=a[1] if len(a) > 1 else 0),
+    # eval-mode no-ops / layout hints
+    "aten::dropout": lambda a, B: a[0],
+    "aten::contiguous": lambda a, B: a[0],
+    "aten::detach": lambda a, B: a[0],
+    "aten::clone": lambda a, B: a[0],
+    "aten::alias": lambda a, B: a[0],
 }
+
+
+def _aten_layer_norm(a):
+    """aten::layer_norm(input, normalized_shape, weight, bias, eps, ...)."""
+    x, normalized_shape = a[0], a[1]
+    weight = a[2] if len(a) > 2 else None
+    bias = a[3] if len(a) > 3 else None
+    eps = a[4] if len(a) > 4 and a[4] is not None else 1e-5
+    axes = tuple(range(x.ndim - len(normalized_shape), x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=axes, keepdims=True)
+    out = (x - mean) / jnp.sqrt(var + eps)
+    if weight is not None:
+        out = out * weight
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def _aten_flatten(a):
+    """aten::flatten(input, start_dim=0, end_dim=-1)."""
+    x = a[0]
+    start = a[1] if len(a) > 1 else 0
+    end = a[2] if len(a) > 2 else -1
+    if end < 0:
+        end += x.ndim
+    shape = x.shape[:start] + (-1,) + x.shape[end + 1:]
+    return jnp.reshape(x, shape)
 
 
 @computes.register("LibtorchGibbsEnergy")

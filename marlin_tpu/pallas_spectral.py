@@ -74,6 +74,36 @@ class SpectralPlan:
     kyz2: np.ndarray  # (1, ny·nz) permuted ky²+kz² flattened, f32
 
 
+@dataclass
+class SpectralPlanMulti:
+    """N-variable fused plan (the 2a/Ostwald shape: N coupled fields on one
+    grid, per-variable M̄/L̄).  M̄ and L̄ generalize to polynomials in k²
+    rebuilt in-registers:
+
+        M̄_i = m0 + m1·k²               (ForwardFFT→N̄ directly: m=(1,0);
+                                         ReciprocalLaplacianFactor f: (0,−f))
+        L̄_i = la0 + la1·k² + la2·k⁴    (ReciprocalLaplacianFactor f:
+                                         (0,−f,0); SquareFactor f: (0,0,f);
+                                         SwiftHohenberg r,α:
+                                         (r−α², 2α², −α²))
+
+    µ_1..µ_N are pointwise functions of ALL N fields, so they evaluate as
+    one XLA pointwise stage on the stacked fields (XLA fuses the N parsed
+    expressions); the batched planar kernels then run vmapped over the
+    leading field axis."""
+
+    mu_stack: Callable  # (N,)+shape real stack -> (N,)+shape µ stack
+    coef: np.ndarray  # (N, 5) f32 rows [m0, m1, la0, la1, la2]
+    buffers: list
+    reciprocals: list
+    nonlinears: list
+    mus: list
+    mubars: list
+    shape: tuple
+    kx2: np.ndarray
+    kyz2: np.ndarray
+
+
 def _reject(msg):
     raise SpectralChainError(
         f"fused_spectral = true: {msg} (drop the flag for the general path)"
@@ -168,6 +198,111 @@ def _call_update(mr, mi, cr, ci, onr, oni, kx2, kyz2, scal, plan):
     )(mr, mi, *consts, cr, ci, onr, oni, kx2, kyz2, scal)
 
 
+def _fwd_x_update_kernel_poly(n, tl):
+    """Multi-variable variant of _fwd_x_update_kernel: M̄/L̄ arrive as
+    per-variable polynomial-in-k² coefficients in the SMEM scalar row
+    [sub_dt, b0, b1, m0, m1, la0, la1, la2] instead of static plan values,
+    so ONE kernel serves every variable under a leading vmap axis."""
+
+    def kernel(xr_ref, xi_ref, wr_ref, wi_ref, twr_ref, twi_ref,
+               cr_ref, ci_ref, onr_ref, oni_ref, kx2_ref, kyz2_ref, scal_ref,
+               ur_ref, ui_ref, nr_ref, ni_ref):
+        mr, mi = pf._fwd_sublanes_transform(
+            xr_ref[:], xi_ref[:], wr_ref[:], wi_ref[:], twr_ref[:],
+            twi_ref[:], n, tl,
+        )
+        sub_dt = scal_ref[0, 0]
+        b0 = scal_ref[0, 1]
+        b1 = scal_ref[0, 2]
+        m0 = scal_ref[0, 3]
+        m1 = scal_ref[0, 4]
+        la0 = scal_ref[0, 5]
+        la1 = scal_ref[0, 6]
+        la2 = scal_ref[0, 7]
+        k2 = kx2_ref[:] + kyz2_ref[:]
+        Lb = la0 + la1 * k2 + la2 * (k2 * k2)
+        Mb = m0 + m1 * k2
+        nr = Mb * mr
+        ni = Mb * mi
+        acc_r = b0 * nr + b1 * onr_ref[:]
+        acc_i = b0 * ni + b1 * oni_ref[:]
+        den = 1.0 / (1.0 - sub_dt * Lb)
+        ur_ref[:] = (cr_ref[:] + sub_dt * acc_r) * den
+        ui_ref[:] = (ci_ref[:] + sub_dt * acc_i) * den
+        nr_ref[:] = nr
+        ni_ref[:] = ni
+
+    return kernel
+
+
+def _call_update_poly(mr, mi, cr, ci, onr, oni, kx2, kyz2, scal8):
+    """pallas_call wrapper for the per-variable polynomial update; scal8 is
+    the (1, 8) SMEM row for THIS variable."""
+    n, L = mr.shape
+    tl = pf._pick_tl(L, n)
+    b = pf.base(n)
+    r = n // b
+    bs = pl.BlockSpec((n, tl), lambda j: (0, j), memory_space=pltpu.VMEM)
+    fw = lambda shp: pl.BlockSpec(shp, lambda j: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = (
+        [bs, bs]
+        + [fw((b, b)), fw((b, b)), fw((r, b)), fw((r, b))]
+        + [bs, bs, bs, bs]
+        + [fw((n, 1)), pl.BlockSpec((1, tl), lambda j: (0, j),
+                                    memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((1, 8), lambda j: (0, 0), memory_space=pltpu.SMEM)]
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((n, L), jnp.float32) for _ in range(4)
+    )
+    consts = pf._consts(n, False)
+    import os
+
+    vmem_mb = int(os.environ.get("MARLIN_TPU_SPECTRAL_VMEM_MB", "64"))
+    params = (
+        pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 2 ** 20)
+        if not pf._interpret() else None
+    )
+    return pl.pallas_call(
+        _fwd_x_update_kernel_poly(n, tl),
+        out_shape=out_shape,
+        grid=(L // tl,),
+        in_specs=in_specs,
+        out_specs=tuple(bs for _ in range(4)),
+        interpret=pf._interpret(),
+        compiler_params=params,
+    )(mr, mi, *consts, cr, ci, onr, oni, kx2, kyz2, scal8)
+
+
+def ch_substep_multi(u, cr, ci, onr, oni, scal, plan: SpectralPlanMulti):
+    """One fused predictor substep over the N-variable stack.
+
+    u: (N,)+shape real stack; (cr, ci)/(onr, oni): (N, nx, L) planar ū and
+    old-N̄ stacks; scal: the solver's (1, 4) f32 row [sub_dt, β0, β1, 0]
+    (shared across variables — per-variable M̄/L̄ coefficients come from
+    plan.coef).  Returns (u', ur, ui, nr, ni) stacks."""
+    shape = plan.shape
+    nx = shape[0]
+    L = int(np.prod(shape[1:], dtype=int))
+    N = len(plan.buffers)
+    mus = plan.mu_stack(u)
+    rr, ri = jax.vmap(
+        lambda m: pf.fftn_unordered_planar(m, skip_axis0=True))(mus)
+    scal8 = jnp.concatenate(
+        [jnp.broadcast_to(scal[:, :3], (N, 3)),
+         jnp.asarray(plan.coef, jnp.float32)], axis=1)[:, None, :]
+    kx2 = jnp.asarray(plan.kx2)
+    kyz2 = jnp.asarray(plan.kyz2)
+    ur, ui, nr, ni = jax.vmap(
+        lambda a, b, c2, d, e, f, s8: _call_update_poly(
+            a.reshape(nx, L), b.reshape(nx, L), c2, d, e, f, kx2, kyz2, s8)
+    )(rr, ri, cr, ci, onr, oni, scal8)
+    u_new = jax.vmap(
+        lambda a, b: pf.ifftn_unordered_planar(
+            a.reshape(shape), b.reshape(shape), shape))(ur, ui)
+    return u_new, ur, ui, nr, ni
+
+
 def ch_substep_sharded(c, cr, ci, onr, oni, scal, plan: SpectralPlan,
                        ky2, kxz2_loc):
     """One fused predictor substep on a SLAB SHARD (inside shard_map over
@@ -222,15 +357,19 @@ def ch_substep(c, cr, ci, onr, oni, scal, plan: SpectralPlan):
 # ---------------------------------------------------------------------------
 
 
-def match_chain(solver) -> SpectralPlan:
-    """Validate the solver's chain against the fused pattern; raises
-    SpectralChainError naming the unsupported feature."""
+def _flatten(group):
     from .computes.base import ComputeGroup
-    from .computes.core import (ForwardFFT, ParsedCompute,
-                                ReciprocalLaplacianFactor,
-                                ReciprocalLaplacianSquareFactor)
 
-    problem = solver.problem
+    out = []
+    for m in group.members:
+        if isinstance(m, ComputeGroup):
+            out += _flatten(m)
+        else:
+            out.append(m)
+    return out
+
+
+def _check_preconditions(solver):
     dom = solver.domain
     if getattr(dom.fft_backend, "name", str(dom.fft_backend)) != "PALLAS":
         _reject("requires [Domain] fft_backend = PALLAS")
@@ -242,25 +381,58 @@ def match_chain(solver) -> SpectralPlan:
         _reject("predictor orders above 2 are not fusable (history depth 1)")
     if solver.corrector_steps and solver.corrector_order > 1:
         _reject("corrector orders above 2 are not fusable (history depth 1)")
-    if len(solver.variables) != 1:
-        _reject("exactly one integrated variable is supported")
     if solver.forwarded_buffers:
         _reject("buffer forwarding is not supported")
     if getattr(solver, "predictors", []):
         _reject("predictors are not supported")
+
+
+def _find_ic(problem, name, classes, what):
+    for m in _flatten(problem.ic_computes):
+        if getattr(m, "out", None) == name:
+            if not isinstance(m, classes):
+                _reject(f"{what} must be produced by one of "
+                        f"{[c.__name__ for c in classes]}")
+            return m
+    _reject(f"no Initialize compute produces {what} '{name}'")
+
+
+def _k2_tables(dom):
+    kx2 = (dom._np_raxes[0] ** 2).reshape(-1, 1).astype(np.float32)
+    trailing = dom._np_raxes[1] ** 2
+    for d in range(2, dom.dim):
+        trailing = trailing[..., None] + dom._np_raxes[d] ** 2
+    return kx2, trailing.reshape(1, -1).astype(np.float32)
+
+
+def _verify_product(nl, mbar_name, mubar_name):
+    """The N̄ ParsedCompute must be exactly the product M̄·µ̄."""
+    rng = np.random.RandomState(0)
+    a = rng.randn(4).astype(np.float64)
+    b = rng.randn(4) + 1j * rng.randn(4)
+    got = np.asarray(nl.expr({mbar_name: a, mubar_name: b}))
+    if not np.allclose(got, a * b, rtol=1e-5, atol=1e-6):
+        _reject("N̄ expression is not the product M̄·µ̄")
+
+
+def match_chain(solver) -> SpectralPlan:
+    """Validate the solver's chain against the fused pattern; raises
+    SpectralChainError naming the unsupported feature.  Multi-variable
+    chains dispatch to match_chain_multi."""
+    from .computes.core import (ForwardFFT, ParsedCompute,
+                                ReciprocalLaplacianFactor,
+                                ReciprocalLaplacianSquareFactor)
+
+    problem = solver.problem
+    dom = solver.domain
+    _check_preconditions(solver)
+    if len(solver.variables) != 1:
+        return match_chain_multi(solver)
     v = solver.variables[0]
     if v.linear_reciprocal is None:
         _reject("a linear_reciprocal buffer is required")
 
-    def flatten(group):
-        out = []
-        for m in group.members:
-            if isinstance(m, ComputeGroup):
-                out += flatten(m)
-            else:
-                out.append(m)
-        return out
-
+    flatten = _flatten
     members = flatten(solver.compute)
     mu = fftc = nl = None
     for m in members:
@@ -285,13 +457,7 @@ def match_chain(solver) -> SpectralPlan:
 
     # find the Initialize producers of M̄ and L̄
     def find_ic(name, classes, what):
-        for m in flatten(problem.ic_computes):
-            if getattr(m, "out", None) == name:
-                if not isinstance(m, classes):
-                    _reject(f"{what} must be produced by one of "
-                            f"{[c.__name__ for c in classes]}")
-                return m
-        _reject(f"no Initialize compute produces {what} '{name}'")
+        return _find_ic(problem, name, classes, what)
 
     if nl is None:
         # Swift-Hohenberg class: N̄ IS the transform of the pointwise
@@ -307,14 +473,8 @@ def match_chain(solver) -> SpectralPlan:
         if set(nl.inputs) != {fftc.out} | set(mbar_in) or len(mbar_in) != 1:
             _reject("N̄ must be a function of µ̄ and one k-space factor buffer")
         mbar = find_ic(mbar_in[0], (ReciprocalLaplacianFactor,), "M̄")
-
         # verify N̄ = M̄·µ̄ functionally (product is the only accepted form)
-        rng = np.random.RandomState(0)
-        a = rng.randn(4).astype(np.float64)
-        b = rng.randn(4) + 1j * rng.randn(4)
-        got = np.asarray(nl.expr({mbar_in[0]: a, fftc.out: b}))
-        if not np.allclose(got, a * b, rtol=1e-5, atol=1e-6):
-            _reject("N̄ expression is not the product M̄·µ̄")
+        _verify_product(nl, mbar_in[0], fftc.out)
         mobility = float(mbar.factor)
 
     lbar = find_ic(
@@ -329,11 +489,7 @@ def match_chain(solver) -> SpectralPlan:
     mu_fn = lambda arr: mu.expr({v.buffer: arr})
 
     shape = tuple(dom.shape)
-    kx2 = (dom._np_raxes[0] ** 2).reshape(-1, 1).astype(np.float32)
-    trailing = dom._np_raxes[1] ** 2
-    for d in range(2, dom.dim):
-        trailing = trailing[..., None] + dom._np_raxes[d] ** 2
-    kyz2 = trailing.reshape(1, -1).astype(np.float32)
+    kx2, kyz2 = _k2_tables(dom)
     return SpectralPlan(
         mu_fn=mu_fn,
         mobility=mobility,
@@ -345,6 +501,123 @@ def match_chain(solver) -> SpectralPlan:
         mu=mu.out,
         mubar=fftc.out,
         shape=shape,
+        kx2=kx2,
+        kyz2=kyz2,
+    )
+
+
+def match_chain_multi(solver) -> SpectralPlanMulti:
+    """N-variable fused pattern (benchmark 2a / Ostwald shape).
+
+    Per variable v the chain must provide:
+      - µ_v: a ParsedCompute whose inputs are a subset of the N integrated
+        variable buffers (the coupled chemical potentials are pointwise in
+        ALL fields);
+      - µ̄_v = ForwardFFT(µ_v);
+      - N̄_v: either the ForwardFFT output directly (M̄ = 1) or a
+        ParsedCompute N̄ = M̄·µ̄ with M̄ from ReciprocalLaplacianFactor;
+      - L̄_v from ReciprocalLaplacianFactor / ReciprocalLaplacianSquareFactor
+        / SwiftHohenbergLinear (all are polynomials in k², rebuilt
+        in-registers).
+
+    Reference semantics: AdamsBashforthMoulton.C:60-187 looping over
+    multiple variables.  Anything else raises SpectralChainError."""
+    from .computes.core import (ForwardFFT, ParsedCompute,
+                                ReciprocalLaplacianFactor,
+                                ReciprocalLaplacianSquareFactor,
+                                SwiftHohenbergLinear)
+
+    problem = solver.problem
+    dom = solver.domain
+    varnames = [v.buffer for v in solver.variables]
+    members = _flatten(solver.compute)
+    by_out = {}
+    for m in members:
+        out = getattr(m, "out", None)
+        if out is None or out in by_out:
+            _reject(f"solve compute '{m.name}' has no unique output buffer")
+        by_out[out] = m
+
+    used = set()
+    coef = np.zeros((len(varnames), 5), np.float32)
+    mus, mubars = [], []
+
+    for i, v in enumerate(solver.variables):
+        if v.linear_reciprocal is None:
+            _reject(f"variable '{v.buffer}' has no linear_reciprocal")
+        nl_prod = by_out.get(v.nonlinear_reciprocal)
+        if nl_prod is None:
+            _reject(f"no solve compute produces nonlinear_reciprocal "
+                    f"'{v.nonlinear_reciprocal}'")
+        if isinstance(nl_prod, ForwardFFT):
+            fftc, m0, m1 = nl_prod, 1.0, 0.0
+        elif isinstance(nl_prod, ParsedCompute):
+            ff = [n for n in nl_prod.inputs
+                  if isinstance(by_out.get(n), ForwardFFT)]
+            rest = [n for n in nl_prod.inputs if n not in ff]
+            if len(ff) != 1 or len(rest) != 1:
+                _reject(f"N̄ '{nl_prod.name}' must combine one ForwardFFT "
+                        "output with one k-space factor buffer")
+            fftc = by_out[ff[0]]
+            mbar = _find_ic(problem, rest[0], (ReciprocalLaplacianFactor,),
+                            f"M̄ for '{v.buffer}'")
+            _verify_product(nl_prod, rest[0], ff[0])
+            m0, m1 = 0.0, -float(mbar.factor)  # -k² · factor
+            used.add(id(nl_prod))
+        else:
+            _reject(f"nonlinear_reciprocal producer '{nl_prod.name}' "
+                    f"({type(nl_prod).__name__}) is not fusable")
+        used.add(id(fftc))
+
+        mu = by_out.get(fftc.input)
+        if not isinstance(mu, ParsedCompute):
+            _reject(f"µ for '{v.buffer}' must be a ParsedCompute "
+                    f"(ForwardFFT input '{fftc.input}')")
+        if mu.extra_symbols or mu.expand != "NONE" or mu.is_integer:
+            _reject(f"µ '{mu.name}' must be a pure pointwise expression")
+        if not set(mu.inputs) <= set(varnames):
+            _reject(f"µ '{mu.name}' reads non-variable buffers "
+                    f"{sorted(set(mu.inputs) - set(varnames))}")
+        used.add(id(mu))
+        mus.append(mu)
+        mubars.append(fftc.out)
+
+        lbar = _find_ic(
+            problem, v.linear_reciprocal,
+            (ReciprocalLaplacianFactor, ReciprocalLaplacianSquareFactor,
+             SwiftHohenbergLinear), f"L̄ for '{v.buffer}'")
+        if isinstance(lbar, ReciprocalLaplacianSquareFactor):
+            la = (0.0, 0.0, float(lbar.factor))  # k⁴ · factor
+        elif isinstance(lbar, ReciprocalLaplacianFactor):
+            la = (0.0, -float(lbar.factor), 0.0)  # -k² · factor
+        else:  # r − α²(1−k²)² expanded in k²
+            r, a = float(lbar.r), float(lbar.alpha)
+            la = (r - a * a, 2.0 * a * a, -a * a)
+        coef[i] = [m0, m1, *la]
+
+    extra = [m for m in members if id(m) not in used]
+    if extra:
+        _reject("solve computes "
+                f"{[m.name for m in extra]} are not part of the N-variable "
+                "µ/FFT/N̄ pattern")
+
+    exprs = [(mu.expr, list(mu.inputs)) for mu in mus]
+
+    def mu_stack(u):
+        env = {name: u[i] for i, name in enumerate(varnames)}
+        return jnp.stack([expr({n: env[n] for n in inputs})
+                          for expr, inputs in exprs])
+
+    kx2, kyz2 = _k2_tables(dom)
+    return SpectralPlanMulti(
+        mu_stack=mu_stack,
+        coef=coef,
+        buffers=varnames,
+        reciprocals=[v.reciprocal_buffer for v in solver.variables],
+        nonlinears=[v.nonlinear_reciprocal for v in solver.variables],
+        mus=[m.out for m in mus],
+        mubars=mubars,
+        shape=tuple(dom.shape),
         kx2=kx2,
         kyz2=kyz2,
     )

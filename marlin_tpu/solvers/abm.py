@@ -70,6 +70,13 @@ class AdamsBashforthMoulton(SplitOperatorBase):
             params.error(
                 "fused_spectral", "requires carry_reciprocal = true"
             )
+        # NOTE (r03, measured): no carry-precision hardening is needed.
+        # The f32 carry trajectory IS the accurate one — 2a at t=133.5
+        # gives F = 871.261 (carry-f32) vs 871.268 (f64 truth) vs 918.597
+        # (recompute-f32: the per-substep fft(ifft(.)) round-trip injects
+        # noise that retards coarsening).  Hermitian re-projection,
+        # complex128 carry, and two-float compensated carry were all
+        # prototyped and measured trajectory-neutral; see PERF.md.
 
     def group_evals_per_step(self):
         return self.substeps * (1 + self.corrector_steps)
@@ -103,11 +110,13 @@ class AdamsBashforthMoulton(SplitOperatorBase):
         # substep advances would have (e.g. 1a's Terminator change pp needs
         # old[u]).  Other buffers go stale during the fused substeps, so
         # history on them is rejected.
-        if not set(state["old"]) <= {plan.nonlinear, plan.buffer}:
+        multi = isinstance(plan, ps.SpectralPlanMulti)
+        hist_ok = (set(plan.nonlinears) | set(plan.buffers)) if multi else (
+            {plan.nonlinear, plan.buffer})
+        if not set(state["old"]) <= hist_ok:
             raise ps.SpectralChainError(
                 f"fused_spectral = true supports old-state history on "
-                f"{sorted([plan.nonlinear, plan.buffer])} only "
-                f"(got {sorted(state['old'])})"
+                f"{sorted(hist_ok)} only (got {sorted(state['old'])})"
             )
 
         dom = self.domain
@@ -121,21 +130,41 @@ class AdamsBashforthMoulton(SplitOperatorBase):
         for s in plan.shape[1:]:
             L *= s
         sharded = dom.mesh is not None
+        if multi and sharded:
+            raise ps.SpectralChainError(
+                "fused_spectral = true: the multi-variable fused path does "
+                "not support a device mesh yet (drop the flag or run serial)"
+            )
 
         buffers = dict(state["buffers"])
-        c = buffers[plan.buffer].astype(jnp.float32)
-        # carry_reciprocal seed: ū = fft(u) once per step
-        cbar = dom.fft(c)
-        flat = (lambda a: a) if sharded else (lambda a: a.reshape(nx, L))
-        cr = flat(jnp.real(cbar).astype(jnp.float32))
-        ci = flat(jnp.imag(cbar).astype(jnp.float32))
-        # the history slot equals buffers[N̄] here: the step-level advance
-        # just pushed it (and on the first MOOSE step both are zeros while
-        # the order selection forces β₁ = 0, so history never enters) —
-        # which makes the per-substep history push a pure carry rebinding
-        n_cur = buffers[plan.nonlinear]
-        nr = flat(jnp.real(n_cur).astype(jnp.float32))
-        ni = flat(jnp.imag(n_cur).astype(jnp.float32))
+        if multi:
+            # stacked (N, ...) carries; stack/unstack happens once per step
+            c = jnp.stack([buffers[n].astype(jnp.float32)
+                           for n in plan.buffers])
+            cbars = [dom.fft(c[i]) for i in range(len(plan.buffers))]
+            flat = lambda a: a.reshape(nx, L)
+            cr = jnp.stack([flat(jnp.real(b).astype(jnp.float32))
+                            for b in cbars])
+            ci = jnp.stack([flat(jnp.imag(b).astype(jnp.float32))
+                            for b in cbars])
+            nr = jnp.stack([flat(jnp.real(buffers[n]).astype(jnp.float32))
+                            for n in plan.nonlinears])
+            ni = jnp.stack([flat(jnp.imag(buffers[n]).astype(jnp.float32))
+                            for n in plan.nonlinears])
+        else:
+            c = buffers[plan.buffer].astype(jnp.float32)
+            # carry_reciprocal seed: ū = fft(u) once per step
+            cbar = dom.fft(c)
+            flat = (lambda a: a) if sharded else (lambda a: a.reshape(nx, L))
+            cr = flat(jnp.real(cbar).astype(jnp.float32))
+            ci = flat(jnp.imag(cbar).astype(jnp.float32))
+            # the history slot equals buffers[N̄] here: the step-level advance
+            # just pushed it (and on the first MOOSE step both are zeros while
+            # the order selection forces β₁ = 0, so history never enters) —
+            # which makes the per-substep history push a pure carry rebinding
+            n_cur = buffers[plan.nonlinear]
+            nr = flat(jnp.real(n_cur).astype(jnp.float32))
+            ni = flat(jnp.imag(n_cur).astype(jnp.float32))
         beta = jnp.asarray(self._beta, jnp.float32)
         alpha = jnp.asarray(self._alpha, jnp.float32)
         zero = jnp.zeros((), jnp.float32)
@@ -234,6 +263,16 @@ class AdamsBashforthMoulton(SplitOperatorBase):
                 # pallas_call outputs carry no varying-mesh-axes metadata
                 check_vma=False,
             )(c, cr, ci, nr, ni, sub_dt, first_step, dt_changed, n_adv0)
+        elif multi:
+            body = make_body(
+                lambda c_, a, b, nr_, ni_, scal: ps.ch_substep_multi(
+                    c_, a, b, nr_, ni_, scal, plan
+                ),
+                sub_dt, first_step, dt_changed, n_adv0,
+            )
+            c, cr, ci, nr, ni = jax.lax.fori_loop(
+                0, self.substeps - 1, body, (c, cr, ci, nr, ni)
+            )
         else:
             body = make_body(
                 lambda c_, a, b, nr_, ni_, scal: ps.ch_substep(
@@ -246,9 +285,17 @@ class AdamsBashforthMoulton(SplitOperatorBase):
             )
 
         shape = plan.shape
-        buffers[plan.buffer] = c.astype(dom.dtype)
-        buffers[plan.reciprocal] = (cr + 1j * ci).reshape(shape).astype(dom.cdtype)
-        buffers[plan.nonlinear] = (nr + 1j * ni).reshape(shape).astype(dom.cdtype)
+        if multi:
+            for i, name in enumerate(plan.buffers):
+                buffers[name] = c[i].astype(dom.dtype)
+                buffers[plan.reciprocals[i]] = (
+                    cr[i] + 1j * ci[i]).reshape(shape).astype(dom.cdtype)
+                buffers[plan.nonlinears[i]] = (
+                    nr[i] + 1j * ni[i]).reshape(shape).astype(dom.cdtype)
+        else:
+            buffers[plan.buffer] = c.astype(dom.dtype)
+            buffers[plan.reciprocal] = (cr + 1j * ci).reshape(shape).astype(dom.cdtype)
+            buffers[plan.nonlinear] = (nr + 1j * ni).reshape(shape).astype(dom.cdtype)
         st = {**state, "buffers": buffers}
         # the skipped in-loop advances (s = 1..substeps-2); the final
         # substep's advance below refreshes the depth-1 old/old_dt slots

@@ -1,23 +1,55 @@
 import os
 
-# Force a deterministic 8-device CPU mesh for all tests (the analog of the
-# reference's `device_names='cpu cpu cpu'` MPI-on-localhost testing strategy;
-# see reference test/tests/gradient/tests:11-30).
+import pytest
+
+# Two lanes (the analog of the reference's per-device test matrix,
+# `compute_devices = 'cpu cuda mps'` in test/tests/cahnhilliard/tests:10):
+#
+#  1. default: a deterministic 8-device CPU mesh in float64 — full gold
+#     parity at 1e-10..1e-13 tolerances (the analog of the reference's
+#     `device_names='cpu cpu cpu'` MPI-on-localhost strategy; see reference
+#     test/tests/gradient/tests:11-30).
+#  2. MARLIN_TPU_TESTS=1: run on the session's REAL device (the axon/TPU
+#     backend) in its native float32 — only tests marked `tpu` run
+#     (`pytest -m tpu`), comparing the same golds at f32 tolerances.
 #
 # NOTE: this image pre-imports jax and registers the remote-TPU ("axon")
 # backend in sitecustomize, so mutating JAX_PLATFORMS here is too late —
 # use jax.config.update instead, which takes effect because no backend has
 # been initialized yet at conftest time.
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+TPU_LANE = bool(os.environ.get("MARLIN_TPU_TESTS"))
 
-import jax  # noqa: E402
+if not TPU_LANE:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-jax.config.update("jax_platforms", "cpu")
+    import jax  # noqa: E402
 
-# Gold-file parity requires float64 (the reference defaults to double
-# precision on CPU/CUDA, reference src/utils/MarlinUtils.C:38-42).
-jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_platforms", "cpu")
+
+    # Gold-file parity requires float64 (the reference defaults to double
+    # precision on CPU/CUDA, reference src/utils/MarlinUtils.C:38-42).
+    jax.config.update("jax_enable_x64", True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: real-device (TPU) gold regression lane; run with "
+        "`MARLIN_TPU_TESTS=1 python -m pytest tests/ -m tpu`",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if "tpu" in item.keywords and not TPU_LANE:
+            item.add_marker(pytest.mark.skip(
+                reason="real-device lane disabled (set MARLIN_TPU_TESTS=1 "
+                       "and select with -m tpu)"))
+        elif "tpu" not in item.keywords and TPU_LANE:
+            item.add_marker(pytest.mark.skip(
+                reason="CPU-lane test skipped under MARLIN_TPU_TESTS=1 "
+                       "(drop the env var for the full f64 suite)"))

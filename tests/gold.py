@@ -54,9 +54,14 @@ def csv_diff(gold_relpath, out_csv, rel_tol=5.5e-6, abs_tol=1e-11):
     return worst
 
 
-def h5_diff(gold_relpath, out_h5, abs_tol=1e-13):
+def h5_diff(gold_relpath, out_h5, abs_tol=1e-13, rel_tol=0.0):
     """Compare every dataset in two HDF5 files (the reference's custom
-    HDF5Diff tester, scripts/TestHarness/testers/HDF5Diff.py:15-100)."""
+    HDF5Diff tester, scripts/TestHarness/testers/HDF5Diff.py:15-100).
+
+    rel_tol scales with each dataset's own magnitude (tol = abs_tol +
+    rel_tol * max|gold|) — used by the f32 real-device lane, where
+    derivative-scaled fields (e.g. mu) drift proportionally to their range
+    while order-1 fields stay near abs_tol."""
     import h5py
 
     with h5py.File(os.path.join(REF, gold_relpath)) as g, h5py.File(out_h5) as m:
@@ -66,4 +71,36 @@ def h5_diff(gold_relpath, out_h5, abs_tol=1e-13):
             ga, ma = g[k][...], m[k][...]
             assert ga.shape == ma.shape, f"{k}: shape {ga.shape} vs {ma.shape}"
             d = np.abs(ga - ma).max()
-            assert d <= abs_tol, f"dataset '{k}' differs by {d:.3e} (tol {abs_tol})"
+            tol = abs_tol + rel_tol * float(np.abs(ga).max())
+            assert d <= tol, f"dataset '{k}' differs by {d:.3e} (tol {tol:.3e})"
+
+
+def h5_diff_early_frames(gold_relpath, out_h5, max_frame, abs_tol, rel_tol):
+    """f32 device-lane comparator for UNSTABLE trajectories (spinodal
+    growth amplifies any f32-vs-f64 difference exponentially, so late
+    frames of a chaotic deck cannot be compared tightly on ANY f32 device
+    — the reference's own mps lane has the same property).  Frames
+    `<name>.k` with k <= max_frame compare at the given tolerances; later
+    frames only assert same shape, finite values, and the gold's value
+    range (pattern-phase divergence allowed)."""
+    import h5py
+
+    with h5py.File(os.path.join(REF, gold_relpath)) as g, h5py.File(out_h5) as m:
+        gk, mk = set(g.keys()), set(m.keys())
+        assert gk == mk, f"dataset mismatch: only-gold={gk-mk} only-mine={mk-gk}"
+        for k in sorted(gk):
+            ga, ma = g[k][...], m[k][...]
+            assert ga.shape == ma.shape, f"{k}: shape {ga.shape} vs {ma.shape}"
+            frame = int(k.rsplit(".", 1)[1]) if "." in k else 0
+            if frame <= max_frame:
+                d = np.abs(ga - ma).max()
+                tol = abs_tol + rel_tol * float(np.abs(ga).max())
+                assert d <= tol, (
+                    f"early frame '{k}' differs by {d:.3e} (tol {tol:.3e})")
+            else:
+                assert np.isfinite(ma).all(), f"late frame '{k}' has non-finite values"
+                lo, hi = float(ga.min()), float(ga.max())
+                pad = 0.2 * (hi - lo) + abs_tol
+                assert ma.min() >= lo - pad and ma.max() <= hi + pad, (
+                    f"late frame '{k}' out of the gold's value range: "
+                    f"[{ma.min():.3g}, {ma.max():.3g}] vs [{lo:.3g}, {hi:.3g}]")

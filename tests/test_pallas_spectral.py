@@ -465,3 +465,155 @@ def test_fused_requires_carry():
 
     with pytest.raises(ParamError, match="carry_reciprocal"):
         _run("fft_backend = PALLAS", "fused_spectral = true", steps=1)
+
+
+_MULTI = """
+[Domain]
+  dim = 2
+  nx = 64
+  ny = 64
+  xmax = 64
+  ymax = 64
+  {domain_extra}
+[]
+[TensorComputes]
+  [Initialize]
+    [c]
+      type = ParsedCompute
+      buffer = c
+      extra_symbols = true
+      expression = '0.5+0.01*(cos(0.196349540849362*x)*cos(0.294524311274043*y)+(cos(0.392699081698724*x)*cos(0.196349540849362*y))^2)'
+    []
+    [n1]
+      type = ParsedCompute
+      buffer = n1
+      extra_symbols = true
+      expression = '0.1+0.05*cos(0.098174770424681*x)*cos(0.196349540849362*y)'
+    []
+    [Lbar]
+      type = ReciprocalLaplacianFactor
+      buffer = Lbar
+    []
+    [MkappaL2bar]
+      type = ReciprocalLaplacianSquareFactor
+      factor = -15
+      buffer = MkappaL2bar
+    []
+    [kappaLbar]
+      type = ReciprocalLaplacianFactor
+      factor = 15
+      buffer = kappaLbar
+    []
+  []
+  [Solve]
+    [mu_c]
+      type = ParsedCompute
+      buffer = mu_c
+      expression = '(2*(c-0.3)^2*(0.7-c)^2 + n1^2*c)*5'
+      derivatives = c
+      inputs = 'c n1'
+    []
+    [mu_n1]
+      type = ParsedCompute
+      buffer = mu_n1
+      expression = '(n1^2*(1-n1)^2 + n1^2*c)*(-5)'
+      derivatives = n1
+      inputs = 'c n1'
+    []
+    [mu_c_bar]
+      type = ForwardFFT
+      buffer = mu_c_bar
+      input = mu_c
+    []
+    [mu_n1_bar]
+      type = ForwardFFT
+      buffer = mu_n1_bar
+      input = mu_n1
+    []
+    [Mbar_mu_c_bar]
+      type = ParsedCompute
+      buffer = Mbar_mu_c_bar
+      expression = 'Lbar*mu_c_bar'
+      inputs = 'Lbar mu_c_bar'
+    []
+    [c_bar]
+      type = ForwardFFT
+      buffer = c_bar
+      input = c
+    []
+    [n1_bar]
+      type = ForwardFFT
+      buffer = n1_bar
+      input = n1
+    []
+  []
+[]
+[TensorSolver]
+  type = AdamsBashforthMoulton
+  buffer = 'c n1'
+  reciprocal_buffer = 'c_bar n1_bar'
+  linear_reciprocal = 'MkappaL2bar kappaLbar'
+  nonlinear_reciprocal = 'Mbar_mu_c_bar mu_n1_bar'
+  substeps = 5
+  predictor_order = 2
+  corrector_order = 2
+  corrector_steps = 0
+  {solver_extra}
+[]
+[Problem]
+  type = TensorProblem
+[]
+"""
+
+
+def _run_multi(domain_extra, solver_extra, steps=3, dt=0.05):
+    root = hit.parse(_MULTI.format(domain_extra=domain_extra,
+                                   solver_extra=solver_extra))
+    p = TensorProblem(root)
+    s = p.init_state()
+    step = jax.jit(p._step_impl)
+    for i in range(steps):
+        s = step(s, i * dt, dt, dt, jnp.asarray(i == 0))
+    return s
+
+
+def test_multi_fused_matches_unfused_pallas():
+    """The N-variable fused path (benchmark-2a shape: CH field + AC field,
+    per-variable M/L polynomials) reproduces the unfused carry trajectory."""
+    s1 = _run_multi("fft_backend = PALLAS", "carry_reciprocal = true")
+    s2 = _run_multi("fft_backend = PALLAS",
+                    "carry_reciprocal = true\n  fused_spectral = true")
+    for name in ("c", "n1", "mu_c", "mu_n1"):
+        a = np.asarray(s1["buffers"][name])
+        b = np.asarray(s2["buffers"][name])
+        np.testing.assert_allclose(b, a, atol=5e-5, err_msg=name)
+    for name in ("c_bar", "n1_bar", "Mbar_mu_c_bar", "mu_n1_bar"):
+        a = np.asarray(s1["buffers"][name])
+        b = np.asarray(s2["buffers"][name])
+        np.testing.assert_allclose(b, a, atol=5e-4 * np.abs(a).max(),
+                                   err_msg=name)
+    assert int(s1["n_advances"]) == int(s2["n_advances"])
+
+
+def test_multi_fused_physics_vs_jnp_fft():
+    s1 = _run_multi("", "")
+    s2 = _run_multi("fft_backend = PALLAS",
+                    "carry_reciprocal = true\n  fused_spectral = true")
+    for name in ("c", "n1"):
+        np.testing.assert_allclose(
+            np.asarray(s2["buffers"][name]), np.asarray(s1["buffers"][name]),
+            atol=2e-4, err_msg=name)
+
+
+def test_multi_fused_rejects_mesh():
+    """Multi-variable fused + device mesh is a named rejection (the only
+    PALLAS mesh mode is 3-D FFT_SLAB; simulate a configured mesh on the
+    serial plan — the check fires before any mesh use)."""
+    root = hit.parse(_MULTI.format(
+        domain_extra="fft_backend = PALLAS",
+        solver_extra="carry_reciprocal = true\n  fused_spectral = true"))
+    p = TensorProblem(root)
+    s = p.init_state()
+    p.domain.mesh = object()  # any non-None mesh marks the run sharded
+    with pytest.raises(ps.SpectralChainError, match="multi-variable"):
+        p.solver.step(s, 0.0, 0.05, 0.05, True)

@@ -1,0 +1,110 @@
+"""Real-device (TPU) gold regression lane.
+
+The reference runs the same decks against the same golds on every available
+backend (`compute_devices = 'cpu cuda mps'`,
+reference test/tests/cahnhilliard/tests:10).  This is the marlin_tpu analog:
+a curated subset of the f64 gold suite executed on the session's REAL device
+(the axon/TPU backend) at its native float32, compared against the shipped
+f64 golds at f32 tolerances.
+
+Run with:
+
+    MARLIN_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+
+(the conftest skips every CPU-lane test under that env var, and skips these
+without it).  Each case runs in-process; the axon backend poisons a process
+on some failures, so run this lane in its own pytest invocation.
+"""
+
+import os
+
+import pytest
+
+from .gold import REF, csv_diff, h5_diff, h5_diff_early_frames, run_ref_deck
+
+pytestmark = pytest.mark.tpu
+
+# f32 tolerances: ICs are bit-identical (torch CPU RNG), so the divergence
+# from the f64 golds is pure f32 roundoff growth over the deck's steps.
+# abs tolerances are per-deck, sized ~100x the measured drift so the lane
+# catches real regressions (wrong physics lands orders of magnitude out).
+
+H5_CASES = [
+    # iterative secant solve with damping/rollback
+    ("test/tests/tensor_compute/rotating_grain_secant.i", [],
+     "test/tests/tensor_compute/gold/rotating_grain_secant.h5",
+     "rotating_grain_secant.h5", 1e-3),
+    # FFT mechanics: Newton + matrix-free CG (Green projection)
+    ("test/tests/mechanics/mech.i", [],
+     "test/tests/mechanics/gold/mech.h5", "mech.h5", 1e-3),
+    # TorchScript Gibbs surrogate lifted on-device + jax.grad jacobian
+    ("test/tests/kks/KKS_libtorch.i", [],
+     "test/tests/kks/gold/KKS_libtorch.h5", "KKS_libtorch.h5", 1e-3),
+    # LBM: BGK channel (2D + 3D) and a mixed-BC D3Q19 case
+    ("test/tests/lbm/channel2D.i", [],
+     "test/tests/lbm/gold/channel2D.h5", "channel2D.h5", 1e-3),
+    ("test/tests/lbm/channel3D.i", [],
+     "test/tests/lbm/gold/channel3D.h5", "channel3D.h5", 1e-3),
+    ("test/tests/lbm/mixed_bcs_d3q19.i", [],
+     "test/tests/lbm/gold/mixed_bcs_d3q19.h5", "mixed_bcs_d3q19.h5", 1e-3),
+]
+
+
+@pytest.mark.parametrize(
+    "deck,cli,gold,out,tol", H5_CASES,
+    ids=[os.path.basename(c[0]) for c in H5_CASES])
+def test_tpu_h5_gold(deck, cli, gold, out, tol):
+    if not os.path.exists(os.path.join(REF, gold)):
+        pytest.skip("no gold")
+    _, tmp = run_ref_deck(deck, cli, tmpdir="/tmp/marlin_tpu_gold_dev")
+    # rel_tol scales per-dataset: derivative fields (mu & co.) drift in
+    # proportion to their own range over the deck's f32 steps
+    h5_diff(gold, f"{tmp}/{out}", abs_tol=tol, rel_tol=5e-3)
+
+
+def test_tpu_cahnhilliard_gold():
+    """The headline CH deck (RNG IC parity + ABM substeps + FFT
+    conventions).  Spinodal decomposition amplifies f32-vs-f64 roundoff
+    exponentially, so the early frames compare tightly and late frames
+    assert finiteness + the gold's value range only (the same physics
+    limits the reference's own f32 mps lane)."""
+    gold = "test/tests/cahnhilliard/gold/cahnhilliard.h5"
+    if not os.path.exists(os.path.join(REF, gold)):
+        pytest.skip("no gold")
+    _, tmp = run_ref_deck("test/tests/cahnhilliard/cahnhilliard.i",
+                          ["TensorOutputs/active=xdmf"],
+                          tmpdir="/tmp/marlin_tpu_gold_dev")
+    h5_diff_early_frames(gold, f"{tmp}/cahnhilliard.h5", max_frame=3,
+                         abs_tol=1e-4, rel_tol=5e-3)
+
+
+CSV_CASES = [
+    # ABM solver orders: diagonal (per-variable) and coupled (dense k-point)
+    ("test/tests/solvers/diagonal.i", ["ss=10", "cs=1", "order=2"],
+     "test/tests/solvers/gold/diagonal_10_1_2.csv", "diagonal_out.csv"),
+    ("test/tests/solvers/coupled.i", ["ss=10", "cs=1", "order=2"],
+     "test/tests/solvers/gold/coupled_10_1_2.csv", "coupled_out.csv"),
+    # postprocessor reductions on device
+    ("test/tests/postprocessors/postprocessors.i",
+     ["Outputs/file_base=average", "Postprocessors/active=avg_c"],
+     "test/tests/postprocessors/gold/average.csv", "average.csv"),
+]
+
+
+@pytest.mark.parametrize(
+    "deck,cli,gold,out", CSV_CASES,
+    ids=[os.path.basename(c[0]) for c in CSV_CASES])
+def test_tpu_csv_gold(deck, cli, gold, out):
+    if not os.path.exists(os.path.join(REF, gold)):
+        pytest.skip("no gold")
+    _, tmp = run_ref_deck(deck, cli, tmpdir="/tmp/marlin_tpu_gold_dev")
+    csv_diff(gold, f"{tmp}/{out}", rel_tol=5e-4, abs_tol=1e-6)
+
+
+def test_tpu_backend_is_real_device():
+    """The lane must actually be on the accelerator, not a CPU fallback."""
+    import jax
+
+    assert jax.default_backend() != "cpu", (
+        "MARLIN_TPU_TESTS=1 lane is running on CPU — the TPU backend did "
+        "not initialize")
