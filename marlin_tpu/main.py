@@ -69,6 +69,17 @@ def main(argv=None):
     if cache_dir:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # multi-host launch (docs/multihost.md): one process per host, all
+    # joining a jax.distributed cluster; jax.devices() then spans every
+    # host and [Domain] parallel_mode meshes lay shardings across the
+    # whole cluster (ICI within a slice, DCN across).  The reference's MPI
+    # world maps onto this (reference uses MPI ranks; SURVEY §5.8).
+    if os.environ.get("MARLIN_TPU_COORDINATOR"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["MARLIN_TPU_COORDINATOR"],
+            num_processes=int(os.environ.get("MARLIN_TPU_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("MARLIN_TPU_PROCESS_ID", "0")),
+        )
 
     from . import hit
     from .executioner import run_deck

@@ -124,9 +124,12 @@ def test_project_tensor_aux(tmp_path):
 
 
 def test_explicit_euler_exodiff(tmp_path):
-    """reference test/tests/cahnhilliard/tests `explicit_euler_exodiff`
-    (its gold .e is not shipped in the reference tree, so this asserts the
-    explicit solve runs and writes a finite exodus file)"""
+    """reference test/tests/cahnhilliard/tests `explicit_euler_exodiff`.
+    The reference does not ship this spec's gold .e, so numeric teeth come
+    from a REPO-LOCAL f64 gold (tests/gold_local/, generated once from this
+    deck's seeded-RNG trajectory): the final c field must reproduce to
+    1e-10 — any regression in the explicit path, the RNG IC, or the FFT
+    conventions trips it.  Physics sanity checks are kept alongside."""
     _, tmp = run_ref_deck(
         "test/tests/cahnhilliard/cahnhilliard_explicit.i", tmpdir=str(tmp_path)
     )
@@ -134,6 +137,10 @@ def test_explicit_euler_exodiff(tmp_path):
     c = e["nodal"]["c"]
     assert c.shape[0] >= 2 and np.isfinite(c).all()
     assert 0.2 < c[-1].mean() < 0.8
+    gold = np.load(os.path.join(os.path.dirname(__file__), "gold_local",
+                                "cahnhilliard_explicit_c_final.npy"))
+    np.testing.assert_allclose(np.asarray(c[-1], dtype=np.float64), gold,
+                               atol=1e-10)
 
 
 @pytest.mark.parametrize("method,base", [("SHARP", "sharp"), ("HOULI", "houli")])

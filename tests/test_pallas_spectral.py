@@ -617,3 +617,35 @@ def test_multi_fused_rejects_mesh():
     p.domain.mesh = object()  # any non-None mesh marks the run sharded
     with pytest.raises(ps.SpectralChainError, match="multi-variable"):
         p.solver.step(s, 0.0, 0.05, 0.05, True)
+
+
+def test_multi_fused_named_rejections():
+    """Non-fusable multi-variable chains raise SpectralChainError naming
+    the offending feature."""
+    # µ reading a non-variable buffer
+    bad = _MULTI.replace("inputs = 'c n1'", "inputs = 'c n1 Lbar'", 1)
+    root = hit.parse(bad.format(
+        domain_extra="fft_backend = PALLAS",
+        solver_extra="carry_reciprocal = true\n  fused_spectral = true"))
+    p = TensorProblem(root)
+    s = p.init_state()
+    with pytest.raises(ps.SpectralChainError, match="non-variable"):
+        p.solver.step(s, 0.0, 0.05, 0.05, True)
+
+    # an extra unfusable compute in the solve group
+    bad2 = _MULTI.replace("""    [c_bar]
+      type = ForwardFFT""", """    [extra]
+      type = ParsedCompute
+      buffer = extra
+      expression = 'c*2'
+      inputs = c
+    []
+    [c_bar]
+      type = ForwardFFT""", 1)
+    root2 = hit.parse(bad2.format(
+        domain_extra="fft_backend = PALLAS",
+        solver_extra="carry_reciprocal = true\n  fused_spectral = true"))
+    p2 = TensorProblem(root2)
+    s2 = p2.init_state()
+    with pytest.raises(ps.SpectralChainError, match="extra"):
+        p2.solver.step(s2, 0.0, 0.05, 0.05, True)
