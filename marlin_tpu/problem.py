@@ -531,10 +531,19 @@ class TensorProblem:
         if btype == "LBMTensorBuffer" or spec.has("buffer_type"):
             return self._lbm_buffer_shape(spec)
         vdims = spec.get_int_vector("value_dimensions", [])
+        # NEML2 primitive-typed buffers (reference
+        # src/tensor_buffers/NEML2TensorBuffer.C maps neml2::Vector/SR2/R2/
+        # SSR4/Rot onto trailing value dims):
         if btype == "VectorTensor":
             vdims = vdims or [3]
         elif btype == "SR2Tensor":
-            vdims = vdims or [6]
+            vdims = vdims or [6]  # Mandel symmetric rank-2
+        elif btype == "R2Tensor":
+            vdims = vdims or [3, 3]
+        elif btype == "SSR4Tensor":
+            vdims = vdims or [6, 6]  # Mandel symmetric rank-4
+        elif btype == "RotTensor":
+            vdims = vdims or [3]  # modified Rodrigues parameters
         if spec.get_bool("reciprocal", False):
             return self.domain.reciprocal_value_shape(vdims)
         return self.domain.value_shape(vdims)

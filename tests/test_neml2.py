@@ -357,3 +357,37 @@ def test_neml2_rate_form_forward_euler(tmp_path):
         "old_forces/t": jnp.asarray(0.2),
     })
     np.testing.assert_allclose(np.asarray(out["state/foo"]), 2.0)
+
+
+def test_neml2_buffer_primitive_types(tmp_path):
+    """R2/SSR4/Rot NEML2 primitives get their trailing dims (reference
+    src/tensor_buffers/NEML2TensorBuffer.C type map)."""
+    from marlin_tpu import hit
+    from marlin_tpu.problem import TensorProblem
+
+    deck = """
+[Domain]
+  dim = 2
+  nx = 4
+  ny = 4
+[]
+[TensorBuffers]
+  [r2]
+    type = R2Tensor
+  []
+  [ssr4]
+    type = SSR4Tensor
+  []
+  [rot]
+    type = RotTensor
+  []
+[]
+[Problem]
+  type = TensorProblem
+[]
+"""
+    p = TensorProblem(hit.parse(deck))
+    s = p.init_state()
+    assert s["buffers"]["r2"].shape == (4, 4, 3, 3)
+    assert s["buffers"]["ssr4"].shape == (4, 4, 6, 6)
+    assert s["buffers"]["rot"].shape == (4, 4, 3)

@@ -30,10 +30,16 @@ pytestmark = pytest.mark.tpu
 # catches real regressions (wrong physics lands orders of magnitude out).
 
 H5_CASES = [
-    # iterative secant solve with damping/rollback
-    ("test/tests/tensor_compute/rotating_grain_secant.i", [],
+    # iterative secant solve with damping/rollback.  f32 cannot reach the
+    # deck's default 1e-9 convergence tolerances (f32 eps is 6e-8; the
+    # residual stalls, the solve 'fails', and adaptive dt collapses to
+    # dtmin) — any f32 port must loosen them, so the device lane runs at
+    # 1e-5, the standard f32 iterative-solver setting.
+    ("test/tests/tensor_compute/rotating_grain_secant.i",
+     ["TensorSolver/relative_tolerance=1e-5",
+      "TensorSolver/absolute_tolerance=1e-5"],
      "test/tests/tensor_compute/gold/rotating_grain_secant.h5",
-     "rotating_grain_secant.h5", 1e-3),
+     "rotating_grain_secant.h5", 2e-3),
     # FFT mechanics: Newton + matrix-free CG (Green projection)
     ("test/tests/mechanics/mech.i", [],
      "test/tests/mechanics/gold/mech.h5", "mech.h5", 1e-3),

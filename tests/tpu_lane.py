@@ -52,7 +52,12 @@ def main(argv=None):
                 print("   |", line)
 
     fails = [n for n, r in results.items() if r == "FAIL"]
+    import json
+
     print(f"\ntpu lane: {len(results) - len(fails)}/{len(results)} passed")
+    print(json.dumps({"metric": "tpu_gold_lane", "passed":
+                      len(results) - len(fails), "total": len(results),
+                      "failed": fails}))
     return 1 if fails else 0
 
 
