@@ -41,6 +41,15 @@ def pytest_configure(config):
         "tpu: real-device (TPU) gold regression lane; run with "
         "`MARLIN_TPU_TESTS=1 python -m pytest tests/ -m tpu`",
     )
+    if TPU_LANE:
+        # the axon backend sometimes SIGABRTs its compile helper on the
+        # fused step+pp program; step_with_pps auto-falls-back, but the
+        # crashed helper can poison the process — the lane runs split
+        # programs outright (the fallback itself is covered by
+        # tests/test_review_r03.py on the CPU lane)
+        from marlin_tpu.problem import TensorProblem
+
+        TensorProblem.fuse_pps = False
 
 
 def pytest_collection_modifyitems(config, items):

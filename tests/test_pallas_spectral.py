@@ -649,3 +649,39 @@ def test_multi_fused_named_rejections():
     s2 = p2.init_state()
     with pytest.raises(ps.SpectralChainError, match="extra"):
         p2.solver.step(s2, 0.0, 0.05, 0.05, True)
+
+
+def test_multi_fused_3d():
+    """The N-variable fused path on a 3-D grid (vmapped planar kernels over
+    the field axis at a direct-DFT extent)."""
+    deck3d = _MULTI.replace("""  dim = 2
+  nx = 64
+  ny = 64
+  xmax = 64
+  ymax = 64""", """  dim = 3
+  nx = 16
+  ny = 16
+  nz = 16
+  xmax = 16
+  ymax = 16
+  zmax = 16""").replace("cos(0.196349540849362*x)*cos(0.294524311274043*y)",
+                        "cos(0.785398163397448*x)*cos(0.392699081698724*y)*cos(0.392699081698724*z)"
+              ).replace("0.05*cos(0.098174770424681*x)*cos(0.196349540849362*y)",
+                        "0.05*cos(0.392699081698724*x)*cos(0.392699081698724*y)*cos(0.785398163397448*z)")
+    def run(domain_extra, solver_extra):
+        root = hit.parse(deck3d.format(domain_extra=domain_extra,
+                                       solver_extra=solver_extra))
+        p = TensorProblem(root)
+        s = p.init_state()
+        step = jax.jit(p._step_impl)
+        for i in range(2):
+            s = step(s, i * 0.05, 0.05, 0.05, jnp.asarray(i == 0))
+        return s
+
+    s1 = run("fft_backend = PALLAS", "carry_reciprocal = true")
+    s2 = run("fft_backend = PALLAS",
+             "carry_reciprocal = true\n  fused_spectral = true")
+    for name in ("c", "n1"):
+        np.testing.assert_allclose(
+            np.asarray(s2["buffers"][name]), np.asarray(s1["buffers"][name]),
+            atol=5e-5, err_msg=name)
