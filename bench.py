@@ -37,10 +37,12 @@ BASELINE_SECONDS = 45.0  # reference wall time on NVIDIA L4
 # killed a > 40 min run and every completed child's result was lost because
 # nothing was emitted until the very end).  When the budget runs out, the
 # combined line is printed with whatever completed and the process exits 0.
-# 1800 s default (r03): cold axon compiles run 150-570 s/program, and the
-# BASELINE.json metrics (1a, ch3d_512, degeus, 2a) must all complete even
-# from a cold compile cache; warm-cache full suites finish in ~10 min.
-BUDGET_S = float(os.environ.get("MARLIN_TPU_BENCH_BUDGET_S", "1800"))
+# 2000 s default (r03): cold axon compiles run 150-570 s/program, and the
+# BASELINE.json metrics (1a, ch3d_512, degeus 32/128, 2a) must all
+# complete even from a cold compile cache (measured worst case ~1550 s for
+# the first four with variants budget-gated, leaving ~450 s for 2a's
+# default path); still under the driver's observed >40 min kill threshold.
+BUDGET_S = float(os.environ.get("MARLIN_TPU_BENCH_BUDGET_S", "2000"))
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -1014,11 +1016,14 @@ def main():
         # pallas variants are budget-gated inside the child
         ("ch3d_512", "ch3d_512", 1, 1500),
         ("degeus_rve_32", "degeus", 1, 600),
-        # the reference's second headline deck (5 coupled fields; the
-        # budget-gated tuned variant exercises batch_fft+carry)
-        ("benchmark_2a", "2a", 1, 900),
-        # 64x the reference RVE via the analytic-tangent CG operator
+        # 64x the reference RVE via the analytic-tangent CG operator —
+        # BEFORE 2a: it is the cheaper BASELINE child, so a tight cold
+        # budget completes it rather than dying inside 2a's longer compile
         ("degeus_rve_128", "degeus128", 1, 900),
+        # the reference's second headline deck (5 coupled fields; the
+        # budget-gated tuned + fused variants exercise batch_fft+carry and
+        # the multi-variable fused substep)
+        ("benchmark_2a", "2a", 1, 900),
         ("ch3d_256", "ch3d_256", 1, 900),
         ("lbm_channel3d_128_pallas", "lbm_pallas", 1, 600),
         ("lbm_channel3d_128", "lbm", 1, 600),
