@@ -56,14 +56,17 @@ def _emit(d):
 
 def _remaining():
     """Seconds left in the GLOBAL suite budget (inherited by children via
-    MARLIN_TPU_BENCH_DEADLINE).  Children gate their OPTIONAL variants
-    (tuned/fused/comparison configs) on this so a cold compile cache never
-    turns a required BASELINE measurement into a timeout: the child finishes
-    cleanly with the required metrics and annotates what it skipped."""
+    MARLIN_TPU_BENCH_DEADLINE), minus the parent's estimate of the cold
+    cost of the REQUIRED metrics still queued after this child
+    (MARLIN_TPU_BENCH_RESERVE).  Children gate their OPTIONAL variants
+    (tuned/fused/comparison configs) on this, so a cold compile cache
+    degrades a run to fewer variants — never to a missing or timed-out
+    required BASELINE measurement."""
     dl = os.environ.get("MARLIN_TPU_BENCH_DEADLINE")
     if not dl:
         return float("inf")
-    return float(dl) - time.time()
+    reserve = float(os.environ.get("MARLIN_TPU_BENCH_RESERVE", "0"))
+    return float(dl) - time.time() - reserve
 
 _CH3D_DECK = """
 [Domain]
@@ -1008,33 +1011,45 @@ def main():
     # the Pallas showcase children with whatever budget remains.  Children
     # gate their OPTIONAL variants on the inherited deadline, so each slot's
     # REQUIRED metric completes even from a cold compile cache.
+    # (key, child, attempts, timeout, est_required_s): the last field is
+    # the estimated COLD cost of the child's required metric alone; the sum
+    # over LATER BASELINE children is passed to each child as a budget
+    # reserve so optional variants never starve a required measurement.
     children = [
         # compiles 1-2 whole-run programs (headline + optional fused
         # variant); the headline is emitted incrementally either way
-        ("1a", "1a", 2, 1500),
+        ("1a", "1a", 2, 1500, 300),
         # required 512^3 metric = ONE program + fft roofline; fused/carry/
         # pallas variants are budget-gated inside the child
-        ("ch3d_512", "ch3d_512", 1, 1500),
-        ("degeus_rve_32", "degeus", 1, 600),
+        ("ch3d_512", "ch3d_512", 1, 1500, 600),
+        ("degeus_rve_32", "degeus", 1, 600, 120),
         # 64x the reference RVE via the analytic-tangent CG operator —
         # BEFORE 2a: it is the cheaper BASELINE child, so a tight cold
         # budget completes it rather than dying inside 2a's longer compile
-        ("degeus_rve_128", "degeus128", 1, 900),
+        ("degeus_rve_128", "degeus128", 1, 900, 200),
         # the reference's second headline deck (5 coupled fields; the
         # budget-gated tuned + fused variants exercise batch_fft+carry and
         # the multi-variable fused substep)
-        ("benchmark_2a", "2a", 1, 900),
-        ("ch3d_256", "ch3d_256", 1, 900),
-        ("lbm_channel3d_128_pallas", "lbm_pallas", 1, 600),
-        ("lbm_channel3d_128", "lbm", 1, 600),
-        ("lbm_porous_128_pallas", "lbm_porous", 1, 600),
+        ("benchmark_2a", "2a", 1, 900, 450),
+        # showcases (not in the reserve: BASELINE metrics outrank them)
+        ("ch3d_256", "ch3d_256", 1, 900, 0),
+        ("lbm_channel3d_128_pallas", "lbm_pallas", 1, 600, 0),
+        ("lbm_channel3d_128", "lbm", 1, 600, 0),
+        ("lbm_porous_128_pallas", "lbm_porous", 1, 600, 0),
     ]
-    for key, child, attempts, timeout in children:
+    reserves = []
+    tail = 0.0
+    for _, _, _, _, est in reversed(children):
+        reserves.append(tail)
+        tail += est
+    reserves.reverse()
+    for (key, child, attempts, timeout, _), reserve in zip(children, reserves):
         if wedged:
             sub = {"skipped": "backend wedged"}
         elif deadline - time.time() < 120:
             sub = {"skipped": "budget exhausted"}
         else:
+            os.environ["MARLIN_TPU_BENCH_RESERVE"] = str(reserve)
             sub = _spawn(child, deadline, attempts=attempts, timeout=timeout)
             if ("error" in sub and "partial" not in sub
                     and deadline - time.time() > 150):

@@ -27,11 +27,13 @@ the unfused solver does.
 
 Enabled per-deck with `[TensorSolver] fused_spectral = true` (requires
 `carry_reciprocal = true` and `[Domain] fft_backend = PALLAS`); the
-chain is pattern-matched (single variable, pointwise µ(c), N̄ = M̄·µ̄
-with M̄ from ReciprocalLaplacianFactor OR N̄ = µ̄ directly, L̄ from
-ReciprocalLaplacianSquareFactor or SwiftHohenbergLinear — i.e. the
-Cahn-Hilliard and Swift-Hohenberg families — predictor/corrector orders
-≤ 2) and anything else raises a named error.  The Adams-Moulton
+chain is pattern-matched (pointwise µ(u...), N̄ = M̄·µ̄ with M̄ from
+ReciprocalLaplacianFactor OR N̄ = µ̄ directly, L̄ from
+ReciprocalLaplacianFactor / ReciprocalLaplacianSquareFactor /
+SwiftHohenbergLinear — i.e. the Cahn-Hilliard, Allen-Cahn-coupled
+(benchmark 2a) and Swift-Hohenberg families — predictor/corrector orders
+≤ 2; one variable or N coupled variables, serial or 3-D FFT_SLAB mesh)
+and anything else raises a named error.  The Adams-Moulton
 corrector reuses the SAME update kernel per corrector step: ū base =
 the pre-predictor ū, α-weights in the SMEM scalars, N_n frozen.  Numerics: identical formula to AdamsBashforthMoulton
 .substep at f32; parity tested in interpret mode (tests/test_pallas_spectral.py).
@@ -329,6 +331,37 @@ def ch_substep_sharded(c, cr, ci, onr, oni, scal, plan: SpectralPlan,
     br, bi = a2a(br, 1, 0), a2a(bi, 1, 0)
     c_new = pf.inv_axes_planar(br, bi, (0, 2), real_output=True)
     return c_new, ur, ui, nr2, ni2
+
+
+def ch_substep_sharded_multi(u, cr, ci, onr, oni, scal,
+                             plan: SpectralPlanMulti, ky2, kxz2_loc):
+    """N-variable fused substep on a SLAB SHARD (inside shard_map over the
+    'sp' axis): the single-variable sharded structure with every stage
+    vmapped over the leading field axis and per-variable M̄/L̄ polynomial
+    rows.  u: (N, nx, ny/p, nz) local real stack; cr/ci/onr/oni:
+    (N, nx/p, ny, nz) local planar spectrum stacks."""
+    N = len(plan.buffers)
+    a2a = lambda a, s, t: jax.lax.all_to_all(
+        a, "sp", split_axis=s, concat_axis=t, tiled=True)
+    mus = plan.mu_stack(u)
+    rr, ri = jax.vmap(lambda m: pf.fwd_axes_planar(m, (0, 2)))(mus)
+    # planar transpose axes shift by one for the leading field axis
+    rr, ri = a2a(rr, 1, 2), a2a(ri, 1, 2)
+    scal8 = jnp.concatenate(
+        [jnp.broadcast_to(scal[:, :3], (N, 3)),
+         jnp.asarray(plan.coef, jnp.float32)], axis=1)[:, None, :]
+    ur, ui, nr2, ni2 = jax.vmap(
+        lambda RR, RI, A, B, C2, D, s8: jax.vmap(
+            lambda mr, mi, a, b, c2, d, kk: _call_update_poly(
+                mr, mi, a, b, c2, d, ky2, kk, s8)
+        )(RR, RI, A, B, C2, D, kxz2_loc)
+    )(rr, ri, cr, ci, onr, oni, scal8)
+    br, bi = jax.vmap(lambda a, b: pf.inv_axes_planar(a, b, (1,)))(ur, ui)
+    br, bi = a2a(br, 2, 1), a2a(bi, 2, 1)
+    u_new = jax.vmap(
+        lambda a, b: pf.inv_axes_planar(a, b, (0, 2), real_output=True)
+    )(br, bi)
+    return u_new, ur, ui, nr2, ni2
 
 
 def ch_substep(c, cr, ci, onr, oni, scal, plan: SpectralPlan):

@@ -130,19 +130,16 @@ class AdamsBashforthMoulton(SplitOperatorBase):
         for s in plan.shape[1:]:
             L *= s
         sharded = dom.mesh is not None
-        if multi and sharded:
-            raise ps.SpectralChainError(
-                "fused_spectral = true: the multi-variable fused path does "
-                "not support a device mesh yet (drop the flag or run serial)"
-            )
 
         buffers = dict(state["buffers"])
         if multi:
-            # stacked (N, ...) carries; stack/unstack happens once per step
+            # stacked (N, ...) carries; stack/unstack happens once per step.
+            # Sharded runs keep the 3-D planar layout (the slab kernels and
+            # all_to_alls address spatial axes); serial flattens to (nx, L).
             c = jnp.stack([buffers[n].astype(jnp.float32)
                            for n in plan.buffers])
             cbars = [dom.fft(c[i]) for i in range(len(plan.buffers))]
-            flat = lambda a: a.reshape(nx, L)
+            flat = (lambda a: a) if sharded else (lambda a: a.reshape(nx, L))
             cr = jnp.stack([flat(jnp.real(b).astype(jnp.float32))
                             for b in cbars])
             ci = jnp.stack([flat(jnp.imag(b).astype(jnp.float32))
@@ -240,11 +237,18 @@ class AdamsBashforthMoulton(SplitOperatorBase):
                     jax.lax.dynamic_slice(kx2g, (xoff,), (nxl,))[:, None, None]
                     + kz2[None, None, :]
                 )
+                if multi:
+                    substep_fn = (lambda c_, a, b, nr_, ni_, scal:
+                                  ps.ch_substep_sharded_multi(
+                                      c_, a, b, nr_, ni_, scal, plan,
+                                      ky2, kxz2_loc))
+                else:
+                    substep_fn = (lambda c_, a, b, nr_, ni_, scal:
+                                  ps.ch_substep_sharded(
+                                      c_, a, b, nr_, ni_, scal, plan,
+                                      ky2, kxz2_loc))
                 body = make_body(
-                    lambda c_, a, b, nr_, ni_, scal: ps.ch_substep_sharded(
-                        c_, a, b, nr_, ni_, scal, plan, ky2, kxz2_loc
-                    ),
-                    sub_dt_, first_step_, dt_changed_, n_adv0_,
+                    substep_fn, sub_dt_, first_step_, dt_changed_, n_adv0_,
                 )
                 return jax.lax.fori_loop(
                     0, self.substeps - 1, body, (c, cr, ci, nr, ni)
@@ -252,6 +256,10 @@ class AdamsBashforthMoulton(SplitOperatorBase):
 
             rspec = parallel.real_spec(dom, 3)
             cspec = parallel.reciprocal_spec(dom, 3)
+            if multi:
+                # stacked carries: the spatial sharding shifts one axis right
+                rspec = P(None, *rspec)
+                cspec = P(None, *cspec)
             # sub_dt/first_step/dt_changed/n_adv0 are traced scalars: pass
             # them as replicated args (shard_map bodies cannot close over
             # tracers)

@@ -605,18 +605,36 @@ def test_multi_fused_physics_vs_jnp_fft():
             atol=2e-4, err_msg=name)
 
 
-def test_multi_fused_rejects_mesh():
-    """Multi-variable fused + device mesh is a named rejection (the only
-    PALLAS mesh mode is 3-D FFT_SLAB; simulate a configured mesh on the
-    serial plan — the check fires before any mesh use)."""
-    root = hit.parse(_MULTI.format(
-        domain_extra="fft_backend = PALLAS",
-        solver_extra="carry_reciprocal = true\n  fused_spectral = true"))
-    p = TensorProblem(root)
-    s = p.init_state()
-    p.domain.mesh = object()  # any non-None mesh marks the run sharded
-    with pytest.raises(ps.SpectralChainError, match="multi-variable"):
-        p.solver.step(s, 0.0, 0.05, 0.05, True)
+def test_multi_fused_sharded_slab_parity():
+    """The N-variable fused substep on the 4-device slab mesh (every stage
+    vmapped over the field axis inside shard_map, planar all_to_alls with
+    the leading-axis shift) reproduces the serial multi-var trajectory."""
+    from marlin_tpu import parallel
+    from marlin_tpu.domain import ParallelMode
+
+    deck3d = _mk_multi_3d_deck()
+
+    def run(domain_extra, solver_extra, mesh=None):
+        root = hit.parse(deck3d.format(domain_extra=domain_extra,
+                                       solver_extra=solver_extra))
+        p = TensorProblem(root, mesh=mesh)
+        s = p.init_state()
+        if mesh is not None:
+            s = parallel.shard_state(p.domain, s)
+        step = jax.jit(p._step_impl)
+        for i in range(2):
+            s = step(s, i * 0.05, 0.05, 0.05, jnp.asarray(i == 0))
+        return s
+
+    s1 = run("fft_backend = PALLAS",
+             "carry_reciprocal = true\n  fused_spectral = true")
+    mesh = parallel.make_mesh(ParallelMode.FFT_SLAB, jax.devices()[:4])
+    s2 = run("fft_backend = PALLAS\n  parallel_mode = FFT_SLAB",
+             "carry_reciprocal = true\n  fused_spectral = true", mesh=mesh)
+    for name in ("c", "n1"):
+        np.testing.assert_allclose(
+            np.asarray(s2["buffers"][name]), np.asarray(s1["buffers"][name]),
+            atol=5e-5, err_msg=name)
 
 
 def test_multi_fused_named_rejections():
@@ -651,10 +669,9 @@ def test_multi_fused_named_rejections():
         p2.solver.step(s2, 0.0, 0.05, 0.05, True)
 
 
-def test_multi_fused_3d():
-    """The N-variable fused path on a 3-D grid (vmapped planar kernels over
-    the field axis at a direct-DFT extent)."""
-    deck3d = _MULTI.replace("""  dim = 2
+def _mk_multi_3d_deck():
+    """16^3 variant of _MULTI (direct-DFT extent; ICs reference all axes)."""
+    return _MULTI.replace("""  dim = 2
   nx = 64
   ny = 64
   xmax = 64
@@ -668,6 +685,12 @@ def test_multi_fused_3d():
                         "cos(0.785398163397448*x)*cos(0.392699081698724*y)*cos(0.392699081698724*z)"
               ).replace("0.05*cos(0.098174770424681*x)*cos(0.196349540849362*y)",
                         "0.05*cos(0.392699081698724*x)*cos(0.392699081698724*y)*cos(0.785398163397448*z)")
+
+
+def test_multi_fused_3d():
+    """The N-variable fused path on a 3-D grid (vmapped planar kernels over
+    the field axis at a direct-DFT extent)."""
+    deck3d = _mk_multi_3d_deck()
     def run(domain_extra, solver_extra):
         root = hit.parse(deck3d.format(domain_extra=domain_extra,
                                        solver_extra=solver_extra))
