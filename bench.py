@@ -348,7 +348,7 @@ def bench_2a(num_steps=100):
 
         return problem, state, jax.jit(run_chunk)
 
-    def run(cli):
+    def run(cli, progress=None):
         problem, state, run_chunk = build(cli)
 
         def full(state):
@@ -368,6 +368,12 @@ def bench_2a(num_steps=100):
         t0 = time.time()
         full(state)  # compile (one program serves every chunk) + warm run
         first = time.time() - t0
+        if progress is not None:
+            # salvage point: cold compiles vary 70-700 s on axon; if the
+            # parent's timeout lands during the timed run below, the last
+            # emitted line still carries a legitimate (compile-inclusive)
+            # wall measurement instead of a bare timeout error
+            progress(first)
         t0 = time.time()
         step, t, dt, _, final, _ = full(state)
         step, t = int(step), float(t)
@@ -375,7 +381,16 @@ def bench_2a(num_steps=100):
         pps = problem.execute_postprocessors(final, "TIMESTEP_END", t, float(dt))
         return wall, first, step, t, pps, problem.solver.substeps
 
-    wall, first, step, t, pps, substeps = run([])
+    def progress(first_wall):
+        _emit({
+            "metric": f"benchmark_2a_ostwald_walltime_{platform}",
+            "value": round(first_wall, 3),
+            "unit": f"s/{num_steps}steps (incl. compile)",
+            "vs_baseline": None,
+            "compile_incl": True,
+        })
+
+    wall, first, step, t, pps, substeps = run([], progress=progress)
     total_substeps = step * substeps
     out = {
         "metric": f"benchmark_2a_ostwald_walltime_{platform}",
@@ -1029,8 +1044,9 @@ def main():
         ("degeus_rve_128", "degeus128", 1, 900, 200),
         # the reference's second headline deck (5 coupled fields; the
         # budget-gated tuned + fused variants exercise batch_fft+carry and
-        # the multi-variable fused substep)
-        ("benchmark_2a", "2a", 1, 900, 450),
+        # the multi-variable fused substep).  est 800: its cold compile has
+        # been measured anywhere from 73 to ~680 s on axon
+        ("benchmark_2a", "2a", 1, 1200, 800),
         # showcases (not in the reserve: BASELINE metrics outrank them)
         ("ch3d_256", "ch3d_256", 1, 900, 0),
         ("lbm_channel3d_128_pallas", "lbm_pallas", 1, 600, 0),
