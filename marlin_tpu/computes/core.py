@@ -230,7 +230,13 @@ class RandomTensor(TensorCompute):
                 dtype=self.domain.dtype)
             return {self.out: u * (self.max - self.min) + self.min}
 
-        tdtype = torch.float64 if self.domain.dtype == jnp.float64 else torch.float32
+        # ALWAYS draw the f64 stream and cast: torch's RNG emits a
+        # different sample sequence per dtype, so drawing f32 directly
+        # would give every f32 device a DIFFERENT IC than the f64 golds
+        # (r03 device-lane finding: c.0 differed by 0.11 — a different
+        # random field, not roundoff).  f64 golds stay bit-exact; f32 runs
+        # get the same field to f32 eps.
+        tdtype = torch.float64
         if self.domain.mesh is None:
             if self.seed is not None:
                 torch.manual_seed(self.seed)
