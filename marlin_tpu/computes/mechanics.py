@@ -30,6 +30,16 @@ from ..registry import computes
 from .base import ComputeError, TensorCompute
 
 # -- einsum helpers (reference MarlinUtils.C:139-186) -----------------------
+#
+# precision = HIGHEST: on TPU, XLA lowers these small-contraction einsums
+# onto the MXU at bf16-class DEFAULT precision, which floors the Newton/CG
+# residual around 1e-3 relative — ABOVE typical deck tolerances
+# (nl_rel_tol = 2e-4 in mech.i), so the solve exhausts nl_max_its on any
+# TPU backend (r03 device-lane finding; with HIGHEST the same deck matches
+# the f64 gold to 3e-6).  The per-point contractions are tiny (dim ≤ 3),
+# so the multi-pass cost is negligible next to the FFTs; the large-grid
+# fast path (analytic tangent) is unrolled scalar VPU math and unaffected.
+_HI = jax.lax.Precision.HIGHEST
 
 
 def trans2(A2):
@@ -37,27 +47,27 @@ def trans2(A2):
 
 
 def ddot42(A4, B2):
-    return jnp.einsum("...ijkl,...lk->...ij", A4, B2)
+    return jnp.einsum("...ijkl,...lk->...ij", A4, B2, precision=_HI)
 
 
 def ddot44(A4, B4):
-    return jnp.einsum("...ijkl,...lkmn->...ijmn", A4, B4)
+    return jnp.einsum("...ijkl,...lkmn->...ijmn", A4, B4, precision=_HI)
 
 
 def dot22(A2, B2):
-    return jnp.einsum("...ij,...jk->...ik", A2, B2)
+    return jnp.einsum("...ij,...jk->...ik", A2, B2, precision=_HI)
 
 
 def dot24(A2, B4):
-    return jnp.einsum("...ij,...jkmn->...ikmn", A2, B4)
+    return jnp.einsum("...ij,...jkmn->...ikmn", A2, B4, precision=_HI)
 
 
 def dot42(A4, B2):
-    return jnp.einsum("...ijkl,...lm->...ijkm", A4, B2)
+    return jnp.einsum("...ijkl,...lm->...ijkm", A4, B2, precision=_HI)
 
 
 def dyad22(A2, B2):
-    return jnp.einsum("...ij,...kl->...ijkl", A2, B2)
+    return jnp.einsum("...ij,...kl->...ijkl", A2, B2, precision=_HI)
 
 
 def conjugate_gradient(A, b, x0, tol, maxiter):
@@ -360,8 +370,8 @@ class FFTMechanics(TensorCompute):
 
         def G(A2):
             Bh = dom.fft(A2)  # (*recip, dim, dim)
-            s = jnp.einsum("...ik,...k->...i", Bh, qvec)
-            out = jnp.einsum("...i,...j->...ij", s, qn)
+            s = jnp.einsum("...ik,...k->...i", Bh, qvec, precision=_HI)
+            out = jnp.einsum("...i,...j->...ij", s, qn, precision=_HI)
             return dom.ifft(out).reshape(-1)
 
         if self.analytic_tangent:
@@ -495,11 +505,11 @@ class ComputeDisplacements(TensorCompute):
         Hbar = dom.fft(F - Fbox)
         q = dom.k_grid * (-1j)
         Q = dom.k_square
-        numer = jnp.einsum("...ij,...j->...i", Hbar, q)
+        numer = jnp.einsum("...ij,...j->...i", Hbar, q, precision=_HI)
         denom = Q[..., None]
         u_periodic_bar = jnp.where(denom == 0, 0.0, numer / denom)
         X = dom.x_grid
-        u_aff = jnp.einsum("ij,...j->...i", Fbox - I3, X)
+        u_aff = jnp.einsum("ij,...j->...i", Fbox - I3, X, precision=_HI)
         u_periodic = dom.ifft(u_periodic_bar)
         u = u_aff + u_periodic
 

@@ -1270,10 +1270,24 @@ class TensorProblem:
 
     def run_postprocess_computes(self, state, t):
         """Materialize postprocess-group buffers into the state (used before
-        field outputs)."""
-        ctx = {"t": t}
+        field outputs).
+
+        Jitted (one compiled program, cached): beyond speed, this is a
+        CORRECTNESS requirement on the axon remote-TPU backend, where eager
+        complex ops (e.g. ComputeDisplacements' fft) fail UNIMPLEMENTED.
+        Chains containing non-traceable members fall back to eager."""
         buffers = dict(state["buffers"])
-        updates = self.pp_computes.apply(buffers, ctx)
+        jittable = all(getattr(m, "jittable", True)
+                       for m in getattr(self.pp_computes, "members", []))
+        if jittable:
+            if "pp_chain" not in self._step_fns:
+                self._step_fns["pp_chain"] = jax.jit(
+                    lambda bufs, tt: self.pp_computes.apply(
+                        dict(bufs), {"t": tt}))
+            updates = self._step_fns["pp_chain"](
+                buffers, jnp.asarray(t, self.domain.dtype))
+        else:
+            updates = self.pp_computes.apply(buffers, {"t": t})
         buffers.update(updates)
         # a pp-chain FFTMechanics must hard-error on nl_max_its exhaustion
         # here too (this is the only pp execution on pp-less unfused decks)
