@@ -146,6 +146,11 @@ def torchscript_to_jax(module, dtype):
     return fn
 
 
+#: TPU f32 matmuls default to bf16-class MXU precision; the
+#: lifted surrogates need true f32 (see the matmul ops below)
+_HI = jax.lax.Precision.HIGHEST
+
+
 def _aten_slice(a, BIG):
     x, dim, start, end, step = a
     idx = [slice(None)] * x.ndim
@@ -171,10 +176,16 @@ _ATEN_OPS = {
     "aten::sigmoid": lambda a, B: jax.nn.sigmoid(a[0]),
     "aten::softplus": lambda a, B: jax.nn.softplus(a[0]),
     "aten::t": lambda a, B: a[0].T,
-    "aten::matmul": lambda a, B: a[0] @ a[1],
-    "aten::linear": lambda a, B: a[0] @ a[1].T + (a[2] if a[2] is not None else 0),
+    # matmuls at HIGHEST precision: TPU DEFAULT lowers f32 matmul to
+    # bf16-class MXU passes, which loses ~1e-3 relative in the network
+    # output and MORE in its jax.grad jacobian (the chemical potentials) —
+    # measured 10% drift vs the torch-CPU f32 path on the KKS_libtorch
+    # gold.  These surrogate layers are tiny; the cost is negligible.
+    "aten::matmul": lambda a, B: jnp.matmul(a[0], a[1], precision=_HI),
+    "aten::linear": lambda a, B: jnp.matmul(a[0], a[1].T, precision=_HI)
+    + (a[2] if a[2] is not None else 0),
     "aten::addmm": lambda a, B: (a[3] if len(a) > 3 else 1) * a[0]
-    + (a[4] if len(a) > 4 else 1) * (a[1] @ a[2]),
+    + (a[4] if len(a) > 4 else 1) * jnp.matmul(a[1], a[2], precision=_HI),
     # torch squeeze(dim) is a no-op when that dim is not size 1
     "aten::squeeze": lambda a, B: jnp.squeeze(a[0]) if len(a) == 1
     else (jnp.squeeze(a[0], axis=a[1]) if a[0].shape[a[1]] == 1 else a[0]),
@@ -209,8 +220,8 @@ _ATEN_OPS = {
     "aten::clamp_max": lambda a, B: jnp.minimum(a[0], a[1]),
     "aten::minimum": lambda a, B: jnp.minimum(a[0], a[1]),
     "aten::maximum": lambda a, B: jnp.maximum(a[0], a[1]),
-    "aten::mm": lambda a, B: a[0] @ a[1],
-    "aten::bmm": lambda a, B: a[0] @ a[1],
+    "aten::mm": lambda a, B: jnp.matmul(a[0], a[1], precision=_HI),
+    "aten::bmm": lambda a, B: jnp.matmul(a[0], a[1], precision=_HI),
     # shape ops take lists from prim::ListConstruct; torch's -1 wildcard
     # maps straight onto jnp.reshape's
     "aten::view": lambda a, B: jnp.reshape(a[0], a[1]),

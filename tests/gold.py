@@ -54,14 +54,16 @@ def csv_diff(gold_relpath, out_csv, rel_tol=5.5e-6, abs_tol=1e-11):
     return worst
 
 
-def h5_diff(gold_relpath, out_h5, abs_tol=1e-13, rel_tol=0.0):
+def h5_diff(gold_relpath, out_h5, abs_tol=1e-13, rel_tol=0.0, overrides=None):
     """Compare every dataset in two HDF5 files (the reference's custom
     HDF5Diff tester, scripts/TestHarness/testers/HDF5Diff.py:15-100).
 
     rel_tol scales with each dataset's own magnitude (tol = abs_tol +
     rel_tol * max|gold|) — used by the f32 real-device lane, where
     derivative-scaled fields (e.g. mu) drift proportionally to their range
-    while order-1 fields stay near abs_tol."""
+    while order-1 fields stay near abs_tol.  `overrides` maps a dataset
+    NAME PREFIX (the part before the frame index) to its own
+    (abs_tol, rel_tol) pair for fields with a known larger device floor."""
     import h5py
 
     with h5py.File(os.path.join(REF, gold_relpath)) as g, h5py.File(out_h5) as m:
@@ -71,7 +73,11 @@ def h5_diff(gold_relpath, out_h5, abs_tol=1e-13, rel_tol=0.0):
             ga, ma = g[k][...], m[k][...]
             assert ga.shape == ma.shape, f"{k}: shape {ga.shape} vs {ma.shape}"
             d = np.abs(ga - ma).max()
-            tol = abs_tol + rel_tol * float(np.abs(ga).max())
+            at, rt = abs_tol, rel_tol
+            prefix = k.rsplit(".", 1)[0] if "." in k else k
+            if overrides and prefix in overrides:
+                at, rt = overrides[prefix]
+            tol = at + rt * float(np.abs(ga).max())
             assert d <= tol, f"dataset '{k}' differs by {d:.3e} (tol {tol:.3e})"
 
 
