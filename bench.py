@@ -68,6 +68,24 @@ def _remaining():
     reserve = float(os.environ.get("MARLIN_TPU_BENCH_RESERVE", "0"))
     return float(dl) - time.time() - reserve
 
+
+def _allow_variant(cold_need_s, observed_compile_s):
+    """Gate an OPTIONAL variant on the shared budget.
+
+    The parent's reserve and the per-variant cost estimates are COLD-cache
+    worst cases; when this child's own required compile came back warm
+    (terminal compile cache hit), the rest of the suite is very likely warm
+    too, so the reserve and the variant's cost estimate are scaled down —
+    otherwise a full cold reserve would permanently starve early-child
+    variants (review r03 finding) even on an all-warm run."""
+    warm = observed_compile_s is not None and observed_compile_s < 60
+    scale = 0.15 if warm else 1.0
+    dl = os.environ.get("MARLIN_TPU_BENCH_DEADLINE")
+    if not dl:
+        return True
+    reserve = float(os.environ.get("MARLIN_TPU_BENCH_RESERVE", "0")) * scale
+    return float(dl) - time.time() - reserve >= cold_need_s * scale
+
 _CH3D_DECK = """
 [Domain]
   dim = 3
@@ -256,8 +274,9 @@ def bench_1a():
     # Pallas FFTs at the 200-point direct-DFT extent, fused spectral substep) —
     # same physics to fp roundoff, reported alongside the unmodified run.
     # Optional: skipped (cleanly, headline intact) when the global budget
-    # cannot absorb another cold compile.
-    if _remaining() < 300:
+    # cannot absorb another cold compile; warm-cache runs (observed via the
+    # headline's own compile time) scale the requirement down.
+    if not _allow_variant(300, out.get("compile_s")):
         out["fused_skipped"] = "budget"
         return out
     try:
@@ -410,7 +429,7 @@ def bench_2a(num_steps=100):
     # tuned variant: optional — skipped cleanly when the budget cannot
     # absorb its cold compile (~300 s on axon), keeping the required
     # default-path 2a measurement error-free.
-    if _remaining() < 420:
+    if not _allow_variant(420, out.get("compile_s")):
         out["tuned_skipped"] = "budget"
         return out
     try:
@@ -429,7 +448,7 @@ def bench_2a(num_steps=100):
     # fused variant (r03): the whole 5-field substep as batched Pallas
     # passes — per-variable M̄/L̄ polynomials in-kernel, µ stack in one XLA
     # stage (pallas_spectral.ch_substep_multi)
-    if _remaining() < 420:
+    if not _allow_variant(420, out.get("compile_s")):
         out["fused_skipped"] = "budget"
         return out
     try:
@@ -567,11 +586,15 @@ def bench_ch3d(n, substeps=10, reps=3):
         variants.append(("pallas", "carry_reciprocal = true",
                          "fft_backend = PALLAS", 420))
     for key, solver_extra, domain_extra, min_budget in variants:
-        if _remaining() < min_budget:
+        if not _allow_variant(min_budget, out_d.get("compile_s")):
             out_d[f"{key}_skipped"] = "budget"
             _emit(out_d)
             continue
-        measure_variant(key, solver_extra, domain_extra)
+        try:
+            measure_variant(key, solver_extra, domain_extra)
+        except Exception as e:  # report, never break the required metric
+            out_d[f"{key}_error"] = repr(e)[:300]
+            _emit(out_d)
     return out_d
 
 

@@ -55,7 +55,15 @@ def ddot44(A4, B4):
 
 
 def dot22(A2, B2):
-    return jnp.einsum("...ij,...jk->...ik", A2, B2, precision=_HI)
+    # unrolled (dim <= 3) instead of einsum: this helper sits in the hot
+    # Newton/CG path of BOTH mechanics modes, and on the axon TPU a batched
+    # 3x3 dot_general at Precision.HIGHEST crashes the worker mid-run
+    # (r03, deGeus 32^3), while DEFAULT rounds through bf16.  Explicit
+    # multiply-adds are exact f32 on the VPU and fuse like any pointwise op.
+    d = A2.shape[-1]
+    return jnp.stack(
+        [jnp.stack([sum(A2[..., i, j] * B2[..., j, k] for j in range(d))
+                    for k in range(d)], axis=-1) for i in range(d)], axis=-2)
 
 
 def dot24(A2, B4):
@@ -369,9 +377,17 @@ class FFTMechanics(TensorCompute):
         qn = qvec * inv_k2[..., None]  # q_j / |q|²
 
         def G(A2):
+            # COMPLEX contractions, unrolled over dim <= 3: complex
+            # dot_general at Precision.HIGHEST crashes the axon TPU worker
+            # at runtime (r03 measurement — the deGeus 32^3 CG loop died
+            # mid-execution), and DEFAULT would round through bf16.
+            # Explicit multiply-adds run on the VPU at true f32 — exact,
+            # portable, and the same FLOPs.
             Bh = dom.fft(A2)  # (*recip, dim, dim)
-            s = jnp.einsum("...ik,...k->...i", Bh, qvec, precision=_HI)
-            out = jnp.einsum("...i,...j->...ij", s, qn, precision=_HI)
+            s = jnp.stack(
+                [sum(Bh[..., i, k] * qvec[..., k] for k in range(dim))
+                 for i in range(dim)], axis=-1)
+            out = s[..., :, None] * qn[..., None, :]
             return dom.ifft(out).reshape(-1)
 
         if self.analytic_tangent:
@@ -505,7 +521,11 @@ class ComputeDisplacements(TensorCompute):
         Hbar = dom.fft(F - Fbox)
         q = dom.k_grid * (-1j)
         Q = dom.k_square
-        numer = jnp.einsum("...ij,...j->...i", Hbar, q, precision=_HI)
+        # complex contraction unrolled (see G() in FFTMechanics: complex
+        # einsum at HIGHEST precision crashes the axon worker)
+        numer = jnp.stack(
+            [sum(Hbar[..., i, j] * q[..., j] for j in range(dim))
+             for i in range(dim)], axis=-1)
         denom = Q[..., None]
         u_periodic_bar = jnp.where(denom == 0, 0.0, numer / denom)
         X = dom.x_grid

@@ -103,10 +103,14 @@ def torchscript_to_jax(module, dtype):
             # normalized_shape for layer_norm
             steps.append(("list", outs, ins))
             continue
-        # in-place variants (relu_, add_, ...) are value-equivalent in a
-        # pure interpretation
-        if kind.endswith("_") and kind[:-1] in _ATEN_OPS:
-            kind = kind[:-1]
+        # In-place variants (relu_, add_, ...) surviving freeze mean torch's
+        # remove-mutation pass could NOT functionalize them — later reads of
+        # the mutated Value would alias pre-mutation data under a pure
+        # interpretation, silently corrupting results.  Take the host
+        # fallback (review r03 finding; the fallback is always correct).
+        if kind.endswith("_"):
+            supported = False
+            break
         if kind in _ATEN_OPS:
             if kind == "aten::div" and len(ins) > 2:
                 # div with a rounding_mode ('floor'/'trunc') would silently

@@ -1277,8 +1277,17 @@ class TensorProblem:
         complex ops (e.g. ComputeDisplacements' fft) fail UNIMPLEMENTED.
         Chains containing non-traceable members fall back to eager."""
         buffers = dict(state["buffers"])
-        jittable = all(getattr(m, "jittable", True)
-                       for m in getattr(self.pp_computes, "members", []))
+
+        def _all_jittable(group):
+            for m in getattr(group, "members", []):
+                if isinstance(m, ComputeGroup):
+                    if not _all_jittable(m):
+                        return False
+                elif not getattr(m, "jittable", True):
+                    return False
+            return True
+
+        jittable = _all_jittable(self.pp_computes)
         if jittable:
             if "pp_chain" not in self._step_fns:
                 self._step_fns["pp_chain"] = jax.jit(

@@ -169,9 +169,16 @@ def _pair_by_time(sa, sb):
     tb_list = [t for t, _ in sb]
 
     def local_gap(times, t):
-        # distance from t to its nearest OTHER frame in the same series
-        ds = [abs(x - t) for x in times if x != t]
-        return min(ds) if ds else np.inf
+        # distance from t to its nearest other frame in the same series;
+        # duplicate-time frames count with their POSITIVE distances only,
+        # so a duplicated time yields the smallest positive spacing (a
+        # conservative window) rather than skipping its twin and widening
+        # the window exactly where matching is ambiguous
+        ds = [abs(x - t) for x in times]
+        pos = [d for d in ds if d > 0]
+        if ds.count(0.0) > 1:  # t itself plus at least one duplicate
+            return 0.0
+        return min(pos) if pos else np.inf
 
     ta_list = [t for t, _ in sa]
     pairs = []

@@ -708,3 +708,43 @@ def test_multi_fused_3d():
         np.testing.assert_allclose(
             np.asarray(s2["buffers"][name]), np.asarray(s1["buffers"][name]),
             atol=5e-5, err_msg=name)
+
+
+def test_poly_kernel_matches_single_var_kernel():
+    """The multi-variable polynomial update kernel (_call_update_poly) and
+    the single-variable kernel (_call_update) implement the SAME predictor
+    formula; this locks them together so a future edit to one cannot
+    silently diverge the other (review r03 finding).  Exercised for both
+    lapsq (CH) and sh (Swift-Hohenberg) linear forms."""
+    rng = np.random.RandomState(3)
+    n, L = 64, 64
+    mk = lambda: jnp.asarray(rng.randn(n, L).astype(np.float32))
+    mr, mi, cr, ci, onr, oni = (mk() for _ in range(6))
+    kx2 = jnp.asarray(np.abs(rng.randn(n, 1)).astype(np.float32))
+    kyz2 = jnp.asarray(np.abs(rng.randn(1, L)).astype(np.float32))
+    scal = jnp.asarray([[0.05, 1.5, -0.5, 0.0]], jnp.float32)
+
+    class FakePlan:
+        pass
+
+    # CH form: M = -k2*mobility, L = k4*kappa
+    plan = FakePlan()
+    plan.mobility = 5.0
+    plan.lin = ("lapsq", -10.0)
+    ref = ps._call_update(mr, mi, cr, ci, onr, oni, kx2, kyz2, scal, plan)
+    scal8 = jnp.asarray([[0.05, 1.5, -0.5, 0.0, -5.0, 0.0, 0.0, -10.0]],
+                        jnp.float32)
+    got = ps._call_update_poly(mr, mi, cr, ci, onr, oni, kx2, kyz2, scal8)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-6)
+
+    # SH form: M = identity, L = r - a^2 (1-k2)^2 = (r-a^2) + 2a^2 k2 - a^2 k4
+    plan2 = FakePlan()
+    plan2.mobility = None
+    plan2.lin = ("sh", 0.025, 1.0)
+    ref2 = ps._call_update(mr, mi, cr, ci, onr, oni, kx2, kyz2, scal, plan2)
+    scal8b = jnp.asarray([[0.05, 1.5, -0.5, 1.0, 0.0,
+                           0.025 - 1.0, 2.0, -1.0]], jnp.float32)
+    got2 = ps._call_update_poly(mr, mi, cr, ci, onr, oni, kx2, kyz2, scal8b)
+    for a, b in zip(ref2, got2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
