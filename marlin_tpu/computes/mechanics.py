@@ -31,14 +31,19 @@ from .base import ComputeError, TensorCompute
 
 # -- einsum helpers (reference MarlinUtils.C:139-186) -----------------------
 #
-# precision = HIGHEST: on TPU, XLA lowers these small-contraction einsums
-# onto the MXU at bf16-class DEFAULT precision, which floors the Newton/CG
-# residual around 1e-3 relative — ABOVE typical deck tolerances
-# (nl_rel_tol = 2e-4 in mech.i), so the solve exhausts nl_max_its on any
-# TPU backend (r03 device-lane finding; with HIGHEST the same deck matches
-# the f64 gold to 3e-6).  The per-point contractions are tiny (dim ≤ 3),
-# so the multi-pass cost is negligible next to the FFTs; the large-grid
-# fast path (analytic tangent) is unrolled scalar VPU math and unaffected.
+# Precision policy (bisected on the real TPU, r03):
+# - MATERIALIZED small-grid path: HIGHEST.  XLA's DEFAULT lowers these
+#   small contractions onto the MXU at bf16-class precision, flooring the
+#   Newton/CG residual ~1e-3 relative — above typical deck tolerances
+#   (nl_rel_tol = 2e-4 in mech.i), so the solve exhausts nl_max_its.
+#   With HIGHEST, mech.i matches its f64 gold to 3e-6 on the chip.
+# - ANALYTIC large-grid path: DEFAULT for dot22.  Every exact formulation
+#   tried in that program (HIGHEST dot_general, stack-unrolled,
+#   broadcast-unrolled) crashes the axon TPU worker mid-run on the deGeus
+#   32^3 RVE; DEFAULT has always converged there (the analytic tangent
+#   contraction itself is exact unrolled scalar VPU math).
+# - The Green projection's complex contractions are unrolled multiply-adds
+#   (exact f32, no dot_general — complex einsum at HIGHEST also crashes).
 _HI = jax.lax.Precision.HIGHEST
 
 
@@ -55,15 +60,21 @@ def ddot44(A4, B4):
 
 
 def dot22(A2, B2):
-    # unrolled (dim <= 3) instead of einsum: this helper sits in the hot
-    # Newton/CG path of BOTH mechanics modes, and on the axon TPU a batched
-    # 3x3 dot_general at Precision.HIGHEST crashes the worker mid-run
-    # (r03, deGeus 32^3), while DEFAULT rounds through bf16.  Explicit
-    # multiply-adds are exact f32 on the VPU and fuse like any pointwise op.
-    d = A2.shape[-1]
-    return jnp.stack(
-        [jnp.stack([sum(A2[..., i, j] * B2[..., j, k] for j in range(d))
-                    for k in range(d)], axis=-1) for i in range(d)], axis=-2)
+    # DEFAULT precision, deliberately: this form runs in the ANALYTIC
+    # (large-grid) path, where the axon TPU worker CRASHES mid-run on any
+    # exact formulation (HIGHEST dot_general, stack-unrolled, and
+    # broadcast-unrolled all reproduce the crash on the deGeus 32^3 RVE;
+    # bisected r03).  The analytic path has always converged at DEFAULT.
+    return jnp.einsum("...ij,...jk->...ik", A2, B2)
+
+
+def dot22_hi(A2, B2):
+    # exact (HIGHEST) variant for the MATERIALIZED small-grid path, where
+    # bf16-class DEFAULT floors the Newton residual above deck tolerances
+    # (mech.i converges to 3e-6 of its f64 gold with this, and exhausts
+    # nl_max_its without it); the materialized program runs HIGHEST
+    # dot_general without incident on the same backend.
+    return jnp.einsum("...ij,...jk->...ik", A2, B2, precision=_HI)
 
 
 def dot24(A2, B4):
@@ -75,7 +86,7 @@ def dot42(A4, B2):
 
 
 def dyad22(A2, B2):
-    return jnp.einsum("...ij,...kl->...ijkl", A2, B2, precision=_HI)
+    return jnp.einsum("...ij,...kl->...ijkl", A2, B2)
 
 
 def conjugate_gradient(A, b, x0, tol, maxiter):
@@ -164,8 +175,8 @@ class HyperElasticIsotropic(TensorCompute):
         Km = state[self.K][..., None, None, None, None]
         mu = state[self.mu][..., None, None, None, None]
         C4 = Km * tII + 2.0 * mu * (tI4s - tII / 3.0)
-        S = ddot42(C4, 0.5 * (dot22(trans2(F), F) - ti))
-        P = dot22(F, S)
+        S = ddot42(C4, 0.5 * (dot22_hi(trans2(F), F) - ti))
+        P = dot22_hi(F, S)
         K4 = dot24(S, tI4) + ddot44(
             ddot44(tI4rt, dot42(dot24(F, C4), trans2(F))), tI4rt
         )
