@@ -102,3 +102,24 @@ def test_fuse_pps_later_failure_reraises():
     p._step_fns["step_pp"] = boom
     with pytest.raises(RuntimeError, match="mid-run failure"):
         p.step_with_pps(state, 0.1, 0.1, 0.1, False)
+
+
+def test_bench_allow_variant_warm_scaling(monkeypatch):
+    """bench._allow_variant: cold reserves must not permanently starve
+    early-child variants when the child's own compile came back warm
+    (review r03 finding)."""
+    import time as _time
+
+    import bench
+
+    deadline = _time.time() + 500  # 500s of raw budget left
+    monkeypatch.setenv("MARLIN_TPU_BENCH_DEADLINE", str(deadline))
+    monkeypatch.setenv("MARLIN_TPU_BENCH_RESERVE", "1720")  # 1a's cold reserve
+
+    # cold compile observed: full reserve applies -> variant starved
+    assert not bench._allow_variant(300, observed_compile_s=250.0)
+    # warm compile observed: reserve and cost scale down -> variant runs
+    assert bench._allow_variant(300, observed_compile_s=10.0)
+    # no deadline env: always allowed (standalone --child runs)
+    monkeypatch.delenv("MARLIN_TPU_BENCH_DEADLINE")
+    assert bench._allow_variant(10_000, observed_compile_s=None)
