@@ -194,17 +194,96 @@ class ScalarForwardEulerTimeIntegration(_NEML2Model):
     def __init__(self, name, params):
         super().__init__(name, params)
         var = params.get_str("variable", required=True)
-        base = var.split("/")[-1]
-        self.rate = f"state/{base}_rate"
-        self.old = f"old_state/{base}"
+        self.to_var = var if "/" in var else f"state/{var}"
+        # NEML2 axis convention: the rate lives at <var>_rate and the
+        # previous value on the old_state axis with the FULL sub-path
+        # preserved (state/internal/ep -> old_state/internal/ep)
+        self.rate = f"{self.to_var}_rate"
+        self.old = "old_" + self.to_var
         self.t = params.get_str("time", "forces/t")
         self.t_old = f"old_{self.t}"
-        self.to_var = var if "/" in var else f"state/{var}"
         self.from_var = [self.rate, self.old, self.t, self.t_old]
 
     def forward(self, env):
         return {self.to_var: env[self.old]
                 + env[self.rate] * (env[self.t] - env[self.t_old])}
+
+
+class SR2LinearCombination(_NEML2Model):
+    """to_var = Σ coefficient_i · from_var_i on Mandel SR2 fields (NEML2
+    SR2LinearCombination — e.g. elastic strain = total − plastic)."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.from_var = params.get_str_vector("from_var", required=True)
+        self.to_var = params.get_str("to_var", required=True)
+        self.coefficients = params.get_float_vector(
+            "coefficients", [1.0] * len(self.from_var))
+        if len(self.coefficients) != len(self.from_var):
+            params.error("coefficients", "one coefficient per from_var")
+
+    def forward(self, env):
+        out = None
+        for c, v in zip(self.coefficients, self.from_var):
+            term = c * env[v]
+            out = term if out is None else out + term
+        return {self.to_var: out}
+
+
+class VoceIsotropicHardening(_NEML2Model):
+    """Isotropic hardening k(ep) = R·(1 − exp(−d·ep)) from the equivalent
+    plastic strain (NEML2 VoceIsotropicHardening,
+    solid_mechanics/flow_rule)."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.R = params.get_float("saturated_hardening", required=True)
+        self.d = params.get_float("saturation_rate", required=True)
+        self.ep = params.get_str("equivalent_plastic_strain",
+                                 "state/internal/ep")
+        self.to_var = params.get_str("isotropic_hardening",
+                                     "state/internal/k")
+        self.from_var = [self.ep]
+
+    def forward(self, env):
+        return {self.to_var: self.R * (1.0 - jnp.exp(-self.d * env[self.ep]))}
+
+
+class LinearIsotropicHardening(_NEML2Model):
+    """k(ep) = K·ep (NEML2 LinearIsotropicHardening)."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.K = params.get_float("hardening_modulus", required=True)
+        self.ep = params.get_str("equivalent_plastic_strain",
+                                 "state/internal/ep")
+        self.to_var = params.get_str("isotropic_hardening",
+                                     "state/internal/k")
+        self.from_var = [self.ep]
+
+    def forward(self, env):
+        return {self.to_var: self.K * env[self.ep]}
+
+
+class PerzynaPlasticFlowRate(_NEML2Model):
+    """Perzyna viscoplastic flow rate γ̇ = (⟨f⟩/η)^n with overstress
+    f = stress_measure − yield (NEML2 PerzynaPlasticFlowRate); ⟨.⟩ is the
+    Macaulay bracket.  Combine with SR2Invariant (von Mises), a hardening
+    model, and ScalarForwardEulerTimeIntegration to build the standard
+    rate-form chain."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.eta = params.get_float("reference_stress", required=True)
+        self.n = params.get_float("exponent", required=True)
+        self.f = params.get_str("flow_function", "state/internal/fp")
+        self.to_var = params.get_str("flow_rate",
+                                     "state/internal/gamma_rate")
+        self.from_var = [self.f]
+
+    def forward(self, env):
+        over = jnp.maximum(env[self.f], 0.0) / self.eta
+        return {self.to_var: over ** self.n}
 
 
 _MODEL_TYPES = {
@@ -213,7 +292,11 @@ _MODEL_TYPES = {
     "ScalarParameterToState": ScalarParameterToState,
     "LinearIsotropicElasticity": LinearIsotropicElasticity,
     "SR2Invariant": SR2Invariant,
+    "SR2LinearCombination": SR2LinearCombination,
     "ScalarForwardEulerTimeIntegration": ScalarForwardEulerTimeIntegration,
+    "VoceIsotropicHardening": VoceIsotropicHardening,
+    "LinearIsotropicHardening": LinearIsotropicHardening,
+    "PerzynaPlasticFlowRate": PerzynaPlasticFlowRate,
 }
 
 

@@ -391,3 +391,89 @@ def test_neml2_buffer_primitive_types(tmp_path):
     assert s["buffers"]["r2"].shape == (4, 4, 3, 3)
     assert s["buffers"]["ssr4"].shape == (4, 4, 6, 6)
     assert s["buffers"]["rot"].shape == (4, 4, 3)
+
+
+def test_neml2_viscoplastic_chain(tmp_path):
+    """A composed rate-form viscoplastic chain from real NEML2 model names:
+    von Mises stress -> Voce hardening -> Perzyna overstress flow rate ->
+    forward-Euler update of the plastic multiplier.  Checked against the
+    closed form."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [vm]
+    type = SR2Invariant
+    invariant_type = VONMISES
+    tensor = 'state/S'
+    invariant = 'state/internal/svm'
+  []
+  [voce]
+    type = VoceIsotropicHardening
+    saturated_hardening = 100
+    saturation_rate = 2.0
+  []
+  [linhard]
+    type = LinearIsotropicHardening
+    hardening_modulus = 500
+  []
+  [flow]
+    type = PerzynaPlasticFlowRate
+    reference_stress = 50
+    exponent = 3
+  []
+  [integrate]
+    type = ScalarForwardEulerTimeIntegration
+    variable = 'state/internal/ep'
+  []
+  [elastic_strain]
+    type = SR2LinearCombination
+    from_var = 'forces/E state/internal/Ep'
+    to_var = 'state/internal/Ee'
+    coefficients = '1 -1'
+  []
+[]
+"""
+    )
+    path = str(tmp_path / "model.i")
+    vm = load_neml2_model(path, "vm")
+    voce = load_neml2_model(path, "voce")
+    linh = load_neml2_model(path, "linhard")
+    flow = load_neml2_model(path, "flow")
+    integ = load_neml2_model(path, "integrate")
+    comb = load_neml2_model(path, "elastic_strain")
+
+    S = jnp.asarray([120.0, 0.0, 0.0, 0.0, 0.0, 0.0])  # uniaxial
+    svm = vm.forward({"state/S": S})["state/internal/svm"]
+    np.testing.assert_allclose(np.asarray(svm), 120.0, rtol=1e-6)
+
+    ep = jnp.asarray(0.1)
+    k = voce.forward({"state/internal/ep": ep})["state/internal/k"]
+    np.testing.assert_allclose(np.asarray(k), 100 * (1 - np.exp(-0.2)),
+                               rtol=1e-6)
+    k2 = linh.forward({"state/internal/ep": ep})["state/internal/k"]
+    np.testing.assert_allclose(np.asarray(k2), 50.0, rtol=1e-6)
+
+    # overstress f = svm - (yield+k); take f = 120 - 100 = 20
+    rate = flow.forward({"state/internal/fp": jnp.asarray(20.0)})[
+        "state/internal/gamma_rate"]
+    np.testing.assert_allclose(np.asarray(rate), (20 / 50) ** 3, rtol=1e-6)
+    # negative overstress -> no flow (Macaulay bracket)
+    rate0 = flow.forward({"state/internal/fp": jnp.asarray(-5.0)})[
+        "state/internal/gamma_rate"]
+    np.testing.assert_allclose(np.asarray(rate0), 0.0)
+
+    newep = integ.forward({
+        "state/internal/ep_rate": rate, "old_state/internal/ep": ep,
+        "forces/t": jnp.asarray(1.5), "old_forces/t": jnp.asarray(1.0),
+    })["state/internal/ep"]
+    np.testing.assert_allclose(np.asarray(newep),
+                               0.1 + 0.5 * (20 / 50) ** 3, rtol=1e-6)
+
+    E = jnp.asarray([0.02, 0.0, 0.0, 0.0, 0.0, 0.0])
+    Ep = jnp.asarray([0.005, 0.0, 0.0, 0.0, 0.0, 0.0])
+    Ee = comb.forward({"forces/E": E, "state/internal/Ep": Ep})[
+        "state/internal/Ee"]
+    np.testing.assert_allclose(np.asarray(Ee[0]), 0.015, rtol=1e-6)
