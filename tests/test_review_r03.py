@@ -123,3 +123,38 @@ def test_bench_allow_variant_warm_scaling(monkeypatch):
     # no deadline env: always allowed (standalone --child runs)
     monkeypatch.delenv("MARLIN_TPU_BENCH_DEADLINE")
     assert bench._allow_variant(10_000, observed_compile_s=None)
+
+
+def test_h5_diff_per_dataset_overrides(tmp_path):
+    """gold.h5_diff: per-dataset-prefix tolerance overrides apply to all
+    frames of that field and leave other fields at the base tolerance."""
+    import h5py
+    import numpy as np
+
+    from tests import gold as goldmod
+
+    g = tmp_path / "gold.h5"
+    m = tmp_path / "mine.h5"
+    with h5py.File(g, "w") as f:
+        f["c.0"] = np.ones((4, 4))
+        f["mu.0"] = np.ones((4, 4))
+    with h5py.File(m, "w") as f:
+        f["c.0"] = np.ones((4, 4)) + 1e-5
+        f["mu.0"] = np.ones((4, 4)) + 0.05  # 5% off
+    monkey_ref = goldmod.REF
+    try:
+        goldmod.REF = str(tmp_path)
+        # without override: mu fails at the base tolerance
+        with pytest.raises(AssertionError, match="mu.0"):
+            goldmod.h5_diff("gold.h5", str(m), abs_tol=1e-4, rel_tol=0.0)
+        # with a mu override both pass; c still guarded by the base tol
+        goldmod.h5_diff("gold.h5", str(m), abs_tol=1e-4, rel_tol=0.0,
+                        overrides={"mu": (1e-3, 0.1)})
+        with h5py.File(m, "r+") as f:
+            del f["c.0"]
+            f["c.0"] = np.ones((4, 4)) + 0.01
+        with pytest.raises(AssertionError, match="c.0"):
+            goldmod.h5_diff("gold.h5", str(m), abs_tol=1e-4, rel_tol=0.0,
+                            overrides={"mu": (1e-3, 0.1)})
+    finally:
+        goldmod.REF = monkey_ref
