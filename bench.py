@@ -1032,6 +1032,14 @@ def _probe(deadline):
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--list":
+        print("children (run one with: python bench.py --child <name>):")
+        for name in ("probe", "1a", "2a", "ch3d_256", "ch3d_512", "lbm",
+                     "lbm_pallas", "lbm_porous", "lbm_porous_jnp", "degeus",
+                     "degeus_pallas", "degeus64", "degeus64_pallas",
+                     "degeus128", "degeus128_pallas"):
+            print(" ", name)
+        return
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
         _run_child(sys.argv[2])
         return
