@@ -33,18 +33,56 @@ import time
 
 BASELINE_SECONDS = 45.0  # reference wall time on NVIDIA L4
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+# Persistent XLA compilation cache, default ON (r04 measurement: the axon
+# backend now deserializes cached executables correctly — a cold 32^3
+# Newton+CG compile drops 38.6 s -> 3.8 s across processes with bit-equal
+# results; the r02 "cannot deserialize" finding no longer reproduces).  The
+# cache directory ships IN THE REPO, pre-warmed by a full bench run, so the
+# driver-run suite compiles warm: the dominant r03 artifact-killer (150-570 s
+# remote compiles per program inside a ~30 min driver window) becomes a few
+# seconds per program.  Opt out / redirect with MARLIN_TPU_COMPILE_CACHE
+# (empty or "0" disables).  Must be set via env BEFORE any jax import so
+# every child subprocess inherits it.
+_cache = os.environ.get("MARLIN_TPU_COMPILE_CACHE",
+                        os.path.join(_HERE, ".jax_cache"))
+if _cache and _cache != "0":
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 # Global wall-clock budget for the whole suite (r01 post-mortem: the driver
 # killed a > 40 min run and every completed child's result was lost because
 # nothing was emitted until the very end).  When the budget runs out, the
 # combined line is printed with whatever completed and the process exits 0.
-# 2000 s default (r03): cold axon compiles run 150-570 s/program, and the
-# BASELINE.json metrics (1a, ch3d_512, degeus 32/128, 2a) must all
-# complete even from a cold compile cache (measured worst case ~1550 s for
-# the first four with variants budget-gated, leaving ~450 s for 2a's
-# default path); still under the driver's observed >40 min kill threshold.
-BUDGET_S = float(os.environ.get("MARLIN_TPU_BENCH_BUDGET_S", "2000"))
+# 1500 s default (r04): the r03 artifact has rc=124 with BUDGET_S=2000 —
+# the driver's own kill landed somewhere in (1560 s, 2000 s), so the suite
+# must finish and exit 0 inside ~25 min even when the compile cache misses.
+BUDGET_S = float(os.environ.get("MARLIN_TPU_BENCH_BUDGET_S", "1500"))
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# Reference checkout (for the shipped benchmark decks); children fall back
+# to embedded equivalents when it is absent so the bench runs standalone.
+REF_DIR = os.environ.get("MARLIN_REF_DIR", "/root/reference")
+
+sys.path.insert(0, _HERE)
+
+
+def _load_deck(relpath, cli=None, fallback=None):
+    """Load a benchmark deck from the reference checkout when present
+    (zero-drift: the exact shipped deck), else parse the embedded
+    equivalent so the bench is self-contained."""
+    from marlin_tpu import hit
+
+    path = os.path.join(REF_DIR, relpath)
+    if os.path.exists(path):
+        return hit.load(path, cli or [])
+    if fallback is None:
+        raise FileNotFoundError(
+            f"{path} not found and no embedded fallback for {relpath}")
+    root = hit.parse(fallback)
+    variables = hit.apply_cli_args(root, cli or [])
+    hit.expand_braces(root, variables)
+    return root
 
 
 def _emit(d):
@@ -231,8 +269,8 @@ def bench_1a():
     from marlin_tpu.problem import TensorProblem
 
     platform = jax.default_backend()
-    deck = "/root/reference/benchmarks/01_spinodal_decomposition/1a.i"
-    root = hit.load(deck)
+    deck = "benchmarks/01_spinodal_decomposition/1a.i"
+    root = _load_deck(deck)
     problem = TensorProblem(root)
     state = problem.init_state()
 
@@ -250,8 +288,23 @@ def bench_1a():
 
     # warmup call = compile + one full run (no AOT on axon!)
     t0 = time.time()
-    _sync(whole_run(state))
+    w_step, w_t, w_F, w_cmin, w_cmax = whole_run(state)
+    w_F = float(w_F)
     first = time.time() - t0
+    # salvage point: the warmup IS a complete physical run, so even a kill
+    # during the timed repeat below leaves a compile-inclusive wall + the
+    # full cross-check physics in the artifact
+    _emit({
+        "metric": f"benchmark_1a_spinodal_walltime_{platform}",
+        "value": round(first, 3),
+        "unit": "s (incl. compile)",
+        "vs_baseline": round(BASELINE_SECONDS / first, 3),
+        "compile_incl": True,
+        "steps": int(w_step),
+        "t_final": round(float(w_t), 1),
+        "F_final": round(w_F, 3),
+        "c_range": [round(float(w_cmin), 4), round(float(w_cmax), 4)],
+    })
 
     t0 = time.time()
     step, t, F, cmin, cmax = whole_run(state)
@@ -280,9 +333,9 @@ def bench_1a():
         out["fused_skipped"] = "budget"
         return out
     try:
-        root2 = hit.load(deck, ["Domain/fft_backend=PALLAS",
-                                "Problem/carry_reciprocal=true",
-                                "Problem/fused_spectral=true"])
+        root2 = _load_deck(deck, ["Domain/fft_backend=PALLAS",
+                                  "Problem/carry_reciprocal=true",
+                                  "Problem/fused_spectral=true"])
         problem2 = TensorProblem(root2)
         state2 = problem2.init_state()
         run2 = jax.jit(build_run(problem2, num_steps=1000, dt0=1.0,
@@ -335,7 +388,7 @@ def bench_2a(num_steps=100):
     from marlin_tpu.problem import TensorProblem
 
     platform = jax.default_backend()
-    deck = "/root/reference/benchmarks/02_oswald_ripening/2a.i"
+    deck = "benchmarks/02_oswald_ripening/2a.i"
 
     # one device program per CHUNK of outer steps, state carried host-side:
     # a single ~100 s device execution (200 steps x 2000 substeps in one
@@ -344,7 +397,7 @@ def bench_2a(num_steps=100):
     chunk = 25
 
     def build(cli):
-        root = hit.load(deck, cli)
+        root = _load_deck(deck, cli)
         problem = TensorProblem(root)
         state = problem.init_state()
 
@@ -507,6 +560,11 @@ def bench_ch3d(n, substeps=10, reps=3):
     out = step(state, 0.0, dt, dt, jnp.asarray(False))
     _sync(out["buffers"]["c"])
     first = time.time() - t0
+    # salvage point: a kill during the roofline probe below still leaves a
+    # (compile-inclusive) substep bound in the artifact
+    _emit({"cells": n ** 3, "compile_s": round(first, 1),
+           "first_step_incl_compile_s": round(first, 3),
+           "partial_stage": "compiled"})
 
     # tunnel round-trip latency (to subtract from the chained measurement)
     tiny = jax.jit(lambda x: x + 1.0)
@@ -610,8 +668,8 @@ def bench_lbm(n=128, substeps=20, reps=3, backend="JNP"):
     from marlin_tpu import hit
     from marlin_tpu.problem import TensorProblem
 
-    root = hit.load(
-        "/root/reference/test/tests/lbm/channel3D.i",
+    root = _load_deck(
+        "test/tests/lbm/channel3D.i",
         [f"Domain/nx={n}", f"Domain/ny={n}", f"Domain/nz={n}",
          f"Problem/substeps={substeps}", f"Problem/lbm_backend={backend}"],
     )
@@ -624,6 +682,8 @@ def bench_lbm(n=128, substeps=20, reps=3, backend="JNP"):
     out = step(state, 0.0, dt, dt, jnp.asarray(False))
     _sync(out["buffers"]["f"])
     first = time.time() - t0
+    _emit({"cells": n ** 3, "stencil": "D3Q19", "backend": backend,
+           "compile_s": round(first, 1), "partial_stage": "compiled"})
 
     tiny = jax.jit(lambda x: x + 1.0)
     _sync(tiny(jnp.zeros(())))
@@ -826,6 +886,8 @@ def bench_lbm_porous(n=128, substeps=20, reps=3, backend="PALLAS"):
     out = step(state, 0.0, dt, dt, jnp.asarray(False))
     _sync(out["buffers"]["speed"])
     first = time.time() - t0
+    _emit({"cells": n ** 3, "stencil": "D3Q19", "backend": backend,
+           "compile_s": round(first, 1), "partial_stage": "compiled"})
 
     tiny = jax.jit(lambda x: x + 1.0)
     _sync(tiny(jnp.zeros(())))
@@ -850,6 +912,92 @@ def bench_lbm_porous(n=128, substeps=20, reps=3, backend="PALLAS"):
     }
 
 
+# Embedded equivalent of the deGeus hyperelastic RVE benchmark deck
+# (reference examples/degeus_mechanics/mech.i): two-phase K/mu fields from
+# PhaseMechanicsTest, HyperElasticIsotropic constitutive model, FFTMechanics
+# Newton+CG solve under a MacroscopicShearTensor ramp, 10 substeps/step.
+_MECH_DECK = """
+[Domain]
+  dim = 3
+  nx = 32
+  ny = 32
+  nz = 32
+  xmax = ${fparse 2*pi}
+  ymax = ${fparse 2*pi}
+  zmax = ${fparse 2*pi}
+  mesh_mode = DUMMY
+[]
+[TensorComputes]
+  [Initialize]
+    [Finit]
+      type = RankTwoIdentity
+      buffer = F
+    []
+    [phase]
+      type = PhaseMechanicsTest
+      buffer = phase
+    []
+    [K]
+      type = ParsedCompute
+      buffer = K
+      expression = '(1-phase)*Ka + phase*Kb'
+      inputs = phase
+      constant_names = 'Ka Kb'
+      constant_expressions = '0.833 8.33'
+    []
+    [mu]
+      type = ParsedCompute
+      buffer = mu
+      expression = '(1-phase)*mua + phase*mub'
+      inputs = phase
+      constant_names = 'mua mub'
+      constant_expressions = '0.386 3.86'
+    []
+  []
+  [Solve]
+    [hyper_elasticity]
+      type = HyperElasticIsotropic
+      buffer = stress
+      F = Fnew
+      K = K
+      mu = mu
+    []
+    [root]
+      [applied_strain]
+        type = MacroscopicShearTensor
+        buffer = applied_strain
+      []
+      [mech]
+        type = FFTMechanics
+        buffer = Fnew
+        F = F
+        K = K
+        mu = mu
+        l_tol = 1e-2
+        nl_rel_tol = 2e-2
+        nl_abs_tol = 2e-2
+        constitutive_model = hyper_elasticity
+        stress = stress
+        applied_macroscopic_strain = applied_strain
+      []
+    []
+  []
+[]
+[TensorSolver]
+  type = ForwardEulerSolver
+  root_compute = root
+  forward_buffer = F
+  forward_buffer_new = Fnew
+  substeps = 10
+[]
+[Executioner]
+  type = Transient
+  num_steps = 100
+  dt = 0.01
+[]
+"""
+
+
 def bench_degeus(steps=10, reps=2, n=None, fft_backend=None):
     """deGeus FFT-micromechanics RVE wall-clock (BASELINE.json metric #2):
     the shipped 32^3 hyperelastic RVE (reference
@@ -868,7 +1016,8 @@ def bench_degeus(steps=10, reps=2, n=None, fft_backend=None):
                                  f"Domain/nz={n}"]
     if fft_backend:
         over.append(f"Domain/fft_backend={fft_backend}")
-    root = hit.load("/root/reference/examples/degeus_mechanics/mech.i", over)
+    root = _load_deck("examples/degeus_mechanics/mech.i", over,
+                      fallback=_MECH_DECK)
     problem = TensorProblem(root)
     state = problem.init_state()
     step = jax.jit(problem._step_impl)
@@ -878,9 +1027,21 @@ def bench_degeus(steps=10, reps=2, n=None, fft_backend=None):
     out = step(state, 0.0, dt, dt, jnp.asarray(True))
     _sync(out["buffers"]["F"])
     first = time.time() - t0
+    result = {
+        "rve": f"{n or 32}^3 hyperelastic (mech.i)",
+        "steps": steps,
+        "fft_backend": fft_backend or "DEFAULT",
+        "compile_s": round(first, 1),
+    }
+    # salvage point (r03 post-mortem: this child emitted NOTHING between
+    # start and final return, so a timeout during its 500 s-class cold
+    # compile lost the whole measurement) — the first-step wall already
+    # bounds step time, so a mid-run kill salvages a legitimate number
+    _emit(dict(result, first_step_incl_compile_s=round(first, 3),
+               partial_stage="compiled"))
 
     def run(k):
-        s, t = out, dt
+        s = out
         for i in range(k):
             s = step(s, (i + 1) * 0.01, dt, dt, jnp.asarray(False))
         _sync(s["buffers"]["F"])
@@ -888,14 +1049,12 @@ def bench_degeus(steps=10, reps=2, n=None, fft_backend=None):
     t0 = time.time()
     run(steps)
     wall = time.time() - t0
-    return {
-        "rve": f"{n or 32}^3 hyperelastic (mech.i)",
-        "steps": steps,
-        "fft_backend": fft_backend or "DEFAULT",
+    result.update({
         "wall_s": round(wall, 3),
         "step_ms": round(wall / steps * 1e3, 1),
-        "compile_s": round(first, 1),
-    }
+    })
+    _emit(result)
+    return result
 
 
 def bench_probe():
@@ -1047,16 +1206,22 @@ def main():
     deadline = time.time() + BUDGET_S
     result = {"metric": "benchmark_1a_spinodal_walltime", "value": None,
               "unit": "s", "vs_baseline": None}
-    wedged = (deadline - time.time() > 60) and not _probe(deadline)
-    if wedged:
-        sys.stderr.write("bench: backend probe failed twice - wedged\n")
+    # No up-front probe (r04): the r03 artifact burned 90-180 s of budget on
+    # probe timeouts that told us nothing (cold backend ATTACH alone is
+    # ~200 s — a healthy backend cannot answer inside the probe window).
+    # Probing now happens only AFTER a child fails, to distinguish a flaky
+    # child from a wedged backend.
+    wedged = False
 
     # BASELINE.json metrics FIRST (r02 post-mortem: a 363 s cold fused-LBM
     # compile in slot 2 starved ch3d_512/degeus/2a out of the artifact).
     # Order: 1a headline -> 512^3 north star -> degeus RVEs -> 2a -> then
     # the Pallas showcase children with whatever budget remains.  Children
     # gate their OPTIONAL variants on the inherited deadline, so each slot's
-    # REQUIRED metric completes even from a cold compile cache.
+    # REQUIRED metric completes even from a cold compile cache.  With the
+    # shipped pre-warmed compile cache (.jax_cache) every child compiles in
+    # seconds and the whole suite fits in a few minutes; the timeouts below
+    # are the cache-MISS worst case.
     # (key, child, attempts, timeout, est_required_s): the last field is
     # the estimated COLD cost of the child's required metric alone; the sum
     # over LATER BASELINE children is passed to each child as a budget
@@ -1064,22 +1229,25 @@ def main():
     children = [
         # compiles 1-2 whole-run programs (headline + optional fused
         # variant); the headline is emitted incrementally either way
-        ("1a", "1a", 2, 1500, 300),
+        ("1a", "1a", 2, 900, 250),
         # required 512^3 metric = ONE program + fft roofline; fused/carry/
         # pallas variants are budget-gated inside the child
-        ("ch3d_512", "ch3d_512", 1, 1500, 600),
-        ("degeus_rve_32", "degeus", 1, 600, 120),
+        ("ch3d_512", "ch3d_512", 1, 900, 300),
+        # attempts=2 (r03 post-mortem: single-shot at timeout 600 lost the
+        # whole child to one 500 s-class cold compile; a second attempt
+        # hits the just-written compile cache and finishes in seconds)
+        ("degeus_rve_32", "degeus", 2, 900, 120),
         # 64x the reference RVE via the analytic-tangent CG operator —
         # BEFORE 2a: it is the cheaper BASELINE child, so a tight cold
         # budget completes it rather than dying inside 2a's longer compile
-        ("degeus_rve_128", "degeus128", 1, 900, 200),
+        ("degeus_rve_128", "degeus128", 2, 900, 200),
         # the reference's second headline deck (5 coupled fields; the
         # budget-gated tuned + fused variants exercise batch_fft+carry and
-        # the multi-variable fused substep).  est 800: its cold compile has
-        # been measured anywhere from 73 to ~680 s on axon
-        ("benchmark_2a", "2a", 1, 1200, 800),
+        # the multi-variable fused substep); its cold compile has been
+        # measured anywhere from 73 to ~680 s on axon
+        ("benchmark_2a", "2a", 2, 900, 400),
         # showcases (not in the reserve: BASELINE metrics outrank them)
-        ("ch3d_256", "ch3d_256", 1, 900, 0),
+        ("ch3d_256", "ch3d_256", 1, 600, 0),
         ("lbm_channel3d_128_pallas", "lbm_pallas", 1, 600, 0),
         ("lbm_channel3d_128", "lbm", 1, 600, 0),
         ("lbm_porous_128_pallas", "lbm_porous", 1, 600, 0),
@@ -1114,11 +1282,13 @@ def main():
         else:
             result[key] = sub
         # incremental emission: the FULL accumulated result line goes to
-        # stderr after every child, so even a hard parent kill leaves a
-        # complete parseable JSON line in the driver's captured output
+        # BOTH stdout and stderr after every child, so even a hard parent
+        # kill (rc=124 in the r03 driver run) leaves a complete parseable
+        # JSON line wherever the driver captures output
         sys.stderr.write(f"bench done {key}: {json.dumps(sub)[:400]}\n")
         sys.stderr.write(json.dumps(result) + "\n")
         sys.stderr.flush()
+        print(json.dumps(result), flush=True)
 
     print(json.dumps(result))
 

@@ -63,10 +63,20 @@ def main(argv=None):
     ):
         jax.config.update("jax_enable_x64", True)
     # persistent compilation cache (the reference's trace-once story maps
-    # onto XLA's compile cache; opt-in because the axon remote-TPU backend
-    # cannot deserialize cached executables)
+    # onto XLA's compile cache), default ON: the axon remote-TPU backend
+    # deserializes cached executables correctly (r04 measurement, 38.6 s ->
+    # 3.8 s across processes; the earlier "cannot deserialize" finding no
+    # longer reproduces).  Default dir: a pre-warmed .jax_cache next to the
+    # package (source checkouts ship one) else ~/.cache/marlin_tpu/xla.
+    # MARLIN_TPU_COMPILE_CACHE overrides; empty or "0" disables.
     cache_dir = os.environ.get("MARLIN_TPU_COMPILE_CACHE")
-    if cache_dir:
+    if cache_dir is None:
+        repo_cache = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache")
+        cache_dir = repo_cache if os.path.isdir(repo_cache) else (
+            os.path.expanduser("~/.cache/marlin_tpu/xla"))
+    if cache_dir and cache_dir != "0":
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     # multi-host launch (docs/multihost.md): one process per host, all

@@ -512,8 +512,16 @@ def match_chain(solver) -> SpectralPlan:
 
     lbar = find_ic(
         v.linear_reciprocal,
-        (ReciprocalLaplacianSquareFactor, SwiftHohenbergLinear), "L̄",
+        (ReciprocalLaplacianFactor, ReciprocalLaplacianSquareFactor,
+         SwiftHohenbergLinear), "L̄",
     )
+    if isinstance(lbar, ReciprocalLaplacianFactor):
+        # single-variable Allen-Cahn class (L̄ = -k²·factor): the dedicated
+        # single-variable kernel only encodes lapsq/sh forms, but the
+        # N-variable polynomial-coefficient plan handles every L̄ polynomial
+        # in k² and works at N = 1 — route through it (r03 advisor finding:
+        # this chain was documented as supported but rejected here)
+        return match_chain_multi(solver)
     if isinstance(lbar, ReciprocalLaplacianSquareFactor):
         lin = ("lapsq", float(lbar.factor))
     else:
@@ -567,8 +575,11 @@ def match_chain_multi(solver) -> SpectralPlanMulti:
     by_out = {}
     for m in members:
         out = getattr(m, "out", None)
-        if out is None or out in by_out:
-            _reject(f"solve compute '{m.name}' has no unique output buffer")
+        if out is None:
+            _reject(f"solve compute '{m.name}' has no output buffer")
+        if out in by_out:
+            _reject(f"solve computes '{by_out[out].name}' and '{m.name}' "
+                    f"both write buffer '{out}'")
         by_out[out] = m
 
     used = set()

@@ -40,6 +40,23 @@ class ProblemError(Exception):
     pass
 
 
+def _is_backend_rejection(e) -> bool:
+    """True only for a backend/compiler rejection of a jitted program (the
+    signatures the axon backend emits when it refuses the fused step+pp
+    program).  A genuine first-step failure — user expression error, NaN
+    guard, shape mismatch — must propagate instead of being misreported as
+    'backend rejected the fused program' and silently re-run through the
+    split path (r03 advisor finding)."""
+    if type(e).__name__ not in (
+        "XlaRuntimeError", "JaxRuntimeError", "RuntimeError", "OSError"
+    ):
+        return False
+    msg = str(e)
+    return any(s in msg for s in (
+        "UNIMPLEMENTED", "FAILED_PRECONDITION", "INTERNAL", "UNAVAILABLE",
+        "ABORTED", "RESOURCE_EXHAUSTED", "compil"))
+
+
 _zeros_programs = {}
 
 
@@ -1192,6 +1209,8 @@ class TensorProblem:
         except Exception as e:
             if getattr(self, "_step_pp_verified", False):
                 raise  # the fused program worked before: a real error
+            if not _is_backend_rejection(e):
+                raise  # user/tracing error — not a fused-program rejection
             # compile-time rejection of the fused step+pp program (some
             # backends refuse it): warn once, recompile split, and serve
             # the whole run unfused — never surface the rejection to a

@@ -19,6 +19,22 @@ import pytest
 # been initialized yet at conftest time.
 TPU_LANE = bool(os.environ.get("MARLIN_TPU_TESTS"))
 
+if TPU_LANE:
+    # Persistent XLA compile cache, shared with bench.py (r04: the axon
+    # backend deserializes cached executables correctly now — measured
+    # 38.6 s -> 3.8 s across processes on the 32^3 Newton+CG program).  The
+    # repo ships the cache pre-warmed, so the lane's "cold ~1 h" compile
+    # wall collapses to the warm ~6 min.  Opt out/redirect with
+    # MARLIN_TPU_COMPILE_CACHE (empty or "0" disables).
+    _cache = os.environ.get(
+        "MARLIN_TPU_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    if _cache and _cache != "0":
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
+        os.environ.setdefault(
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 if not TPU_LANE:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:

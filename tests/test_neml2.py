@@ -477,3 +477,293 @@ def test_neml2_viscoplastic_chain(tmp_path):
     Ee = comb.forward({"forces/E": E, "state/internal/Ep": Ep})[
         "state/internal/Ee"]
     np.testing.assert_allclose(np.asarray(Ee[0]), 0.015, rtol=1e-6)
+
+
+def _j2_model_file(tmp_path, hardening):
+    (tmp_path / "model.i").write_text(
+        f"""
+[Models]
+  [j2]
+    type = J2RadialReturn
+    coefficients = '200e3 0.3'
+    coefficient_types = 'YOUNGS_MODULUS POISSONS_RATIO'
+    yield_stress = 250
+    {hardening}
+  []
+[]
+"""
+    )
+    return str(tmp_path / "model.i")
+
+
+def test_neml2_j2_radial_return_linear_closed_form(tmp_path):
+    """Radial return with LINEAR hardening has the closed form
+    dep = f_trial/(3G+H) — the standard return-map oracle (NEML2 composes
+    the same solve from ImplicitUpdate(Newton); reference wraps it via
+    src/tensor_computes/NEML2TensorCompute.C)."""
+    import jax.numpy as jnp
+
+    from marlin_tpu.computes.neml2 import load_neml2_model
+
+    H = 1000.0
+    m = load_neml2_model(
+        _j2_model_file(tmp_path, "hardening_modulus = 1000"), "j2")
+    G = 200e3 / (2 * (1 + 0.3))
+    K = 200e3 / (3 * (1 - 0.6))
+
+    E = jnp.asarray([0.004, 0.0, 0.0, 0.0, 0.0, 0.0])
+    out = m.forward({
+        "forces/E": E,
+        "old_state/internal/Ep": jnp.zeros(6),
+        "old_state/internal/ep": jnp.zeros(()),
+    })
+    # closed-form trial state (uniaxial strain)
+    tr = 0.004
+    dev = np.array([0.004 - tr / 3, -tr / 3, -tr / 3, 0, 0, 0])
+    s_dev = 2 * G * dev
+    svm_tr = np.sqrt(1.5 * np.sum(s_dev ** 2))
+    f_tr = svm_tr - 250.0
+    assert f_tr > 0
+    dep = f_tr / (3 * G + H)
+
+    np.testing.assert_allclose(np.asarray(out["state/internal/ep"]), dep,
+                               rtol=1e-6)
+    # consistency: updated vm stress sits exactly on the hardened yield
+    S = np.asarray(out["state/S"])
+    trS = S[0] + S[1] + S[2]
+    devS = S - np.array([trS / 3] * 3 + [0, 0, 0])
+    svm_new = np.sqrt(1.5 * np.sum(devS ** 2))
+    np.testing.assert_allclose(svm_new, 250.0 + H * dep, rtol=1e-6)
+    # volumetric response stays elastic
+    np.testing.assert_allclose(trS, 3 * K * tr, rtol=1e-6)
+    # plastic strain is deviatoric and its equivalent measure equals dep
+    Ep = np.asarray(out["state/internal/Ep"])
+    np.testing.assert_allclose(Ep[0] + Ep[1] + Ep[2], 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.sqrt(2 / 3 * np.sum(Ep ** 2)), dep,
+                               rtol=1e-6)
+
+
+def test_neml2_j2_radial_return_voce_newton(tmp_path):
+    """Voce hardening needs the Newton loop (no closed form): check the
+    consistency residual is solved to tolerance and the elastic branch is
+    untouched, on a mixed elastic/plastic field (the while_loop is
+    vectorized over the grid)."""
+    import jax.numpy as jnp
+
+    from marlin_tpu.computes.neml2 import load_neml2_model
+
+    R, d = 100.0, 50.0
+    m = load_neml2_model(
+        _j2_model_file(
+            tmp_path, "saturated_hardening = 100\n    saturation_rate = 50"),
+        "j2")
+    G = 200e3 / (2 * (1 + 0.3))
+
+    # two material points: plastic (0.004) and elastic (0.0005)
+    E = jnp.asarray([[0.004, 0, 0, 0, 0, 0], [0.0005, 0, 0, 0, 0, 0]])
+    out = m.forward({
+        "forces/E": E,
+        "old_state/internal/Ep": jnp.zeros((2, 6)),
+        "old_state/internal/ep": jnp.zeros(2),
+    })
+    ep = np.asarray(out["state/internal/ep"])
+    assert ep[0] > 0 and ep[1] == 0.0
+
+    for i, e11 in enumerate([0.004, 0.0005]):
+        tr = e11
+        dev = np.array([e11 - tr / 3, -tr / 3, -tr / 3, 0, 0, 0])
+        svm_tr = np.sqrt(1.5 * np.sum((2 * G * dev) ** 2))
+        if i == 0:
+            resid = svm_tr - 3 * G * ep[0] - 250.0 - R * (1 - np.exp(-d * ep[0]))
+            assert abs(resid) < 1e-6
+        else:
+            assert svm_tr < 250.0  # genuinely elastic
+            S = np.asarray(out["state/S"])[1]
+            np.testing.assert_allclose(
+                S[0], (200e3 / (3 * (1 - 0.6))) * tr + 2 * G * dev[0],
+                rtol=1e-6)
+
+
+def test_neml2_composed_model_rate_chain(tmp_path):
+    """ComposedModel resolves the dependency order of a real NEML2
+    viscoplastic chain (von Mises -> Voce @ old ep -> YieldFunction ->
+    Perzyna -> forward Euler) and exposes only unproduced variables as
+    inputs."""
+    import jax.numpy as jnp
+
+    from marlin_tpu.computes.neml2 import load_neml2_model
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [vm]
+    type = SR2Invariant
+    invariant_type = VONMISES
+    tensor = 'state/S'
+    invariant = 'state/internal/sm'
+  []
+  [voce]
+    type = VoceIsotropicHardening
+    saturated_hardening = 100
+    saturation_rate = 2.0
+    equivalent_plastic_strain = 'old_state/internal/ep'
+  []
+  [yield]
+    type = YieldFunction
+    yield_stress = 100
+    isotropic_hardening = 'state/internal/k'
+  []
+  [flow]
+    type = PerzynaPlasticFlowRate
+    reference_stress = 50
+    exponent = 3
+    flow_function = 'state/internal/fp'
+    flow_rate = 'state/internal/ep_rate'
+  []
+  [integrate]
+    type = ScalarForwardEulerTimeIntegration
+    variable = 'state/internal/ep'
+  []
+  [chain]
+    type = ComposedModel
+    models = 'integrate flow yield voce vm'
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "chain")
+    # declared inputs are exactly the unproduced variables
+    assert set(m.from_var) == {"state/S", "old_state/internal/ep",
+                               "forces/t", "old_forces/t"}
+
+    S = jnp.asarray([180.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    ep0 = 0.1
+    out = m.forward({
+        "state/S": S,
+        "old_state/internal/ep": jnp.asarray(ep0),
+        "forces/t": jnp.asarray(2.0),
+        "old_forces/t": jnp.asarray(1.5),
+    })
+    k = 100 * (1 - np.exp(-2.0 * ep0))
+    f = 180.0 - 100.0 - k
+    rate = (max(f, 0.0) / 50.0) ** 3
+    np.testing.assert_allclose(np.asarray(out["state/internal/fp"]), f,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["state/internal/ep"]),
+                               ep0 + 0.5 * rate, rtol=1e-6)
+
+
+def test_neml2_composed_model_cycle_errors(tmp_path):
+    from marlin_tpu.computes.neml2 import NEML2Error, load_neml2_model
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [a]
+    type = ScalarLinearCombination
+    from_var = 'state/b'
+    to_var = 'state/a'
+  []
+  [b]
+    type = ScalarLinearCombination
+    from_var = 'state/a'
+    to_var = 'state/b'
+  []
+  [chain]
+    type = ComposedModel
+    models = 'a b'
+  []
+[]
+"""
+    )
+    with pytest.raises(NEML2Error, match="unresolvable"):
+        load_neml2_model(str(tmp_path / "model.i"), "chain").forward({})
+
+
+def test_neml2_j2_deck_level(tmp_path):
+    """J2RadialReturn through the full NEML2TensorCompute deck surface:
+    SR2Tensor buffers in, stress + plastic state out, inside the jitted
+    init program."""
+    from marlin_tpu import hit
+    from marlin_tpu.executioner import run_deck
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [j2]
+    type = J2RadialReturn
+    coefficients = '200e3 0.3'
+    coefficient_types = 'YOUNGS_MODULUS POISSONS_RATIO'
+    yield_stress = 250
+    hardening_modulus = 1000
+  []
+[]
+"""
+    )
+    (tmp_path / "deck.i").write_text(
+        """
+[Domain]
+  dim = 2
+  nx = 4
+  ny = 4
+[]
+[Problem]
+  type = TensorProblem
+[]
+[TensorBuffers]
+  [E]
+    type = SR2Tensor
+  []
+  [Ep_old]
+    type = SR2Tensor
+  []
+  [ep_old]
+    type = PlainTensorBuffer
+  []
+  [S]
+    type = SR2Tensor
+  []
+  [Ep]
+    type = SR2Tensor
+  []
+  [ep]
+    type = PlainTensorBuffer
+  []
+[]
+[TensorComputes]
+  [Initialize]
+    [E]
+      type = ConstantTensor
+      buffer = E
+      real = 0.004
+    []
+    [j2]
+      type = NEML2TensorCompute
+      neml2_input_file = model.i
+      neml2_model = j2
+      marlin_inputs = 'E Ep_old ep_old'
+      neml2_inputs = 'forces/E old_state/internal/Ep old_state/internal/ep'
+      neml2_outputs = 'state/S state/internal/Ep state/internal/ep'
+      marlin_outputs = 'S Ep ep'
+    []
+  []
+[]
+[Executioner]
+  type = Transient
+  num_steps = 1
+[]
+"""
+    )
+    root = hit.load(str(tmp_path / "deck.i"))
+    tr = run_deck(root, output_dir=str(tmp_path), deck_dir=str(tmp_path))
+    G = 200e3 / (2 * (1 + 0.3))
+    # the IC fills every Mandel component with 0.004
+    E_m = np.full(6, 0.004)
+    tr_ = E_m[0] + E_m[1] + E_m[2]
+    dev = E_m - np.array([tr_ / 3] * 3 + [0, 0, 0])
+    svm_tr = np.sqrt(1.5 * np.sum((2 * G * dev) ** 2))
+    dep = (svm_tr - 250.0) / (3 * G + 1000.0)
+    assert dep > 0
+    ep = np.asarray(tr.state["buffers"]["ep"])
+    assert ep.shape == (4, 4)
+    np.testing.assert_allclose(ep, dep, rtol=1e-5)

@@ -110,11 +110,15 @@ def test_tpu_cahnhilliard_gold():
 
 
 CSV_CASES = [
-    # ABM solver orders: diagonal (per-variable) and coupled (dense k-point)
-    ("test/tests/solvers/diagonal.i", ["ss=10", "cs=1", "order=2"],
-     "test/tests/solvers/gold/diagonal_10_1_2.csv", "diagonal_out.csv"),
-    ("test/tests/solvers/coupled.i", ["ss=10", "cs=1", "order=2"],
-     "test/tests/solvers/gold/coupled_10_1_2.csv", "coupled_out.csv"),
+    # ABM solver orders: diagonal (per-variable) and coupled (dense k-point).
+    # ss=10 cs=2 order=2 — the highest-order corrector combo the reference
+    # ships golds for (test/tests/solvers/tests `corrector_steps_2_order_2`;
+    # r03 review: the previous 10_1_2 combo has NO gold, so pytest silently
+    # skipped and the lane never exercised the ABM solver on the device)
+    ("test/tests/solvers/diagonal.i", ["ss=10", "cs=2", "order=2"],
+     "test/tests/solvers/gold/diagonal_10_2_2.csv", "diagonal_10_2_2.csv"),
+    ("test/tests/solvers/coupled.i", ["ss=10", "cs=2", "order=2"],
+     "test/tests/solvers/gold/coupled_10_2_2.csv", "coupled_10_2_2.csv"),
     # postprocessor reductions on device
     ("test/tests/postprocessors/postprocessors.i",
      ["Outputs/file_base=average", "Postprocessors/active=avg_c"],

@@ -42,23 +42,43 @@ def main(argv=None):
             [sys.executable, "-m", "pytest", node, "-q", "-x"],
             capture_output=True, text=True, cwd=root, env=env,
         )
-        ok = p.returncode == 0
-        skipped = not ok and "no tests ran" in p.stdout
-        results[node] = "PASS" if ok else ("SKIP" if skipped else "FAIL")
+        # pytest exits 0 for "1 skipped" — a skip (e.g. a gold that does not
+        # exist) must NOT count as PASS (r03 review: two solver CSV cases
+        # silently skipped for three rounds while the lane reported
+        # all-green).  Parse the summary line for an explicit skip count.
+        summary = ""
+        for line in reversed((p.stdout or "").strip().splitlines()):
+            if ("passed" in line or "skipped" in line or "failed" in line
+                    or "no tests ran" in line):
+                summary = line
+                break
+        if p.returncode == 0 and "skipped" not in summary:
+            results[node] = "PASS"
+        elif "skipped" in summary or "no tests ran" in summary:
+            results[node] = "SKIP"
+        else:
+            results[node] = "FAIL"
         print(f"{results[node]:4s} {node} ({time.time() - t0:.0f}s)", flush=True)
         if results[node] == "FAIL":
             tail = (p.stdout or "").strip().splitlines()[-12:]
             for line in tail:
                 print("   |", line)
+        elif results[node] == "SKIP":
+            print("   |", summary.strip())
 
     fails = [n for n, r in results.items() if r == "FAIL"]
+    skips = [n for n, r in results.items() if r == "SKIP"]
+    passed = len(results) - len(fails) - len(skips)
     import json
 
-    print(f"\ntpu lane: {len(results) - len(fails)}/{len(results)} passed")
-    print(json.dumps({"metric": "tpu_gold_lane", "passed":
-                      len(results) - len(fails), "total": len(results),
+    print(f"\ntpu lane: {passed}/{len(results)} passed, "
+          f"{len(skips)} skipped, {len(fails)} failed")
+    print(json.dumps({"metric": "tpu_gold_lane", "passed": passed,
+                      "total": len(results), "skipped": skips,
                       "failed": fails}))
-    return 1 if fails else 0
+    # skips are an error too: every lane case must actually execute on the
+    # device (exit 1 on FAIL, 3 on silent SKIP so CI can tell them apart)
+    return 1 if fails else (3 if skips else 0)
 
 
 if __name__ == "__main__":
