@@ -64,6 +64,40 @@ class FusedChainError(Exception):
 
 
 @dataclass(frozen=True)
+class PostBC:
+    """One post-stream boundary condition, compiled to a static update plan
+    at match time (kind 'zh': Zou-He fixed-order, reference
+    LBMFixedFirstOrderBC.C / LBMFixedZerothOrderBC.C; kind 'zg':
+    microscopic zero-gradient, reference LBMMicroscopicZeroGradientBC.C).
+
+    Zou-He reduces to ONE uniform affine form for both orders, both sides,
+    and both the D2Q9 and generic branches:
+
+        facesum = sum(f[sum1]) + 2 * sum(f[sum2])      (known dirs at face)
+        m       = a * facesum + b                      (momentum scalar)
+        f[d]    = f[src] + cm * m + tc * (f[tp] - f[tm])   per unknown dir
+
+    where for first-order (velocity v): m = v * rho = v * facesum / (1 -/+ v)
+    -> a = v / (1 -/+ v), b = 0; and for zeroth-order (density r):
+    m = r * u = +/-(r - facesum) -> a = -/+1, b = +/-r.  The D2Q9 branch
+    adds the transverse correction rows (tc != 0); the generic branch keeps
+    the reference's quirky negative-index neutral set in `sum1` verbatim.
+    Reads within one BC see the PRE-BC distribution (the reference
+    accumulates writes into `u` while reading `f`); writes become visible
+    to LATER BCs — the kernel snapshots the planes per BC to match."""
+
+    kind: str  # "zh" | "zg"
+    axis: int
+    side: int
+    a: float = 0.0
+    b: float = 0.0
+    sum1: Tuple[int, ...] = ()
+    sum2: Tuple[int, ...] = ()
+    # per-unknown update rows: (dir, src, cm, tc, tp, tm)
+    rows: Tuple[Tuple[int, int, float, float, int, int], ...] = ()
+
+
+@dataclass(frozen=True)
 class FusedLBMConfig:
     q: int
     e: Tuple[Tuple[int, int, int], ...]
@@ -98,6 +132,15 @@ class FusedLBMConfig:
     # matrix MSM = M⁻¹·S'·M (S' = stencil S with the kinematic-viscosity
     # diagonal set to 1/τ); None = BGK
     msm: Optional[Tuple[Tuple[float, ...], ...]] = None
+    # post-stream BCs (Zou-He fixed-order / zero-gradient faces) applied in
+    # deck order over the materialized streamed planes
+    post_bcs: Tuple[PostBC, ...] = ()
+    # False: collisionless chain (reference mixed_bcs_* decks — LBMStream
+    # with f_old = f, moments only): the carried state is the post-BC
+    # streamed distribution itself
+    collide: bool = True
+    # moments pass needed (collision and/or a speed compute present)
+    need_moments: bool = True
 
 
 @dataclass(frozen=True)
@@ -235,7 +278,10 @@ def _make_kernel(cfg: FusedLBMConfig):
         ny_face = cfg.ny_global if cfg.shard_y else ny
         pshape = (B, ny) if cfg.two_d else (B, ny, nz)
         masks = {}
-        for axis, side, _dirs in cfg.faces:
+        face_keys = [(axis, side) for axis, side, _d in cfg.faces] + [
+            (bc.axis, bc.side) for bc in cfg.post_bcs
+        ]
+        for axis, side in face_keys:
             key = (axis, side)
             if axis < 0 or key in masks:
                 continue
@@ -281,11 +327,61 @@ def _make_kernel(cfg: FusedLBMConfig):
                 a = jnp.where(solid, jnp.zeros((), a.dtype), a)
             return a
 
+        # post-stream BCs (Zou-He fixed-order / zero-gradient faces) and
+        # collisionless chains need every direction's streamed plane at
+        # once — materialize them (same VMEM class as the MRT path) and
+        # apply the deck's BC sequence in order; otherwise keep the
+        # recompute-per-direction path (one live temp)
+        if cfg.post_bcs or not cfg.collide:
+            fs = [streamed(qi) for qi in range(q)]
+            for bc in cfg.post_bcs:
+                mask = masks[(bc.axis, bc.side)]
+                prev = list(fs)  # reads see the PRE-BC distribution
+
+                def put(d, val):
+                    if cfg.has_media:
+                        # the jnp chain re-zeros solids after every BC
+                        val = jnp.where(solid, jnp.zeros((), val.dtype), val)
+                    fs[d] = jnp.where(mask, val, fs[d])
+
+                if bc.kind == "zg":
+                    # copy the adjacent inner layer onto the face layer
+                    # (reference LBMMicroscopicZeroGradientBC.C); the roll
+                    # direction points AWAY from the face so the masked
+                    # rows read their inner neighbor
+                    shift = 1 if bc.side == 1 else -1
+                    for qi in range(q):
+                        put(qi, _roll(prev[qi], shift, bc.axis))
+                else:
+                    fsum = None
+                    for d in bc.sum1:
+                        fsum = prev[d] if fsum is None else fsum + prev[d]
+                    for d in bc.sum2:
+                        fsum = fsum + 2.0 * prev[d]
+                    m = bc.a * fsum + bc.b
+                    for d, src, cm, tc, tp, tm in bc.rows:
+                        val = prev[src] + cm * m
+                        if tc:
+                            val = val + tc * (prev[tp] - prev[tm])
+                        put(d, val)
+            get = lambda qi: fs[qi]
+        else:
+            get = streamed
+
+        if not cfg.need_moments:
+            # collisionless chain without a speed compute (reference
+            # mixed_bcs_* decks): the kernel is stream + BC only
+            speed_out[...] = jnp.zeros(pshape, speed_out.dtype)
+            for qi in range(q):
+                fpc_out[qi] = get(qi)
+            carry_ref[...] = center[:, B - 1:B]
+            return
+
         # pass 1: moments (reference LBMComputeDensity/LBMComputeVelocity)
         rho = None
         mx = my = mz = None
         for qi in range(q):
-            a = streamed(qi)
+            a = get(qi)
             rho = a if rho is None else rho + a
             ex, ey, ez = cfg.e[qi]
             if ex:
@@ -343,11 +439,16 @@ def _make_kernel(cfg: FusedLBMConfig):
 
         # pass 2: equilibrium + collision (reference LBMBGKCollision /
         # LBMMRTCollision)
-        if cfg.msm is None:
-            # BGK: streamed() recomputed per direction to keep VMEM at one
-            # live (B,ny,nz) temp instead of q of them
+        if not cfg.collide:
+            # collisionless chain WITH a speed compute: carry the post-BC
+            # streamed distribution unchanged
             for qi in range(q):
-                a = streamed(qi)
+                fpc_out[qi] = get(qi)
+        elif cfg.msm is None:
+            # BGK: get() recomputes per direction on the BB-only path to
+            # keep VMEM at one live (B,ny,nz) temp instead of q of them
+            for qi in range(q):
+                a = get(qi)
                 feq = equilibrium(qi)
                 fneq = a - feq
                 fpc_out[qi] = feq + fneq - fneq * inv_tau
@@ -355,7 +456,7 @@ def _make_kernel(cfg: FusedLBMConfig):
             # MRT: fpc = feq + fneq - MSM·fneq needs every direction's
             # fneq at once — cache the q non-equilibrium planes in VMEM
             # (q·B·ny·nz·4 B, well under the raised 64 MB limit)
-            fneqs = [streamed(qi) - equilibrium(qi) for qi in range(q)]
+            fneqs = [get(qi) - equilibrium(qi) for qi in range(q)]
             for qi in range(q):
                 relax = None
                 for qj in range(q):
@@ -606,6 +707,50 @@ def _reject(msg):
     raise FusedChainError(f"lbm_backend = PALLAS: {msg} (use the default JNP backend)")
 
 
+def _zouhe_spec(st, axis, side, value, first_order) -> PostBC:
+    """Compile one Zou-He fixed-order face to the uniform PostBC affine form
+    (see PostBC).  Reproduces reference LBMFixedFirstOrderBC.C /
+    LBMFixedZerothOrderBC.C exactly: the D2Q9 branch's transverse
+    correction rows AND the generic branch's negative-index neutral-set
+    quirk (`f[..., -neutral_x]`) both fall out of the same coefficients."""
+    q = int(st.q)
+    if axis == 0:
+        low_set = st.left
+        e_t = st.ey
+        neutral = st.neutral_x if q == 9 else (-st.neutral_x) % q
+    else:
+        low_set = st.bottom
+        e_t = st.ex
+        neutral = st.neutral_y
+    high_set = st.op[low_set]
+    unknown = low_set if side == 0 else high_set
+    sum2 = high_set if side == 0 else low_set
+    sgn = 1.0 if side == 0 else -1.0
+    if first_order:
+        a, b = value / (1.0 - sgn * value), 0.0
+    else:
+        a, b = -sgn, sgn * value
+    if q == 9:
+        # tangential pair: the +/- transverse axis-aligned directions
+        e_n = st.ex if axis == 0 else st.ey
+        tp = int(np.where((e_n == 0) & (e_t == 1) & (st.ez == 0))[0][0])
+        tm = int(st.op[tp])
+    else:
+        tp = tm = 0
+    rows = []
+    for d in unknown:
+        d = int(d)
+        cm = sgn * 2.0 * float(st.weights[d]) / CS2
+        tc = -0.5 * float(e_t[d]) if q == 9 else 0.0
+        rows.append((d, int(st.op[d]), cm, tc, tp, tm))
+    return PostBC(
+        kind="zh", axis=axis, side=side, a=float(a), b=float(b),
+        sum1=tuple(int(i) for i in neutral),
+        sum2=tuple(int(i) for i in sum2),
+        rows=tuple(rows),
+    )
+
+
 def match_chain(problem) -> FusedLBMPlan:
     """Validate the deck's LBM chain against the fused pattern and build the
     kernel plan.  Raises FusedChainError naming the unsupported feature."""
@@ -660,9 +805,55 @@ def match_chain(problem) -> FusedLBMPlan:
 
     st = problem.lbm_stencil()
     faces = []
+    post_bcs = []
     for bc in problem.bc_computes:
+        if isinstance(bc, (LB.LBMFixedFirstOrderBC, LB.LBMFixedZerothOrderBC)):
+            # Zou-He fixed-order faces (reference LBMFixedFirstOrderBC.C /
+            # LBMFixedZerothOrderBC.C) — compiled to PostBC update plans
+            if bc.f != f_name or bc.out != f_name:
+                _reject(
+                    f"fixed-order BC '{bc.name}' must read and write the "
+                    f"streamed buffer"
+                )
+            first = isinstance(bc, LB.LBMFixedFirstOrderBC)
+            if first and bc.perturb:
+                _reject("perturb = true sine inlet profiles are not fusable")
+            if bc.boundary not in ("left", "right", "bottom", "top"):
+                _reject(
+                    f"fixed-order BC boundary '{bc.boundary}' is not fusable"
+                )
+            axis, side = _FACE_AXIS_SIDE[bc.boundary]
+            if axis == 1 and int(st.q) != 9:
+                # parity: the jnp chain raises for q != 9 on these faces
+                _reject("bottom/top fixed-order BCs exist for D2Q9 only")
+            post_bcs.append(_zouhe_spec(st, axis, side, float(bc.value), first))
+            continue
+        if isinstance(bc, LB.LBMMicroscopicZeroGradientBC):
+            if bc.out != f_name:
+                _reject(
+                    f"zero-gradient BC '{bc.name}' must act on the streamed "
+                    f"buffer"
+                )
+            if bc.boundary not in _FACE_AXIS_SIDE:
+                _reject(
+                    f"zero-gradient boundary '{bc.boundary}' is not a domain "
+                    f"face"
+                )
+            if two_d and bc.boundary in ("front", "back"):
+                _reject("front/back faces do not exist in 2-D")
+            axis, side = _FACE_AXIS_SIDE[bc.boundary]
+            post_bcs.append(PostBC(kind="zg", axis=axis, side=side))
+            continue
         if not isinstance(bc, LB.LBMBounceBack):
-            _reject(f"boundary compute '{bc.name}' is not LBMBounceBack")
+            _reject(f"boundary compute '{bc.name}' ({type(bc).__name__}) "
+                    f"is not fusable")
+        if post_bcs:
+            # bounce-back runs inside the streaming stage; a deck listing
+            # it AFTER a Zou-He/zero-gradient face would reorder the writes
+            _reject(
+                f"bounce-back '{bc.name}' listed after a Zou-He/zero-"
+                f"gradient BC is not fusable"
+            )
         if bc.f_old != fpc_name or bc.out != f_name:
             _reject(f"bounce-back '{bc.name}' must act on the streamed pair")
         if bc.boundary == "wall":
@@ -702,8 +893,8 @@ def match_chain(problem) -> FusedLBMPlan:
             residual = c
         else:
             _reject(f"solve compute '{c.name}' ({type(c).__name__}) is not fusable")
-    for what, c in (("LBMComputeDensity", density), ("LBMComputeVelocity", velocity),
-                    ("LBMEquilibrium", equilibrium), ("LBMBGKCollision", collision)):
+    for what, c in (("LBMComputeDensity", density),
+                    ("LBMComputeVelocity", velocity)):
         if c is None:
             _reject(f"the chain requires a {what} compute")
 
@@ -713,14 +904,26 @@ def match_chain(problem) -> FusedLBMPlan:
         _reject("velocity must be computed from the streamed distribution/density")
     if velocity.enable_forces:
         _reject("enable_forces (force-field coupling) is not supported")
-    if equilibrium.rho != density.out or equilibrium.velocity != velocity.out:
-        _reject("equilibrium must consume the chain's density and velocity")
-    if collision.f != f_name or collision.feq != equilibrium.out:
-        _reject("collision must consume the streamed distribution and equilibrium")
-    if collision.out != fpc_name:
-        _reject("collision must write the solver's f_old buffer")
-    if collision.projection:
-        _reject("Hermite projection is not supported")
+    if collision is None:
+        # collisionless chain (reference mixed_bcs_* decks): LBMStream with
+        # f_old = f — the carried state is the post-BC streamed distribution
+        if equilibrium is not None:
+            _reject("an equilibrium compute without a collision would go "
+                    "stale across fused substeps")
+        if fpc_name != f_name:
+            _reject("collisionless chains require f_old = the streamed "
+                    "buffer itself")
+    else:
+        if equilibrium is None:
+            _reject("the chain requires a LBMEquilibrium compute")
+        if equilibrium.rho != density.out or equilibrium.velocity != velocity.out:
+            _reject("equilibrium must consume the chain's density and velocity")
+        if collision.f != f_name or collision.feq != equilibrium.out:
+            _reject("collision must consume the streamed distribution and equilibrium")
+        if collision.out != fpc_name:
+            _reject("collision must write the solver's f_old buffer")
+        if collision.projection:
+            _reject("Hermite projection is not supported")
     if speed is not None and speed.velocity != velocity.out:
         _reject("velocity magnitude must consume the chain's velocity")
     if residual is not None and (speed is None or residual.speed != speed.out):
@@ -741,15 +944,22 @@ def match_chain(problem) -> FusedLBMPlan:
     nx_local = int(nx) // p1
     ny_local = int(ny) // p2
     dtype = np.dtype(dom.dtype)
+    block = _pick_block(nx_local, ny_local, int(nz), int(st.q),
+                        dtype.itemsize)
+    for bc in post_bcs:
+        if bc.kind == "zg" and bc.axis == 0 and block < 2:
+            # the x-face inner-neighbor read is an in-block roll; a 1-plane
+            # block has no inner neighbor in VMEM
+            _reject("x-face zero-gradient BCs need an x-block >= 2 "
+                    "(transverse extents too large for the VMEM budget)")
     cfg = FusedLBMConfig(
         q=int(st.q),
         e=tuple((int(st.ex[i]), int(st.ey[i]), int(st.ez[i])) for i in range(st.q)),
         w=tuple(float(w) for w in st.weights),
         op=tuple(int(o) for o in st.op),
         nx=nx_local, ny=ny_local, nz=int(nz),
-        block=_pick_block(nx_local, ny_local, int(nz), int(st.q),
-                          dtype.itemsize),
-        tau=float(collision.tau_0),
+        block=block,
+        tau=float(collision.tau_0) if collision is not None else 1.0,
         body_force=(float(bf[0]), float(bf[1]), float(bf[2])),
         faces=tuple(faces),
         has_media=has_media,
@@ -759,6 +969,9 @@ def match_chain(problem) -> FusedLBMPlan:
         ny_global=int(ny),
         two_d=two_d,
         msm=msm,
+        post_bcs=tuple(post_bcs),
+        collide=collision is not None,
+        need_moments=collision is not None or speed is not None,
     )
     old_keys = set()
     for c in [solver] + list(problem.bc_computes) + list(problem.solve_computes):

@@ -620,17 +620,261 @@ def test_fused_sharded_2d_mesh_media_parity(tmp_path):
     _assert_state_parity(s1, s2)
 
 
-def test_fused_rejects_zou_he():
-    """mixed_bcs_d3q19.i uses Zou-He (fixed-order) BCs — not fusable; the
-    error names the offending compute."""
-    root = hit.load(
-        os.path.join(REF, "test/tests/lbm/mixed_bcs_d3q19.i"),
+@pytest.mark.parametrize("deck", [
+    "mixed_bcs_d3q19", "mixed_bcs_d3q19_reverse",
+    "mixed_bcs_d3q27", "horizontal_mixed_bcs_d2q9",
+    "horizontal_mixed_bcs_d2q9_reverse",
+])
+def test_fused_zouhe_parity(deck):
+    """Zou-He fixed-order faces now fuse (VERDICT r03 item 6): the
+    collisionless mixed-BC decks (reference test/tests/lbm/mixed_bcs_*.i —
+    LBMStream with f_old = f, fixed-zeroth/first-order inlet/outlet, no
+    collision) leave the whole state pytree equal to the jnp chain."""
+    path = os.path.join(REF, f"test/tests/lbm/{deck}.i")
+    over = ["Problem/substeps=6"]
+    _, s1 = _run_deck(hit.load(path, over + ["Problem/lbm_backend=JNP"]))
+    _, s2 = _run_deck(hit.load(path, over + ["Problem/lbm_backend=PALLAS"]))
+    _assert_state_parity(s1, s2, tol=1e-10)
+
+
+def test_fused_gold_mixed_d3q19():
+    """The fused Zou-He path reproduces the reference gold
+    (test/tests/lbm/gold/mixed_bcs_d3q19.h5)."""
+    gold = "test/tests/lbm/gold/mixed_bcs_d3q19.h5"
+    if not os.path.exists(os.path.join(REF, gold)):
+        pytest.skip("no gold")
+    _, tmp = run_ref_deck(
+        "test/tests/lbm/mixed_bcs_d3q19.i",
         ["Problem/lbm_backend=PALLAS"],
+        tmpdir="/tmp/marlin_tpu_gold_pallas_zouhe",
     )
-    p = TensorProblem(root)
+    h5_diff(gold, f"{tmp}/mixed_bcs_d3q19.h5", abs_tol=1e-10)
+
+
+_INLET_OUTLET_DECK = """
+[Domain]
+  dim = 3
+  nx = 12
+  ny = 10
+  nz = 10
+  mesh_mode = DUMMY
+[]
+[Stencil]
+  [s]
+    type = LBMD3Q19
+  []
+[]
+[TensorBuffers]
+  [f]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [feq]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [fpc]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [velocity]
+    type = LBMTensorBuffer
+    buffer_type = mv
+  []
+  [density]
+    type = LBMTensorBuffer
+    buffer_type = ms
+  []
+  [speed]
+    type = LBMTensorBuffer
+    buffer_type = ms
+  []
+[]
+[TensorComputes]
+  [Initialize]
+    [initial_density]
+      type = LBMConstantTensor
+      buffer = density
+      constants = 1.0
+    []
+    [initial_velocity]
+      type = LBMConstantTensor
+      buffer = velocity
+      constants = '0.01 0.0 0.0'
+    []
+    [initial_f]
+      type = LBMEquilibrium
+      buffer = f
+      bulk = density
+      velocity = velocity
+    []
+    [initial_fpc]
+      type = LBMEquilibrium
+      buffer = fpc
+      bulk = density
+      velocity = velocity
+    []
+  []
+  [Solve]
+    [density]
+      type = LBMComputeDensity
+      buffer = density
+      f = f
+    []
+    [velocity]
+      type = LBMComputeVelocity
+      buffer = velocity
+      f = f
+      rho = density
+    []
+    [feq]
+      type = LBMEquilibrium
+      buffer = feq
+      bulk = density
+      velocity = velocity
+    []
+    [collision]
+      type = LBMBGKCollision
+      buffer = fpc
+      f = f
+      feq = feq
+      tau0 = 0.6
+    []
+    [speed]
+      type = LBMComputeVelocityMagnitude
+      buffer = speed
+      velocity = velocity
+    []
+    [residual]
+      type = LBMComputeResidual
+      buffer = speed
+      speed = speed
+    []
+  []
+  [Boundary]
+    [top]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = top
+    []
+    [bottom]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = bottom
+    []
+    [front]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = front
+    []
+    [back]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = back
+    []
+    [inlet]
+      type = LBMFixedFirstOrderBC
+      buffer = f
+      f = f
+      value = 0.01
+      boundary = left
+    []
+    [outlet]
+      type = LBMMicroscopicZeroGradientBC
+      buffer = f
+      boundary = right
+    []
+  []
+[]
+[TensorSolver]
+  type = LBMStream
+  buffer = f
+  f_old = fpc
+[]
+[Problem]
+  type = LatticeBoltzmannProblem
+  substeps = 6
+  lbm_backend = {backend}
+[]
+[Executioner]
+  type = Transient
+  num_steps = 3
+[]
+"""
+
+
+def test_fused_inlet_outlet_parity():
+    """The production channel pattern (reference examples/lbm/Pebbles —
+    BGK collision, wall bounce-back, Zou-He velocity inlet, zero-gradient
+    outlet) fuses with full state-pytree parity, including the residual
+    (speed) chain."""
+    _, s1 = _run_deck(hit.parse(_INLET_OUTLET_DECK.format(backend="JNP")))
+    _, s2 = _run_deck(hit.parse(_INLET_OUTLET_DECK.format(backend="PALLAS")))
+    _assert_state_parity(s1, s2, tol=1e-10)
+
+
+def test_fused_sharded_zouhe_parity():
+    """Sharded (REAL_SPACE 1-D mesh) Zou-He faces: the inlet/outlet masks
+    use GLOBAL x coordinates, so only the boundary shards apply them."""
+    import jax
+
+    from marlin_tpu import parallel
+    from marlin_tpu.domain import ParallelMode
+
+    _, s1 = _run_deck(hit.parse(_INLET_OUTLET_DECK.format(backend="JNP")))
+
+    mesh = parallel.make_mesh(
+        ParallelMode.REAL_SPACE, jax.devices()[:2], shape=(2,)
+    )
+    deck = _INLET_OUTLET_DECK.format(backend="PALLAS").replace(
+        "[Domain]", "[Domain]\n  parallel_mode = REAL_SPACE"
+    )
+    p = TensorProblem(hit.parse(deck), mesh=mesh)
+    s2 = p.init_state()
+    dt = jnp.asarray(1.0, p.domain.dtype)
+    for i in range(3):
+        s2 = p.step(s2, float(i), dt, dt, i == 0)
+    _assert_state_parity(s1, s2, tol=1e-10)
+
+
+def test_fused_rejects_perturb():
+    """perturb = true sine inlet profiles stay on the jnp chain, with a
+    named error (reference examples/lbm/Karman-vortex/cylinder.i)."""
+    deck = _INLET_OUTLET_DECK.format(backend="PALLAS").replace(
+        "value = 0.01", "value = 0.01\n      perturb = true"
+    )
+    p = TensorProblem(hit.parse(deck))
     s = p.init_state()
     dt = jnp.asarray(1.0, p.domain.dtype)
-    with pytest.raises(PL.FusedChainError, match="not LBMBounceBack"):
+    with pytest.raises(PL.FusedChainError, match="perturb"):
+        p.step(s, 0.0, dt, dt, False)
+
+
+def test_fused_rejects_bounceback_after_zouhe():
+    """A bounce-back face listed AFTER a Zou-He BC would reorder the face
+    writes — rejected with a named error."""
+    deck = _INLET_OUTLET_DECK.format(backend="PALLAS")
+    # move the [top] bounce-back block after the [outlet] block
+    top_block = """    [top]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = top
+    []
+"""
+    assert top_block in deck
+    deck = deck.replace(top_block, "")
+    tail = "    []\n  []\n[]\n[TensorSolver]"
+    assert tail in deck
+    deck = deck.replace(tail, "    []\n" + top_block + "  []\n[]\n[TensorSolver]")
+    p = TensorProblem(hit.parse(deck))
+    s = p.init_state()
+    dt = jnp.asarray(1.0, p.domain.dtype)
+    with pytest.raises(PL.FusedChainError, match="listed after"):
         p.step(s, 0.0, dt, dt, False)
 
 
