@@ -912,6 +912,222 @@ def bench_lbm_porous(n=128, substeps=20, reps=3, backend="PALLAS"):
     }
 
 
+# Mixed-BC channel (reference examples/lbm/Pebbles pattern, single
+# lattice): BGK collision, bounce-back walls, Zou-He velocity inlet
+# (LBMFixedFirstOrderBC), microscopic zero-gradient outlet — the most
+# common non-periodic production LBM configuration.  Exercises the fused
+# kernel's post-stream BC stage (r04).
+_MIXED_DECK = """
+[Domain]
+  dim = 3
+  nx = {n}
+  ny = {n}
+  nz = {n}
+  mesh_mode = DUMMY
+[]
+[Stencil]
+  [s]
+    type = LBMD3Q19
+  []
+[]
+[TensorBuffers]
+  [f]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [feq]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [fpc]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [velocity]
+    type = LBMTensorBuffer
+    buffer_type = mv
+  []
+  [density]
+    type = LBMTensorBuffer
+    buffer_type = ms
+  []
+  [speed]
+    type = LBMTensorBuffer
+    buffer_type = ms
+  []
+[]
+[TensorComputes]
+  [Initialize]
+    [initial_density]
+      type = LBMConstantTensor
+      buffer = density
+      constants = 1.0
+    []
+    [initial_velocity]
+      type = LBMConstantTensor
+      buffer = velocity
+      constants = '0.01 0.0 0.0'
+    []
+    [initial_equilibrium]
+      type = LBMEquilibrium
+      buffer = feq
+      bulk = density
+      velocity = velocity
+    []
+    [initial_distribution]
+      type = LBMEquilibrium
+      buffer = f
+      bulk = density
+      velocity = velocity
+    []
+    [initial_distribution_pc]
+      type = LBMEquilibrium
+      buffer = fpc
+      bulk = density
+      velocity = velocity
+    []
+  []
+  [Solve]
+    [density]
+      type = LBMComputeDensity
+      buffer = density
+      f = f
+    []
+    [velocity]
+      type = LBMComputeVelocity
+      buffer = velocity
+      f = f
+      rho = density
+    []
+    [feq]
+      type = LBMEquilibrium
+      buffer = feq
+      bulk = density
+      velocity = velocity
+    []
+    [collision]
+      type = LBMBGKCollision
+      buffer = fpc
+      f = f
+      feq = feq
+      tau0 = 0.6
+    []
+    [speed]
+      type = LBMComputeVelocityMagnitude
+      buffer = speed
+      velocity = velocity
+    []
+    [residual]
+      type = LBMComputeResidual
+      buffer = speed
+      speed = speed
+    []
+  []
+  [Boundary]
+    [top]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = top
+    []
+    [bottom]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = bottom
+    []
+    [front]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = front
+    []
+    [back]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = back
+    []
+    [inlet]
+      type = LBMFixedFirstOrderBC
+      buffer = f
+      f = f
+      value = 0.01
+      boundary = left
+    []
+    [outlet]
+      type = LBMMicroscopicZeroGradientBC
+      buffer = f
+      boundary = right
+    []
+  []
+[]
+[TensorSolver]
+  type = LBMStream
+  buffer = f
+  f_old = fpc
+[]
+[Problem]
+  type = LatticeBoltzmannProblem
+  substeps = {substeps}
+  lbm_backend = {backend}
+[]
+[Executioner]
+  type = Transient
+  num_steps = 3
+[]
+"""
+
+
+def bench_lbm_mixed(n=128, substeps=20, reps=3, backend="PALLAS"):
+    """Mixed-BC LBM channel (Zou-He velocity inlet + zero-gradient outlet
+    + bounce-back walls, D3Q19 BGK): before r04 this pattern fell off the
+    fused kernel onto the jnp chain (~340-600 MLUPS); the fused
+    post-stream BC stage keeps it at fused speed."""
+    import jax
+    import jax.numpy as jnp
+
+    from marlin_tpu import hit
+    from marlin_tpu.problem import TensorProblem
+
+    root = hit.parse(_MIXED_DECK.format(n=n, substeps=substeps,
+                                        backend=backend))
+    problem = TensorProblem(root)
+    state = problem.init_state()
+    step = jax.jit(problem._step_impl, donate_argnums=(0,))
+    dt = jnp.asarray(1.0, problem.domain.dtype)
+
+    t0 = time.time()
+    out = step(state, 0.0, dt, dt, jnp.asarray(False))
+    _sync(out["buffers"]["speed"])
+    first = time.time() - t0
+    _emit({"cells": n ** 3, "stencil": "D3Q19", "backend": backend,
+           "bcs": "zouhe_inlet+zg_outlet+bounceback",
+           "compile_s": round(first, 1), "partial_stage": "compiled"})
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    _sync(tiny(jnp.zeros(())))
+    t0 = time.time()
+    _sync(tiny(jnp.zeros(())))
+    rt = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(reps):
+        out = step(out, 0.0, dt, dt, jnp.asarray(False))
+    _sync(out["buffers"]["speed"])
+    step_s = max((time.time() - t0 - rt) / reps, 1e-9)
+    return {
+        "cells": n ** 3,
+        "stencil": "D3Q19",
+        "backend": backend,
+        "bcs": "zouhe_inlet+zg_outlet+bounceback",
+        "substep_ms": round(step_s / substeps * 1e3, 3),
+        "mlups": round(n ** 3 * substeps / step_s / 1e6, 1),
+        "compile_s": round(first - step_s, 1),
+        "dtype": jnp.dtype(problem.domain.dtype).name,
+    }
+
+
 # Embedded equivalent of the deGeus hyperelastic RVE benchmark deck
 # (reference examples/degeus_mechanics/mech.i): two-phase K/mu fields from
 # PhaseMechanicsTest, HyperElasticIsotropic constitutive model, FFTMechanics
@@ -1086,6 +1302,10 @@ def _run_child(name):
         print(json.dumps(bench_lbm_porous(backend="PALLAS")))
     elif name == "lbm_porous_jnp":
         print(json.dumps(bench_lbm_porous(backend="JNP")))
+    elif name == "lbm_mixed":
+        print(json.dumps(bench_lbm_mixed(backend="PALLAS")))
+    elif name == "lbm_mixed_jnp":
+        print(json.dumps(bench_lbm_mixed(backend="JNP")))
     elif name == "degeus":
         print(json.dumps(bench_degeus()))
     elif name == "degeus_pallas":
@@ -1194,7 +1414,8 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--list":
         print("children (run one with: python bench.py --child <name>):")
         for name in ("probe", "1a", "2a", "ch3d_256", "ch3d_512", "lbm",
-                     "lbm_pallas", "lbm_porous", "lbm_porous_jnp", "degeus",
+                     "lbm_pallas", "lbm_porous", "lbm_porous_jnp",
+                     "lbm_mixed", "lbm_mixed_jnp", "degeus",
                      "degeus_pallas", "degeus64", "degeus64_pallas",
                      "degeus128", "degeus128_pallas"):
             print(" ", name)
@@ -1251,6 +1472,7 @@ def main():
         ("lbm_channel3d_128_pallas", "lbm_pallas", 1, 600, 0),
         ("lbm_channel3d_128", "lbm", 1, 600, 0),
         ("lbm_porous_128_pallas", "lbm_porous", 1, 600, 0),
+        ("lbm_mixed_128_pallas", "lbm_mixed", 1, 600, 0),
     ]
     reserves = []
     tail = 0.0

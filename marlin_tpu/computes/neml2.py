@@ -414,10 +414,19 @@ class J2RadialReturn(_NEML2Model):
         self.Ep = params.get_str("plastic_strain", "state/internal/Ep")
         self.ep = params.get_str("equivalent_plastic_strain",
                                  "state/internal/ep")
+        # optional linear (Prager) kinematic hardening: the return maps on
+        # the shifted stress ξ = dev(S_trial) − X_old and the back stress
+        # evolves as ΔX = 2/3·Hk·ΔEp (consistency denominator 3G + H + Hk)
+        self.Hk = params.get_float("kinematic_hardening_modulus", 0.0)
+        self.X = params.get_str("back_stress", "state/internal/X")
         self.old_Ep = "old_" + self.Ep
         self.old_ep = "old_" + self.ep
+        self.old_X = "old_" + self.X
         self.from_var = [self.strain, self.old_Ep, self.old_ep]
         self.to_var = [self.stress, self.Ep, self.ep]
+        if self.Hk:
+            self.from_var.append(self.old_X)
+            self.to_var.append(self.X)
 
     def _k(self, ep):
         if self.H:
@@ -454,7 +463,14 @@ class J2RadialReturn(_NEML2Model):
         dev_e = Ee - vol
         s_dev = 2.0 * G * dev_e  # trial deviatoric stress
         S_trial = 3.0 * K * vol + s_dev
-        svm = jnp.sqrt(jnp.maximum(1.5 * jnp.sum(s_dev * s_dev, -1), 0.0))
+        # with kinematic hardening the map acts on the shifted stress
+        # ξ = dev(S_trial) − X_old (X is deviatoric by construction)
+        if self.Hk:
+            X_old = jnp.broadcast_to(env[self.old_X], E.shape)
+            xi = s_dev - X_old
+        else:
+            xi = s_dev
+        svm = jnp.sqrt(jnp.maximum(1.5 * jnp.sum(xi * xi, -1), 0.0))
         f_trial = svm - self.sy - self._k(ep_old)
         plastic = f_trial > 0.0
 
@@ -462,7 +478,7 @@ class J2RadialReturn(_NEML2Model):
         # lax.while_loop; quadratic, 2-3 iterations for linear, ~4 for Voce)
         def resid(dep):
             return jnp.where(
-                plastic, svm - 3.0 * G * dep - self.sy
+                plastic, svm - (3.0 * G + self.Hk) * dep - self.sy
                 - self._k(ep_old + dep), 0.0)
 
         def cond(carry):
@@ -472,7 +488,7 @@ class J2RadialReturn(_NEML2Model):
 
         def body(carry):
             dep, r, it = carry
-            drdx = -3.0 * G - self._kp(ep_old + dep)
+            drdx = -3.0 * G - self.Hk - self._kp(ep_old + dep)
             dep = jnp.maximum(dep - r / drdx, 0.0)
             return dep, resid(dep), it + 1
 
@@ -481,15 +497,179 @@ class J2RadialReturn(_NEML2Model):
             cond, body, (dep0, resid(dep0), jnp.zeros((), jnp.int32)))
         dep = jnp.where(plastic, dep, 0.0)
 
-        # radial-return direction N = 3/2 · dev(S_trial)/σvm (Mandel
-        # components); Δep·N has equivalent plastic strain exactly Δep
-        N = 1.5 * s_dev / jnp.where(svm > 0.0, svm, 1.0)[..., None]
+        # radial-return direction N = 3/2 · ξ/σvm(ξ) (Mandel components);
+        # Δep·N has equivalent plastic strain exactly Δep
+        N = 1.5 * xi / jnp.where(svm > 0.0, svm, 1.0)[..., None]
         dEp = dep[..., None] * N
-        return {
+        out = {
             self.stress: S_trial - 2.0 * G * dEp,
             self.Ep: Ep_old + dEp,
             self.ep: ep_old + dep,
         }
+        if self.Hk:
+            out[self.X] = X_old + (2.0 / 3.0) * self.Hk * dEp
+        return out
+
+
+class SR2ForwardEulerTimeIntegration(_NEML2Model):
+    """s = s_old + ṡ·(t − t_old) on Mandel SR2 variables — NEML2's
+    ForwardEulerTimeIntegration<SR2> (integrates tensor state: plastic
+    strain, backstress).  Same axis conventions as the Scalar variant."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        var = params.get_str("variable", required=True)
+        self.to_var = var if "/" in var else f"state/{var}"
+        self.rate = f"{self.to_var}_rate"
+        self.old = "old_" + self.to_var
+        self.t = params.get_str("time", "forces/t")
+        self.t_old = f"old_{self.t}"
+        self.from_var = [self.rate, self.old, self.t, self.t_old]
+
+    def forward(self, env):
+        dt = env[self.t] - env[self.t_old]
+        return {self.to_var: env[self.old] + env[self.rate] * dt[..., None]}
+
+
+class Normality(_NEML2Model):
+    """Associative flow directions via normality: for each (from, to) pair,
+    to = ∂f/∂from evaluated with f the von Mises stress measure of `model`'s
+    input — NEML2's Normality mapping.  marlin_tpu ships the J2 case in
+    closed form: N = ∂σvm/∂M = (3/2)·dev(M)/σvm (Mandel), and
+    ∂f/∂k = −1 for the isotropic-hardening direction."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.function = params.get_str("function", "state/internal/fp")
+        self.stress = params.get_str("stress", "state/internal/M")
+        self.to_var_stress = params.get_str("flow_direction",
+                                            "state/internal/NM")
+        self.from_var = [self.stress]
+        self.to_var = self.to_var_stress
+
+    def forward(self, env):
+        M = env[self.stress]
+        vol_mask = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0, 0.0], M.dtype)
+        tr = M[..., 0] + M[..., 1] + M[..., 2]
+        dev = M - (tr / 3.0)[..., None] * vol_mask
+        vm = jnp.sqrt(jnp.maximum(1.5 * jnp.sum(dev * dev, -1), 0.0))
+        N = 1.5 * dev / jnp.where(vm > 0.0, vm, 1.0)[..., None]
+        return {self.to_var_stress: N}
+
+
+class AssociativePlasticFlow(_NEML2Model):
+    """Ėp = γ̇·N (NEML2 AssociativePlasticFlow): the plastic strain rate
+    from the flow rate and the flow direction."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.gamma = params.get_str("flow_rate", "state/internal/gamma_rate")
+        self.N = params.get_str("flow_direction", "state/internal/NM")
+        self.to_var = params.get_str("plastic_strain_rate",
+                                     "state/internal/Ep_rate")
+        self.from_var = [self.gamma, self.N]
+
+    def forward(self, env):
+        return {self.to_var: env[self.gamma][..., None] * env[self.N]}
+
+
+class AssociativeIsotropicPlasticHardening(_NEML2Model):
+    """ėp = γ̇ (NEML2 AssociativeIsotropicPlasticHardening: for J2 the
+    equivalent-plastic-strain rate equals the plastic multiplier rate)."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.gamma = params.get_str("flow_rate", "state/internal/gamma_rate")
+        self.to_var = params.get_str(
+            "equivalent_plastic_strain_rate", "state/internal/ep_rate")
+        self.from_var = [self.gamma]
+
+    def forward(self, env):
+        return {self.to_var: env[self.gamma]}
+
+
+class AssociativeKinematicPlasticFlow(_NEML2Model):
+    """K̇p = γ̇·(−∂f/∂X) = γ̇·N (NEML2 AssociativeKinematicPlasticFlow):
+    the kinematic plastic strain rate; with back-stress X entering the
+    overstress as M = S − X, ∂f/∂X = −N."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.gamma = params.get_str("flow_rate", "state/internal/gamma_rate")
+        self.N = params.get_str("flow_direction", "state/internal/NM")
+        self.to_var = params.get_str(
+            "kinematic_plastic_strain_rate", "state/internal/Kp_rate")
+        self.from_var = [self.gamma, self.N]
+
+    def forward(self, env):
+        return {self.to_var: env[self.gamma][..., None] * env[self.N]}
+
+
+class LinearKinematicHardening(_NEML2Model):
+    """X = 2/3·C·Kp (NEML2 LinearKinematicHardening: Prager back-stress
+    from the kinematic plastic strain)."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.C = params.get_float("hardening_modulus", required=True)
+        self.Kp = params.get_str("kinematic_plastic_strain",
+                                 "state/internal/Kp")
+        self.to_var = params.get_str("back_stress", "state/internal/X")
+        self.from_var = [self.Kp]
+
+    def forward(self, env):
+        return {self.to_var: (2.0 / 3.0) * self.C * env[self.Kp]}
+
+
+class ChabochePlasticHardening(_NEML2Model):
+    """One Chaboche back-stress term (NEML2 ChabochePlasticHardening):
+
+        Ẋ = 2/3·C·γ̇·N − g·X·γ̇ − A·‖X‖^(a−1)·X
+
+    (hardening, dynamic recovery, static recovery; ‖X‖ is the von Mises
+    norm of the back stress).  Multiple terms sum via SR2LinearCombination."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.C = params.get_float("C", required=True)
+        self.g = params.get_float("g", required=True)
+        self.A = params.get_float("A", 0.0)
+        self.a = params.get_float("a", 1.0)
+        self.X = params.get_str("back_stress", "state/internal/X")
+        self.gamma = params.get_str("flow_rate", "state/internal/gamma_rate")
+        self.N = params.get_str("flow_direction", "state/internal/NM")
+        self.to_var = f"{self.X}_rate"
+        self.from_var = [self.X, self.gamma, self.N]
+
+    def forward(self, env):
+        X, g_rate, N = env[self.X], env[self.gamma], env[self.N]
+        rate = ((2.0 / 3.0) * self.C * g_rate[..., None] * N
+                - self.g * X * g_rate[..., None])
+        if self.A:
+            vol_mask = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0, 0.0], X.dtype)
+            tr = X[..., 0] + X[..., 1] + X[..., 2]
+            dev = X - (tr / 3.0)[..., None] * vol_mask
+            norm = jnp.sqrt(jnp.maximum(1.5 * jnp.sum(dev * dev, -1), 0.0))
+            rate = rate - self.A * (norm ** (self.a - 1.0))[..., None] * X
+        return {self.to_var: rate}
+
+
+class ArrheniusParameter(_NEML2Model):
+    """p(T) = p0·exp(−Q/(R·T)) (NEML2 ArrheniusParameter: thermally
+    activated parameter scaling; R defaults to the gas constant in
+    J/mol/K)."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.p0 = params.get_float("reference_value", required=True)
+        self.Q = params.get_float("activation_energy", required=True)
+        self.R = params.get_float("ideal_gas_constant", 8.31446261815324)
+        self.T = params.get_str("temperature", "forces/T")
+        self.to_var = params.get_str("parameter", required=True)
+        self.from_var = [self.T]
+
+    def forward(self, env):
+        return {self.to_var: self.p0 * jnp.exp(-self.Q / (self.R * env[self.T]))}
 
 
 _MODEL_TYPES = {
@@ -506,6 +686,14 @@ _MODEL_TYPES = {
     "YieldFunction": YieldFunction,
     "ComposedModel": ComposedModel,
     "J2RadialReturn": J2RadialReturn,
+    "SR2ForwardEulerTimeIntegration": SR2ForwardEulerTimeIntegration,
+    "Normality": Normality,
+    "AssociativePlasticFlow": AssociativePlasticFlow,
+    "AssociativeIsotropicPlasticHardening": AssociativeIsotropicPlasticHardening,
+    "AssociativeKinematicPlasticFlow": AssociativeKinematicPlasticFlow,
+    "LinearKinematicHardening": LinearKinematicHardening,
+    "ChabochePlasticHardening": ChabochePlasticHardening,
+    "ArrheniusParameter": ArrheniusParameter,
 }
 
 

@@ -86,6 +86,11 @@ def torchscript_to_jax(module, dtype):
 
     steps = []
     supported = True
+    # walk-time constant map: lets per-op checks reject flag combinations
+    # that cannot be lifted (transposed convs, training-mode batch_norm,
+    # ceil-mode pooling) so they take the host fallback instead of tracing
+    # wrong math
+    const_vals = {}
     for node in graph.nodes():
         kind = node.kind()
         outs = [o.debugName() for o in node.outputs()]
@@ -96,11 +101,14 @@ def torchscript_to_jax(module, dtype):
             except Exception:
                 supported = False
                 break
+            const_vals[outs[0]] = val
             steps.append(("const", outs, val))
             continue
         if kind == "prim::ListConstruct":
             # shape lists for view/reshape/flatten, tensor lists for cat,
             # normalized_shape for layer_norm
+            if all(n in const_vals for n in ins):
+                const_vals[outs[0]] = [const_vals[n] for n in ins]
             steps.append(("list", outs, ins))
             continue
         # In-place variants (relu_, add_, ...) surviving freeze mean torch's
@@ -115,6 +123,10 @@ def torchscript_to_jax(module, dtype):
             if kind == "aten::div" and len(ins) > 2:
                 # div with a rounding_mode ('floor'/'trunc') would silently
                 # evaluate as true division — take the host fallback
+                supported = False
+                break
+            check = _WALK_CHECKS.get(kind)
+            if check is not None and not check(ins, const_vals):
                 supported = False
                 break
             steps.append(("op", outs, kind, ins))
@@ -239,7 +251,163 @@ _ATEN_OPS = {
     "aten::detach": lambda a, B: a[0],
     "aten::clone": lambda a, B: a[0],
     "aten::alias": lambda a, B: a[0],
+    # convolutions (NCHW-family layouts, matching torch; MXU path)
+    "aten::conv1d": lambda a, B: _aten_convnd(a[0], a[1], a[2], a[3], a[4],
+                                              a[5], a[6] if len(a) > 6 else 1),
+    "aten::conv2d": lambda a, B: _aten_convnd(a[0], a[1], a[2], a[3], a[4],
+                                              a[5], a[6] if len(a) > 6 else 1),
+    "aten::conv3d": lambda a, B: _aten_convnd(a[0], a[1], a[2], a[3], a[4],
+                                              a[5], a[6] if len(a) > 6 else 1),
+    "aten::convolution": lambda a, B: _aten_convnd(a[0], a[1], a[2], a[3],
+                                                   a[4], a[5], a[8]),
+    "aten::_convolution": lambda a, B: _aten_convnd(a[0], a[1], a[2], a[3],
+                                                    a[4], a[5], a[8]),
+    "aten::batch_norm": lambda a, B: _aten_batch_norm(a),
+    "aten::group_norm": lambda a, B: _aten_group_norm(a),
+    "aten::max_pool1d": lambda a, B: _aten_pool(a, "max"),
+    "aten::max_pool2d": lambda a, B: _aten_pool(a, "max"),
+    "aten::max_pool3d": lambda a, B: _aten_pool(a, "max"),
+    "aten::avg_pool1d": lambda a, B: _aten_pool(a, "avg"),
+    "aten::avg_pool2d": lambda a, B: _aten_pool(a, "avg"),
+    "aten::avg_pool3d": lambda a, B: _aten_pool(a, "avg"),
 }
+
+
+def _const_is(v, want):
+    return v == want
+
+
+#: walk-time flag validation: reject graphs whose conv/norm/pool flags
+#: cannot be lifted faithfully (the host fallback is always correct).
+#: Signature: (input debugNames, const map) -> liftable?
+_WALK_CHECKS = {
+    # aten::convolution / _convolution arg 6 = transposed
+    "aten::convolution": lambda ins, c: c.get(ins[6]) is False,
+    "aten::_convolution": lambda ins, c: c.get(ins[6]) is False,
+    # arg 5 = training; eval-mode running stats only
+    "aten::batch_norm": lambda ins, c: c.get(ins[5]) is False,
+    # max_pool: arg 4 = dilation (must be 1s), arg 5 = ceil_mode
+    "aten::max_pool1d": lambda ins, c: (
+        all(d == 1 for d in (c.get(ins[4]) or [0]))
+        and c.get(ins[5]) is False),
+    "aten::max_pool2d": lambda ins, c: (
+        all(d == 1 for d in (c.get(ins[4]) or [0]))
+        and c.get(ins[5]) is False),
+    "aten::max_pool3d": lambda ins, c: (
+        all(d == 1 for d in (c.get(ins[4]) or [0]))
+        and c.get(ins[5]) is False),
+    # avg_pool: arg 4 = ceil_mode, arg 5 = count_include_pad (lifted math
+    # divides by the full window, i.e. count_include_pad = True), arg 6 =
+    # divisor_override (must be None)
+    "aten::avg_pool2d": lambda ins, c: (
+        c.get(ins[4]) is False and c.get(ins[5]) is True
+        and (len(ins) < 7 or c.get(ins[6]) is None)),
+    "aten::avg_pool3d": lambda ins, c: (
+        c.get(ins[4]) is False and c.get(ins[5]) is True
+        and (len(ins) < 7 or c.get(ins[6]) is None)),
+    "aten::avg_pool1d": lambda ins, c: (
+        c.get(ins[4]) is False and c.get(ins[5]) is True),
+}
+
+
+def _aten_convnd(x, w, bias, stride, padding, dilation, groups):
+    """torch convNd semantics on NC<spatial> layouts via
+    lax.conv_general_dilated (the MXU path).  `padding` may be ints or the
+    string shorthands 'same'/'valid' (torch >= 1.9)."""
+    nd = w.ndim - 2
+    squeeze_batch = x.ndim == nd + 1
+    if squeeze_batch:  # unbatched conv input (C, *spatial)
+        x = x[None]
+    if isinstance(padding, str):
+        pad = padding.upper()
+    else:
+        p = list(padding) if isinstance(padding, (list, tuple)) else [padding]
+        if len(p) == 1:
+            p = p * nd
+        pad = [(int(q), int(q)) for q in p]
+    s = list(stride) if isinstance(stride, (list, tuple)) else [stride]
+    if len(s) == 1:
+        s = s * nd
+    d = list(dilation) if isinstance(dilation, (list, tuple)) else [dilation]
+    if len(d) == 1:
+        d = d * nd
+    spatial = "DHW"[3 - nd:]
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.shape,
+        ("NC" + spatial, "OI" + spatial, "NC" + spatial))
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=[int(q) for q in s], padding=pad,
+        rhs_dilation=[int(q) for q in d], dimension_numbers=dn,
+        feature_group_count=int(groups), precision=_HI)
+    if bias is not None:
+        out = out + bias.reshape((1, -1) + (1,) * nd)
+    return out[0] if squeeze_batch else out
+
+
+def _aten_batch_norm(a):
+    """aten::batch_norm(input, weight, bias, running_mean, running_var,
+    training=False, momentum, eps, cudnn_enabled) — eval mode only (the
+    walk check rejects training=True)."""
+    x, weight, bias, mean, var = a[0], a[1], a[2], a[3], a[4]
+    eps = a[7] if len(a) > 7 and a[7] is not None else 1e-5
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    out = (x - mean.reshape(shape)) / jnp.sqrt(var.reshape(shape) + eps)
+    if weight is not None:
+        out = out * weight.reshape(shape)
+    if bias is not None:
+        out = out + bias.reshape(shape)
+    return out
+
+
+def _aten_group_norm(a):
+    """aten::group_norm(input, num_groups, weight, bias, eps, ...)."""
+    x, num_groups = a[0], int(a[1])
+    weight = a[2] if len(a) > 2 else None
+    bias = a[3] if len(a) > 3 else None
+    eps = a[4] if len(a) > 4 and a[4] is not None else 1e-5
+    n, ch = x.shape[0], x.shape[1]
+    g = x.reshape((n, num_groups, ch // num_groups) + x.shape[2:])
+    axes = tuple(range(2, g.ndim))
+    mean = jnp.mean(g, axis=axes, keepdims=True)
+    var = jnp.mean((g - mean) ** 2, axis=axes, keepdims=True)
+    out = ((g - mean) / jnp.sqrt(var + eps)).reshape(x.shape)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    if weight is not None:
+        out = out * weight.reshape(shape)
+    if bias is not None:
+        out = out + bias.reshape(shape)
+    return out
+
+
+def _aten_pool(a, mode):
+    """aten::max_pool / avg_pool on NC<spatial> layouts via
+    lax.reduce_window.  Walk checks pin dilation=1, ceil_mode=False, and
+    (avg) count_include_pad=True / no divisor_override."""
+    x, kernel = a[0], a[1]
+    nd = len(kernel) if isinstance(kernel, (list, tuple)) else 1
+    k = list(kernel) if isinstance(kernel, (list, tuple)) else [kernel]
+    stride = a[2] if len(a) > 2 and a[2] not in (None, []) else k
+    s = list(stride) if isinstance(stride, (list, tuple)) else [stride]
+    if len(s) == 1:
+        s = s * nd
+    padding = a[3] if len(a) > 3 and a[3] is not None else [0] * nd
+    p = list(padding) if isinstance(padding, (list, tuple)) else [padding]
+    if len(p) == 1:
+        p = p * nd
+    squeeze_batch = x.ndim == nd + 1
+    if squeeze_batch:
+        x = x[None]
+    dims = (1, 1) + tuple(int(q) for q in k)
+    strides = (1, 1) + tuple(int(q) for q in s)
+    pads = ((0, 0), (0, 0)) + tuple((int(q), int(q)) for q in p)
+    if mode == "max":
+        init = -jnp.inf
+        out = jax.lax.reduce_window(x, init, jax.lax.max, dims, strides, pads)
+    else:
+        total = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, dims, strides, pads)
+        out = total / float(np.prod([int(q) for q in k]))
+    return out[0] if squeeze_batch else out
 
 
 def _aten_layer_norm(a):

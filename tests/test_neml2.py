@@ -767,3 +767,261 @@ def test_neml2_j2_deck_level(tmp_path):
     ep = np.asarray(tr.state["buffers"]["ep"])
     assert ep.shape == (4, 4)
     np.testing.assert_allclose(ep, dep, rtol=1e-5)
+
+
+def test_neml2_sr2_forward_euler(tmp_path):
+    """ForwardEulerTimeIntegration<SR2>: tensor state integrates
+    componentwise with the scalar dt broadcast over the Mandel axis."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [integrate_Ep]
+    type = SR2ForwardEulerTimeIntegration
+    variable = 'state/internal/Ep'
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "integrate_Ep")
+    rate = jnp.asarray([[1.0, -0.5, -0.5, 0.0, 0.0, 0.3]] * 2)
+    old = jnp.asarray([[0.1, 0.0, 0.0, 0.0, 0.0, 0.0]] * 2)
+    out = m.forward({
+        "state/internal/Ep_rate": rate,
+        "old_state/internal/Ep": old,
+        "forces/t": jnp.asarray([2.0, 2.0]),
+        "old_forces/t": jnp.asarray([1.5, 1.5]),
+    })["state/internal/Ep"]
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(old) + 0.5 * np.asarray(rate), rtol=1e-6)
+
+
+def test_neml2_chaboche_rate_chain(tmp_path):
+    """The standard NEML2 Chaboche viscoplastic assembly — overstress
+    M = S − X, von Mises measure, yield, Perzyna flow, NORMALITY flow
+    direction, associative plastic/kinematic flows, Chaboche back-stress
+    rate — composed via ComposedModel and checked against closed forms."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [overstress]
+    type = SR2LinearCombination
+    from_var = 'state/S state/internal/X'
+    to_var = 'state/internal/M'
+    coefficients = '1 -1'
+  []
+  [vm]
+    type = SR2Invariant
+    invariant_type = VONMISES
+    tensor = 'state/internal/M'
+    invariant = 'state/internal/sm'
+  []
+  [yield]
+    type = YieldFunction
+    yield_stress = 100
+  []
+  [flow]
+    type = PerzynaPlasticFlowRate
+    reference_stress = 50
+    exponent = 2
+  []
+  [normality]
+    type = Normality
+    stress = 'state/internal/M'
+    flow_direction = 'state/internal/NM'
+  []
+  [ep_flow]
+    type = AssociativePlasticFlow
+  []
+  [iso_hard]
+    type = AssociativeIsotropicPlasticHardening
+  []
+  [kin_flow]
+    type = AssociativeKinematicPlasticFlow
+  []
+  [chaboche]
+    type = ChabochePlasticHardening
+    C = 1000
+    g = 9
+  []
+  [all]
+    type = ComposedModel
+    models = 'overstress vm yield flow normality ep_flow iso_hard kin_flow chaboche'
+  []
+[]
+"""
+    )
+    path = str(tmp_path / "model.i")
+    m = load_neml2_model(path, "all")
+
+    # uniaxial stress 160, back stress 10 along x (deviatoric part matters)
+    S = jnp.asarray([160.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    X = jnp.asarray([10.0, -5.0, -5.0, 0.0, 0.0, 0.0])  # deviatoric
+    out = m.forward({"state/S": S, "state/internal/X": X})
+
+    M = np.asarray(S) - np.asarray(X)
+    tr = M[:3].sum()
+    dev = M - np.concatenate([np.full(3, tr / 3), np.zeros(3)])
+    sm = np.sqrt(1.5 * np.sum(dev * dev))
+    np.testing.assert_allclose(np.asarray(out["state/internal/sm"]), sm,
+                               rtol=1e-6)
+    f = sm - 100.0
+    gam = (max(f, 0.0) / 50.0) ** 2
+    np.testing.assert_allclose(np.asarray(out["state/internal/gamma_rate"]),
+                               gam, rtol=1e-6)
+    N = 1.5 * dev / sm
+    np.testing.assert_allclose(np.asarray(out["state/internal/NM"]), N,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["state/internal/Ep_rate"]),
+                               gam * N, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["state/internal/ep_rate"]),
+                               gam, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["state/internal/Kp_rate"]),
+                               gam * N, rtol=1e-6)
+    X_rate = (2.0 / 3.0) * 1000 * gam * N - 9 * np.asarray(X) * gam
+    np.testing.assert_allclose(np.asarray(out["state/internal/X_rate"]),
+                               X_rate, rtol=1e-6)
+
+
+def test_neml2_chaboche_static_recovery(tmp_path):
+    """Chaboche static-recovery term −A·‖X‖^(a−1)·X (von Mises norm)."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [chaboche]
+    type = ChabochePlasticHardening
+    C = 0
+    g = 0
+    A = 1e-6
+    a = 3.0
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "chaboche")
+    X = jnp.asarray([30.0, -15.0, -15.0, 0.0, 0.0, 0.0])
+    out = m.forward({
+        "state/internal/X": X,
+        "state/internal/gamma_rate": jnp.asarray(0.0),
+        "state/internal/NM": jnp.zeros(6),
+    })["state/internal/X_rate"]
+    norm = np.sqrt(1.5 * np.sum(np.asarray(X) ** 2))  # already deviatoric
+    np.testing.assert_allclose(np.asarray(out),
+                               -1e-6 * norm ** 2 * np.asarray(X), rtol=1e-6)
+
+
+def test_neml2_linear_kinematic_hardening(tmp_path):
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [kin]
+    type = LinearKinematicHardening
+    hardening_modulus = 1500
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "kin")
+    Kp = jnp.asarray([0.01, -0.005, -0.005, 0.0, 0.002, 0.0])
+    out = m.forward({"state/internal/Kp": Kp})["state/internal/X"]
+    np.testing.assert_allclose(np.asarray(out),
+                               (2.0 / 3.0) * 1500 * np.asarray(Kp), rtol=1e-6)
+
+
+def test_neml2_arrhenius_parameter(tmp_path):
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [eta]
+    type = ArrheniusParameter
+    reference_value = 100
+    activation_energy = 50000
+    parameter = 'parameters/eta'
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "eta")
+    T = jnp.asarray(800.0)
+    out = m.forward({"forces/T": T})["parameters/eta"]
+    np.testing.assert_allclose(
+        np.asarray(out), 100 * np.exp(-50000 / (8.31446261815324 * 800.0)),
+        rtol=1e-6)
+
+
+def test_neml2_j2_kinematic_radial_return(tmp_path):
+    """Radial return with combined linear isotropic + kinematic (Prager)
+    hardening: Δep = f_trial/(3G + H + Hk) on the shifted stress
+    ξ = dev(S_trial) − X_old, with ΔX = 2/3·Hk·ΔEp."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [j2]
+    type = J2RadialReturn
+    coefficients = '200e3 0.3'
+    coefficient_types = 'YOUNGS_MODULUS POISSONS_RATIO'
+    yield_stress = 250
+    hardening_modulus = 1000
+    kinematic_hardening_modulus = 2000
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "j2")
+    E_mod, nu = 200e3, 0.3
+    G = E_mod / (2 * (1 + nu))
+    K = E_mod / (3 * (1 - 2 * nu))
+
+    E = jnp.asarray([[0.004, 0.0, 0.0, 0.0, 0.0, 0.0],
+                     [0.0005, 0.0, 0.0, 0.0, 0.0, 0.0]])  # 2nd stays elastic
+    Ep0 = jnp.zeros((2, 6))
+    ep0 = jnp.zeros(2)
+    X0 = jnp.asarray([[20.0, -10.0, -10.0, 0.0, 0.0, 0.0],
+                      [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]])
+    out = m.forward({
+        "forces/E": E,
+        "old_state/internal/Ep": Ep0,
+        "old_state/internal/ep": ep0,
+        "old_state/internal/X": X0,
+    })
+
+    # manual radial return for row 0
+    Em = np.asarray(E[0])
+    tr = Em[:3].sum()
+    dev_e = Em - np.concatenate([np.full(3, tr / 3), np.zeros(3)])
+    s_dev = 2 * G * dev_e
+    xi = s_dev - np.asarray(X0[0])
+    svm = np.sqrt(1.5 * np.sum(xi * xi))
+    f_tr = svm - 250.0
+    assert f_tr > 0
+    dep = f_tr / (3 * G + 1000.0 + 2000.0)
+    N = 1.5 * xi / svm
+    S_tr = 3 * K * np.concatenate([np.full(3, tr / 3), np.zeros(3)]) + s_dev
+    np.testing.assert_allclose(np.asarray(out["state/internal/ep"])[0], dep,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["state/S"])[0],
+                               S_tr - 2 * G * dep * N, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(out["state/internal/X"])[0],
+                               np.asarray(X0[0]) + (2 / 3) * 2000 * dep * N,
+                               rtol=1e-6, atol=1e-10)
+    # elastic row: no plastic flow, back stress unchanged
+    np.testing.assert_allclose(np.asarray(out["state/internal/ep"])[1], 0.0)
+    np.testing.assert_allclose(np.asarray(out["state/internal/X"])[1],
+                               0.0, atol=1e-12)
