@@ -1079,6 +1079,62 @@ _MIXED_DECK = """
 """
 
 
+def bench_lbm_thermal(substeps=200, reps=5, backend="PALLAS", nx=512, ny=256):
+    """Thermal double-distribution LBM (reference
+    examples/lbm/Rayleigh-Benard — fluid f + passive-scalar g, Boussinesq
+    buoyancy, Guo forcing, bounce-back walls, temperature Dirichlet
+    faces) at production scale.  MLUPS counts BOTH lattices' site
+    updates (2·nx·ny per substep), the standard convention for coupled
+    double-distribution codes."""
+    import jax
+    import jax.numpy as jnp
+
+    from marlin_tpu import hit
+    from marlin_tpu.problem import TensorProblem
+
+    deck = os.path.join(REF_DIR,
+                        "examples/lbm/Rayleigh-Benard/rayleigh-benard.i")
+    if not os.path.exists(deck):
+        return {"skipped": "reference Rayleigh-Benard deck not available"}
+    root = hit.load(deck, [f"Nx={nx}", f"Ny={ny}",
+                           f"Problem/substeps={substeps}",
+                           f"Problem/lbm_backend={backend}"])
+    problem = TensorProblem(root)
+    state = problem.init_state()
+    step = jax.jit(problem._step_impl, donate_argnums=(0,))
+    dt = jnp.asarray(1.0, problem.domain.dtype)
+
+    t0 = time.time()
+    out = step(state, 0.0, dt, dt, jnp.asarray(False))
+    _sync(out["buffers"]["T"])
+    first = time.time() - t0
+    _emit({"cells": nx * ny, "lattices": 2, "stencil": "D2Q9",
+           "backend": backend, "compile_s": round(first, 1),
+           "partial_stage": "compiled"})
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    _sync(tiny(jnp.zeros(())))
+    t0 = time.time()
+    _sync(tiny(jnp.zeros(())))
+    rt = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(reps):
+        out = step(out, 0.0, dt, dt, jnp.asarray(False))
+    _sync(out["buffers"]["T"])
+    step_s = max((time.time() - t0 - rt) / reps, 1e-9)
+    return {
+        "cells": nx * ny,
+        "lattices": 2,
+        "stencil": "D2Q9",
+        "backend": backend,
+        "substep_ms": round(step_s / substeps * 1e3, 3),
+        "mlups": round(2 * nx * ny * substeps / step_s / 1e6, 1),
+        "compile_s": round(first - step_s, 1),
+        "dtype": jnp.dtype(problem.domain.dtype).name,
+    }
+
+
 def bench_lbm_mixed(n=128, substeps=20, reps=3, backend="PALLAS"):
     """Mixed-BC LBM channel (Zou-He velocity inlet + zero-gradient outlet
     + bounce-back walls, D3Q19 BGK): before r04 this pattern fell off the
@@ -1306,6 +1362,10 @@ def _run_child(name):
         print(json.dumps(bench_lbm_mixed(backend="PALLAS")))
     elif name == "lbm_mixed_jnp":
         print(json.dumps(bench_lbm_mixed(backend="JNP")))
+    elif name == "lbm_thermal":
+        print(json.dumps(bench_lbm_thermal(backend="PALLAS")))
+    elif name == "lbm_thermal_jnp":
+        print(json.dumps(bench_lbm_thermal(backend="JNP")))
     elif name == "degeus":
         print(json.dumps(bench_degeus()))
     elif name == "degeus_pallas":
@@ -1415,7 +1475,8 @@ def main():
         print("children (run one with: python bench.py --child <name>):")
         for name in ("probe", "1a", "2a", "ch3d_256", "ch3d_512", "lbm",
                      "lbm_pallas", "lbm_porous", "lbm_porous_jnp",
-                     "lbm_mixed", "lbm_mixed_jnp", "degeus",
+                     "lbm_mixed", "lbm_mixed_jnp", "lbm_thermal",
+                     "lbm_thermal_jnp", "degeus",
                      "degeus_pallas", "degeus64", "degeus64_pallas",
                      "degeus128", "degeus128_pallas"):
             print(" ", name)
@@ -1473,6 +1534,7 @@ def main():
         ("lbm_channel3d_128", "lbm", 1, 600, 0),
         ("lbm_porous_128_pallas", "lbm_porous", 1, 600, 0),
         ("lbm_mixed_128_pallas", "lbm_mixed", 1, 600, 0),
+        ("lbm_thermal_rb_pallas", "lbm_thermal", 1, 600, 0),
     ]
     reserves = []
     tail = 0.0

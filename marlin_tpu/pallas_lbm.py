@@ -29,10 +29,18 @@ Only the final substep of each MOOSE step runs through the regular jnp
 chain, so every deck buffer (f, density, velocity, feq, speed) and the
 old-state ring leave the step bit-consistent with the unfused path.
 
-Enabled per-deck with `[Problem] lbm_backend = PALLAS` for chains that
-pattern-match stream -> bounce-back -> density/velocity -> equilibrium ->
-BGK (anything else raises a named error; the default JNP path is the
-fully general one).  CPU tests run the kernel in interpret mode.
+Enabled per-deck with `[Problem] lbm_backend = PALLAS`.  The fused
+pattern covers (r04): stream -> bounce-back (faces + binary-media
+obstacles) -> Zou-He fixed-order and zero-gradient faces -> moments ->
+equilibrium -> BGK/MRT collision; collisionless chains (mixed_bcs_*);
+and thermal double-distribution decks (Rayleigh-Benard/Pebbles: fluid f
++ passive-scalar g, Boussinesq buoyancy via LBMComputeForces, Guo
+forcing via LBMApplyForces, residual on T).  Anything else raises a
+named FusedChainError; the default JNP path is the fully general one.
+CPU tests run the kernel in interpret mode.
+
+2-D decks run SINGLE-BLOCK (B = nx): their (q, B, ny) blocks would
+violate Mosaic's last-two-dims tiling rule for any B < nx.
 """
 
 from __future__ import annotations
@@ -98,6 +106,23 @@ class PostBC:
 
 
 @dataclass(frozen=True)
+class ForceSpec:
+    """Force-field chain of the thermal two-lattice decks (reference
+    LBMComputeForces.C + LBMApplyForces.C): a gravity/buoyancy field
+    F_d = g·ρ (gravity) + g·ρ₀·(T − T₀) (Boussinesq buoyancy) enters the
+    velocity as u += F/(2ρ) and the fluid collision as the Guo source
+    (1 − 1/(2τ))·w_i·ρ·(e_i·F)/c_s²."""
+
+    gravity: bool
+    buoyancy: bool
+    g: float
+    rho0: float
+    T0: float
+    direction: int
+    apply_tau: float  # LBMApplyForces tau0 (source prefactor)
+
+
+@dataclass(frozen=True)
 class FusedLBMConfig:
     q: int
     e: Tuple[Tuple[int, int, int], ...]
@@ -141,14 +166,29 @@ class FusedLBMConfig:
     collide: bool = True
     # moments pass needed (collision and/or a speed compute present)
     need_moments: bool = True
+    # coupled second lattice (thermal double-distribution decks, reference
+    # examples/lbm/Rayleigh-Benard + Pebbles): lattice 2 carries the
+    # passive scalar (temperature) advected at the fluid velocity; its
+    # zeroth moment T feeds the buoyancy force on lattice 1
+    two_lattice: bool = False
+    tau2: float = 1.0
+    msm2: Optional[Tuple[Tuple[float, ...], ...]] = None
+    faces2: Tuple[Tuple[int, int, Tuple[int, ...]], ...] = ()
+    post_bcs2: Tuple[PostBC, ...] = ()
+    force: Optional[ForceSpec] = None
+    # what the carried scalar output holds: "umag" (velocity magnitude),
+    # "t" (lattice-2 zeroth moment — the thermal decks' residual field),
+    # or "none"
+    speed_kind: str = "umag"
 
 
 @dataclass(frozen=True)
 class FusedLBMPlan:
     config: FusedLBMConfig
     fpc: str  # post-collision distribution (the carried state)
-    speed: Optional[str]  # velocity-magnitude buffer (residual input)
+    speed: Optional[str]  # carried scalar buffer (residual input)
     media: Optional[str] = None  # binary-media buffer name
+    fpc2: Optional[str] = None  # second lattice's carried distribution
 
 
 def _roll(a, s, axis):
@@ -168,41 +208,72 @@ def _roll(a, s, axis):
 def _make_kernel(cfg: FusedLBMConfig):
     B, q, ny, nz = cfg.block, cfg.q, cfg.ny, cfg.nz
     inv_tau = 1.0 / cfg.tau
+    inv_tau2 = 1.0 / cfg.tau2
     bfx, bfy, bfz = cfg.body_force
 
     n_blocks = cfg.nx // B
 
+    # 2-D decks run SINGLE-BLOCK (B = nx, enforced by _pick_block): their
+    # (q, B, ny) blocks and (q, 1, ny) halo planes would violate Mosaic's
+    # last-two-dims tiling rule for any B < nx, so the x wrap is an
+    # in-block roll and only the sharded exchange planes (whole small
+    # arrays — tiling-legal) come from outside
+    single = cfg.two_d
+
     def kernel(*refs):
         refs = list(refs)
-        # wrap_l: the periodic wrap plane (x = nx-1), FIXED BlockSpec index
-        # — consumed only by block 0; later blocks use the VMEM carry
-        center, wrap_l, right = refs[:3]
-        refs = refs[3:]
-        ext_l = ext_r = None
-        yset = m_yset = None
-        if cfg.sharded:
-            ext_l, ext_r = refs[:2]
-            refs = refs[2:]
-        if cfg.shard_y:
-            # (ylo_c, ylo_l, ylo_r, ylo_el, ylo_er,
-            #  yhi_c, yhi_l, yhi_r, yhi_el, yhi_er)
-            yset = tuple(refs[:10])
-            refs = refs[10:]
+
+        def take_lattice():
+            """One lattice's input-ref family: blocked center, fixed wrap
+            plane, right halo, sharded exchange planes, y-halo rows."""
+            d = {"center": refs.pop(0)}
+            if not single:
+                d["wrap"], d["right"] = refs.pop(0), refs.pop(0)
+            else:
+                d["wrap"] = d["right"] = None
+            if cfg.sharded:
+                d["ext"] = (refs.pop(0), refs.pop(0))
+            else:
+                d["ext"] = (None, None)
+            if cfg.shard_y:
+                d["yset"] = tuple(refs[:10])
+                del refs[:10]
+            else:
+                d["yset"] = None
+            return d
+
+        lat1 = take_lattice()
+        lat2 = take_lattice() if cfg.two_lattice else None
         if cfg.has_media:
-            m_center, m_left, m_right = refs[:3]
-            refs = refs[3:]
+            m_center = refs.pop(0)
+            if not single:
+                m_left, m_right = refs.pop(0), refs.pop(0)
+            else:
+                m_left = m_right = None
             if cfg.sharded:
                 m_ext_l, m_ext_r = refs[:2]
-                refs = refs[2:]
+                del refs[:2]
+            else:
+                m_ext_l = m_ext_r = None
             if cfg.shard_y:
                 m_yset = tuple(refs[:10])
-                refs = refs[10:]
+                del refs[:10]
+            else:
+                m_yset = None
         else:
             m_center = m_left = m_right = None
+            m_ext_l = m_ext_r = None
+            m_yset = None
         if cfg.sharded:
-            off_ref = refs[0]
-            refs = refs[1:]
-        fpc_out, speed_out, carry_ref = refs
+            off_ref = refs.pop(0)
+        fpc_out = refs.pop(0)
+        gpc_out = refs.pop(0) if cfg.two_lattice else None
+        speed_out = refs.pop(0)
+        carry1 = refs.pop(0) if not single else None
+        carry2 = refs.pop(0) if (cfg.two_lattice and not single) else None
+        lat1["carry"] = carry1
+        if lat2 is not None:
+            lat2["carry"] = carry2
         i = pl.program_id(0)
         xg0 = i * B  # LOCAL x index of the block's first plane
         if cfg.sharded:
@@ -211,21 +282,37 @@ def _make_kernel(cfg: FusedLBMConfig):
             xg0_global = xg0
         yoff = off_ref[0, 1] if cfg.shard_y else 0
 
-        def xshift(ref_c, ref_l, ref_r, ext_lo, ext_hi, qi, ex):
+        def xshift(ref_c, ref_l, ref_r, ext_lo, ext_hi, qi, ex,
+                   wrap=None, carry=None):
             """The x part of the pull shift on a blocked (q, B, w[, nz])
             ref family (w = ny for the field, 1 for y-halo rows); sharded
             mode substitutes the neighbor-exchanged planes at the shard's
-            boundary blocks.  ref_l is None for the MAIN field: its left
+            boundary blocks.  ref_l is None for a MAIN field: its left
             halo is the previous block's last plane, carried in VMEM
             scratch (the grid is sequential), so only the wrap/ext plane
             at i == 0 ever comes from outside — that plane's BlockSpec
             index is FIXED, so its DMA is elided after the first block."""
             sel = (lambda r, s: r[s]) if qi is None else (lambda r, s: r[qi, s])
+            if single:
+                # single-block (2-D): the whole x extent is in VMEM — the
+                # periodic wrap is an in-block slice, with the sharded
+                # exchange plane substituted at the shard boundary
+                if ex == 1:
+                    plane = (sel(ext_lo, slice(None)) if cfg.sharded
+                             else sel(ref_c, slice(B - 1, B)))
+                    return jnp.concatenate(
+                        [plane, sel(ref_c, slice(0, B - 1))], axis=0)
+                if ex == -1:
+                    plane = (sel(ext_hi, slice(None)) if cfg.sharded
+                             else sel(ref_c, slice(0, 1)))
+                    return jnp.concatenate(
+                        [sel(ref_c, slice(1, B)), plane], axis=0)
+                return sel(ref_c, slice(None))
             if ex == 1:
                 if ref_l is None:
-                    wrap = sel(ext_lo, slice(None)) if cfg.sharded \
-                        else sel(wrap_l, slice(None))
-                    plane = jnp.where(i == 0, wrap, sel(carry_ref, slice(None)))
+                    w_plane = sel(ext_lo, slice(None)) if cfg.sharded \
+                        else sel(wrap, slice(None))
+                    plane = jnp.where(i == 0, w_plane, sel(carry, slice(None)))
                 else:
                     plane = sel(ref_l, slice(None))
                     if cfg.sharded:
@@ -246,13 +333,15 @@ def _make_kernel(cfg: FusedLBMConfig):
                 return plane
             return sel(ref_c, slice(None))
 
-        def window(ref_c, ref_l, ref_r, ext_lo, ext_hi, ys, qi, ex, ey, ez):
+        def window(ref_c, ref_l, ref_r, ext_lo, ext_hi, ys, qi, ex, ey, ez,
+                   wrap=None, carry=None):
             """(B,ny[,nz]) view shifted by -e (pull): value at x is the
             source field at x - e, periodic.  qi=None for media refs.
             `ys`: the 10-ref y-halo family when y is sharded — the halo
             row gets the SAME x shift (its own corner planes included), so
             diagonal pulls across shard corners are exact."""
-            a = xshift(ref_c, ref_l, ref_r, ext_lo, ext_hi, qi, ex)
+            a = xshift(ref_c, ref_l, ref_r, ext_lo, ext_hi, qi, ex,
+                       wrap=wrap, carry=carry)
             if ey and cfg.shard_y:
                 (lo_c, lo_l, lo_r, lo_el, lo_er,
                  hi_c, hi_l, hi_r, hi_el, hi_er) = ys
@@ -278,9 +367,12 @@ def _make_kernel(cfg: FusedLBMConfig):
         ny_face = cfg.ny_global if cfg.shard_y else ny
         pshape = (B, ny) if cfg.two_d else (B, ny, nz)
         masks = {}
-        face_keys = [(axis, side) for axis, side, _d in cfg.faces] + [
-            (bc.axis, bc.side) for bc in cfg.post_bcs
-        ]
+        face_keys = (
+            [(axis, side) for axis, side, _d in cfg.faces]
+            + [(axis, side) for axis, side, _d in cfg.faces2]
+            + [(bc.axis, bc.side) for bc in cfg.post_bcs]
+            + [(bc.axis, bc.side) for bc in cfg.post_bcs2]
+        )
         for axis, side in face_keys:
             key = (axis, side)
             if axis < 0 or key in masks:
@@ -300,43 +392,43 @@ def _make_kernel(cfg: FusedLBMConfig):
             # negative media ids are neither solid-filled nor bounced
             fluid = m_center[...] >= 1
 
-        def streamed(qi):
-            """Pull-streamed direction qi with face + obstacle bounce-back
-            and solid masking applied (reference LBMStream.C:51-80 +
-            LBMBounceBack.C + LatticeBoltzmannProblem::maskedFillSolids)."""
+        def streamed(qi, L, faces):
+            """Pull-streamed direction qi of lattice L with face + obstacle
+            bounce-back and solid masking applied (reference
+            LBMStream.C:51-80 + LBMBounceBack.C +
+            LatticeBoltzmannProblem::maskedFillSolids)."""
             ex, ey, ez = cfg.e[qi]
-            a = window(center, None, right, ext_l, ext_r, yset,
-                       qi, ex, ey, ez)
-            for axis, side, dirs in cfg.faces:
+            a = window(L["center"], None, L["right"], L["ext"][0],
+                       L["ext"][1], L["yset"], qi, ex, ey, ez,
+                       wrap=L["wrap"], carry=L["carry"])
+            for axis, side, dirs in faces:
                 if axis < 0:
                     # obstacle bounce-back: fluid cells whose upstream
                     # neighbor along e is solid (reference wallBoundary3D /
                     # the static per-direction mask in lbm_bc.py)
                     if qi != 0:
-                        ml = (m_ext_l, m_ext_r) if cfg.sharded else (None, None)
-                        m_up = window(m_center, m_left, m_right, ml[0], ml[1],
-                                      m_yset, None, ex, ey, ez)
+                        m_up = window(m_center, m_left, m_right, m_ext_l,
+                                      m_ext_r, m_yset, None, ex, ey, ez)
                         a = jnp.where((m_up == 0) & fluid,
-                                      center[cfg.op[qi]], a)
+                                      L["center"][cfg.op[qi]], a)
                 elif qi in dirs:
                     # face bounce-back: replaced dirs at a face read the
                     # OPPOSITE direction of the unstreamed old distribution
                     # at the same node
-                    a = jnp.where(masks[(axis, side)], center[cfg.op[qi]], a)
+                    a = jnp.where(masks[(axis, side)],
+                                  L["center"][cfg.op[qi]], a)
             if cfg.has_media:
                 a = jnp.where(solid, jnp.zeros((), a.dtype), a)
             return a
 
-        # post-stream BCs (Zou-He fixed-order / zero-gradient faces) and
-        # collisionless chains need every direction's streamed plane at
-        # once — materialize them (same VMEM class as the MRT path) and
-        # apply the deck's BC sequence in order; otherwise keep the
-        # recompute-per-direction path (one live temp)
-        if cfg.post_bcs or not cfg.collide:
-            fs = [streamed(qi) for qi in range(q)]
-            for bc in cfg.post_bcs:
+        def apply_post(fs, bcs):
+            """Apply the post-stream BC sequence in deck order over the
+            materialized planes; per-BC snapshots so reads see the pre-BC
+            distribution (the reference accumulates writes into u while
+            reading f)."""
+            for bc in bcs:
                 mask = masks[(bc.axis, bc.side)]
-                prev = list(fs)  # reads see the PRE-BC distribution
+                prev = list(fs)
 
                 def put(d, val):
                     if cfg.has_media:
@@ -364,9 +456,22 @@ def _make_kernel(cfg: FusedLBMConfig):
                         if tc:
                             val = val + tc * (prev[tp] - prev[tm])
                         put(d, val)
+            return fs
+
+        # post-stream BCs, collisionless chains, and the two-lattice path
+        # need every direction's streamed plane at once — materialize them
+        # (same VMEM class as the MRT path); otherwise keep the
+        # recompute-per-direction path (one live temp)
+        materialize = bool(cfg.post_bcs) or not cfg.collide or cfg.two_lattice
+        if materialize:
+            fs = apply_post([streamed(qi, lat1, cfg.faces)
+                             for qi in range(q)], cfg.post_bcs)
             get = lambda qi: fs[qi]
         else:
-            get = streamed
+            get = lambda qi: streamed(qi, lat1, cfg.faces)
+        if cfg.two_lattice:
+            gs = apply_post([streamed(qi, lat2, cfg.faces2)
+                             for qi in range(q)], cfg.post_bcs2)
 
         if not cfg.need_moments:
             # collisionless chain without a speed compute (reference
@@ -374,7 +479,8 @@ def _make_kernel(cfg: FusedLBMConfig):
             speed_out[...] = jnp.zeros(pshape, speed_out.dtype)
             for qi in range(q):
                 fpc_out[qi] = get(qi)
-            carry_ref[...] = center[:, B - 1:B]
+            if not single:
+                carry1[...] = lat1["center"][:, B - 1:B]
             return
 
         # pass 1: moments (reference LBMComputeDensity/LBMComputeVelocity)
@@ -401,23 +507,58 @@ def _make_kernel(cfg: FusedLBMConfig):
             inv_rho = jnp.where(solid, jnp.zeros((), rho.dtype), 1.0 / rho)
         else:
             inv_rho = 1.0 / rho
+
+        # thermal lattice zeroth moment + force field (reference
+        # LBMComputeDensity on g + LBMComputeForces.C)
+        T = None
+        Fx = Fy = Fz = None
+        if cfg.two_lattice:
+            for qi in range(q):
+                T = gs[qi] if T is None else T + gs[qi]
+        if cfg.force is not None:
+            Fd = jnp.zeros(pshape, rho.dtype)
+            if cfg.force.gravity:
+                Fd = Fd + cfg.force.g * rho
+            if cfg.force.buoyancy:
+                Fd = Fd + cfg.force.g * cfg.force.rho0 * (T - cfg.force.T0)
+            if cfg.has_media:
+                # jnp chain: LBMComputeForces output is masked at solids
+                Fd = jnp.where(solid, jnp.zeros((), Fd.dtype), Fd)
+            zero = jnp.zeros(pshape, rho.dtype)
+            comps = [zero, zero] if cfg.two_d else [zero, zero, zero]
+            comps[cfg.force.direction] = Fd
+            Fx, Fy = comps[0], comps[1]
+            Fz = comps[2] if not cfg.two_d else None
+
         ux = mx * inv_rho + bfx * (0.5 * inv_rho)
         uy = my * inv_rho + bfy * (0.5 * inv_rho)
+        if Fx is not None:
+            ux = ux + Fx * (0.5 * inv_rho)
+            uy = uy + Fy * (0.5 * inv_rho)
         if mz is None:  # 2-D (no ez components)
             uz = None
             usqr = ux * ux + uy * uy
         else:
             uz = mz * inv_rho + bfz * (0.5 * inv_rho)
+            if Fz is not None:
+                uz = uz + Fz * (0.5 * inv_rho)
             usqr = ux * ux + uy * uy + uz * uz
 
-        # speed (reference LBMComputeVelocityMagnitude).  The residual is
-        # NOT computed here: only the LAST substep's residual survives the
+        # carried scalar (reference LBMComputeVelocityMagnitude, or the
+        # thermal decks' residual field T).  The residual itself is NOT
+        # computed here: only the LAST substep's residual survives the
         # loop, and that one comes from the trailing jnp substep.
-        speed_out[...] = jnp.sqrt(usqr)
+        if cfg.speed_kind == "umag":
+            speed_out[...] = jnp.sqrt(usqr)
+        elif cfg.speed_kind == "t":
+            speed_out[...] = T
+        else:
+            speed_out[...] = jnp.zeros(pshape, speed_out.dtype)
 
-        def equilibrium(qi):
+        def equilibrium(qi, dens):
             """feq for direction qi from the pass-1 moments (reference
-            LBMEquilibrium.C:42-66)."""
+            LBMEquilibrium.C:42-66); `dens` is rho for the fluid lattice
+            and T for the thermal lattice (same velocity)."""
             ex, ey, ez = cfg.e[qi]
             edotu = 0.0
             if ex:
@@ -429,55 +570,107 @@ def _make_kernel(cfg: FusedLBMConfig):
                 t = uz if ez > 0 else -uz
                 edotu = t if isinstance(edotu, float) else edotu + t
             if isinstance(edotu, float):
-                return cfg.w[qi] * rho * (1.0 - 0.5 * usqr / CS2)
+                return cfg.w[qi] * dens * (1.0 - 0.5 * usqr / CS2)
             return (
                 cfg.w[qi]
-                * rho
+                * dens
                 * (1.0 + edotu / CS2 + 0.5 * edotu * edotu / CS4
                    - 0.5 * usqr / CS2)
             )
 
-        # pass 2: equilibrium + collision (reference LBMBGKCollision /
-        # LBMMRTCollision)
+        def guo_source(qi):
+            """Guo forcing source on the fluid collision (reference
+            LBMApplyForces.C): (1 − 1/(2τ))·w_i·ρ·(e_i·F)/c_s²."""
+            ex, ey, ez = cfg.e[qi]
+            edotF = None
+            if ex:
+                edotF = Fx if ex > 0 else -Fx
+            if ey:
+                t = Fy if ey > 0 else -Fy
+                edotF = t if edotF is None else edotF + t
+            if ez and Fz is not None:
+                t = Fz if ez > 0 else -Fz
+                edotF = t if edotF is None else edotF + t
+            if edotF is None:
+                return None
+            pref = (1.0 - 0.5 / cfg.force.apply_tau) * cfg.w[qi] / CS2
+            return pref * rho * edotF
+
+        def collide(out_ref, planes_get, dens, msm, itau, source):
+            """pass 2: equilibrium + collision (reference LBMBGKCollision /
+            LBMMRTCollision), plus the optional Guo source."""
+            if msm is None:
+                # BGK: planes_get() recomputed per direction on the
+                # BB-only path keeps VMEM at one live (B,ny,nz) temp
+                for qi in range(q):
+                    a = planes_get(qi)
+                    feq = equilibrium(qi, dens)
+                    fneq = a - feq
+                    u = feq + fneq - fneq * itau
+                    if source is not None:
+                        s = source(qi)
+                        if s is not None:
+                            u = u + s
+                    if cfg.has_media:
+                        u = jnp.where(solid, jnp.zeros((), u.dtype), u)
+                    out_ref[qi] = u
+            else:
+                # MRT: fpc = feq + fneq - MSM·fneq needs every direction's
+                # fneq at once — cache the q non-equilibrium planes in VMEM
+                # (q·B·ny·nz·4 B, well under the raised 64 MB limit)
+                fneqs = [planes_get(qi) - equilibrium(qi, dens)
+                         for qi in range(q)]
+                for qi in range(q):
+                    relax = None
+                    for qj in range(q):
+                        cji = msm[qi][qj]
+                        if cji == 0.0:
+                            continue
+                        t = fneqs[qj] * cji
+                        relax = t if relax is None else relax + t
+                    u = equilibrium(qi, dens) + fneqs[qi] - relax
+                    if source is not None:
+                        s = source(qi)
+                        if s is not None:
+                            u = u + s
+                    if cfg.has_media:
+                        u = jnp.where(solid, jnp.zeros((), u.dtype), u)
+                    out_ref[qi] = u
+
         if not cfg.collide:
             # collisionless chain WITH a speed compute: carry the post-BC
             # streamed distribution unchanged
             for qi in range(q):
                 fpc_out[qi] = get(qi)
-        elif cfg.msm is None:
-            # BGK: get() recomputes per direction on the BB-only path to
-            # keep VMEM at one live (B,ny,nz) temp instead of q of them
-            for qi in range(q):
-                a = get(qi)
-                feq = equilibrium(qi)
-                fneq = a - feq
-                fpc_out[qi] = feq + fneq - fneq * inv_tau
         else:
-            # MRT: fpc = feq + fneq - MSM·fneq needs every direction's
-            # fneq at once — cache the q non-equilibrium planes in VMEM
-            # (q·B·ny·nz·4 B, well under the raised 64 MB limit)
-            fneqs = [get(qi) - equilibrium(qi) for qi in range(q)]
-            for qi in range(q):
-                relax = None
-                for qj in range(q):
-                    cji = cfg.msm[qi][qj]
-                    if cji == 0.0:
-                        continue
-                    t = fneqs[qj] * cji
-                    relax = t if relax is None else relax + t
-                fpc_out[qi] = equilibrium(qi) + fneqs[qi] - relax
+            source = guo_source if cfg.force is not None else None
+            collide(fpc_out, get, rho, cfg.msm, inv_tau, source)
+            if cfg.two_lattice:
+                collide(gpc_out, lambda qi: gs[qi], T, cfg.msm2, inv_tau2,
+                        None)
 
         # stash this block's LAST input plane — the next (sequential) grid
         # step reads it as its left halo instead of re-fetching from HBM
-        carry_ref[...] = center[:, B - 1:B]
+        # (single-block mode has no next step and no carry scratch)
+        if not single:
+            carry1[...] = lat1["center"][:, B - 1:B]
+            if cfg.two_lattice:
+                carry2[...] = lat2["center"][:, B - 1:B]
 
     return kernel
 
 
-def _pick_block(nx: int, ny: int, nz: int, q: int, itemsize: int) -> int:
+def _pick_block(nx: int, ny: int, nz: int, q: int, itemsize: int,
+                two_d: bool = False) -> int:
     """Largest x-block whose double-buffered pipeline footprint fits a
     conservative VMEM budget (same ~16 MB assumption as pallas_fft).
-    MARLIN_TPU_LBM_BLOCK overrides (tuning knob)."""
+    MARLIN_TPU_LBM_BLOCK overrides (tuning knob).
+
+    2-D decks are SINGLE-BLOCK (B = nx): their blocks are (q, B, ny), and
+    Mosaic requires the last two block dims to be 8/128-divisible or equal
+    to the array dims — a B < nx block (and its (q, 1, ny) halo planes)
+    violates that on real hardware (caught by the r04 Rayleigh-Benard
+    bench; the interpret-mode CPU tests never see the constraint)."""
     import os
 
     # the kernel raises the scoped-VMEM limit to MARLIN_TPU_LBM_VMEM_MB
@@ -491,6 +684,14 @@ def _pick_block(nx: int, ny: int, nz: int, q: int, itemsize: int) -> int:
         # in: q*(b+2)+b cells; out: (q+1)*b cells; x2 for double buffering
         cells = (q * (b + 2) + b + (q + 1) * b) * ny * nz
         return cells * itemsize * 2 <= budget
+
+    if two_d:
+        if not fits(nx):
+            raise FusedChainError(
+                f"lbm_backend = PALLAS: the 2-D grid {nx}x{ny} exceeds the "
+                f"single-block VMEM budget (use the default JNP backend)"
+            )
+        return nx
 
     forced = os.environ.get("MARLIN_TPU_LBM_BLOCK")
     if forced:
@@ -517,17 +718,19 @@ def _pick_block(nx: int, ny: int, nz: int, q: int, itemsize: int) -> int:
     )
 
 
-def fused_substep(fpc_qm, media, cfg: FusedLBMConfig, ext=None):
+def fused_substep(fpc_qm, media, cfg: FusedLBMConfig, ext=None, gpc_qm=None):
     """One lattice update.  fpc_qm: (q, nx, ny, nz) post-collision
     distribution from the previous substep; media: (nx, ny, nz) binary
-    media cast to the field dtype, or None.  `ext` (sharded mode): dict
-    with the ppermute'd neighbor halos — 'x' (fpc_left, fpc_right),
-    'mx' (media x planes), 'offs' (1,2) [xoff, yoff] SMEM scalars, and on
-    2-D meshes 'y'/'my': (lo_rows, lo_cl, lo_cr, hi_rows, hi_cl, hi_cr)
-    y-halo row arrays with their x corner planes.  Returns
-    (fpc_new_qm, speed_new).  Residual/history semantics live in the
-    caller: only the trailing jnp substep's residual survives, so none is
-    computed here."""
+    media cast to the field dtype, or None; gpc_qm: the second
+    (thermal) lattice's carried distribution on two-lattice decks.
+    `ext` (sharded mode): dict with the ppermute'd neighbor halos — 'x'
+    (fpc_left, fpc_right), 'gx' (lattice-2 planes), 'mx' (media x
+    planes), 'offs' (1,2) [xoff, yoff] SMEM scalars, and on 2-D meshes
+    'y'/'gy'/'my': (lo_rows, lo_cl, lo_cr, hi_rows, hi_cl, hi_cr) y-halo
+    row arrays with their x corner planes.  Returns (fpc_new_qm,
+    speed_new) or (fpc_new_qm, gpc_new_qm, speed_new).  Residual/history
+    semantics live in the caller: only the trailing jnp substep's
+    residual survives, so none is computed here."""
     q, nx, ny, nz, B = cfg.q, cfg.nx, cfg.ny, cfg.nz, cfg.block
     dt = fpc_qm.dtype
     grid = (nx // B,)
@@ -571,18 +774,35 @@ def fused_substep(fpc_qm, media, cfg: FusedLBMConfig, ext=None):
             [lo, lo, lo, lo_cl, lo_cr, hi, hi, hi, hi_cl, hi_cr],
         )
 
-    in_specs = [blk, halo_l, halo_r]
-    args = [fpc_qm, fpc_qm, fpc_qm]
-    if cfg.sharded:
-        in_specs += [plane, plane]
-        args += list(ext["x"])
-    if cfg.shard_y:
-        s, a = y_group(ext["y"], y_blk, y_l, y_r, y_corner)
+    # 2-D single-block mode (see _make_kernel): no wrap/right halo refs —
+    # their (q, 1, ny) blocks would violate Mosaic tiling; the sharded
+    # exchange planes are whole small arrays and stay
+    single = cfg.two_d
+
+    def lattice_group(arr, xkey, ykey):
+        specs = [blk] if single else [blk, halo_l, halo_r]
+        vals = [arr] if single else [arr, arr, arr]
+        if cfg.sharded:
+            specs += [plane, plane]
+            vals += list(ext[xkey])
+        if cfg.shard_y:
+            s, a = y_group(ext[ykey], y_blk, y_l, y_r, y_corner)
+            specs += s
+            vals += a
+        return specs, vals
+
+    in_specs, args = lattice_group(fpc_qm, "x", "y")
+    if cfg.two_lattice:
+        s, a = lattice_group(gpc_qm, "gx", "gy")
         in_specs += s
         args += a
     if cfg.has_media:
-        in_specs += [sp_blk, m_halo_l, m_halo_r]
-        args += [media, media, media]
+        if single:
+            in_specs += [sp_blk]
+            args += [media]
+        else:
+            in_specs += [sp_blk, m_halo_l, m_halo_r]
+            args += [media, media, media]
         if cfg.sharded:
             in_specs += [m_plane, m_plane]
             args += list(ext["mx"])
@@ -605,21 +825,28 @@ def fused_substep(fpc_qm, media, cfg: FusedLBMConfig, ext=None):
         pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 2 ** 20)
         if not _interpret() else None
     )
-    fpc_new, speed_new = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((q, nx) + tail, dt)]
+    out_specs = [blk]
+    if cfg.two_lattice:
+        out_shape.append(jax.ShapeDtypeStruct((q, nx) + tail, dt))
+        out_specs.append(blk)
+    out_shape.append(jax.ShapeDtypeStruct((nx,) + tail, dt))
+    out_specs.append(sp_blk)
+    scratch = []
+    if not single:
+        scratch.append(pltpu.VMEM((q, 1) + tail, dt))
+        if cfg.two_lattice:
+            scratch.append(pltpu.VMEM((q, 1) + tail, dt))
+    return pl.pallas_call(
         _make_kernel(cfg),
-        out_shape=(
-            jax.ShapeDtypeStruct((q, nx) + tail, dt),
-            jax.ShapeDtypeStruct((nx,) + tail, dt),
-        ),
+        out_shape=tuple(out_shape),
         grid=grid,
         in_specs=in_specs,
-        out_specs=(blk, sp_blk),
-        scratch_shapes=[pltpu.VMEM((q, 1) + tail, dt)],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
         compiler_params=params,
         interpret=_interpret(),
     )(*args)
-
-    return fpc_new, speed_new
 
 
 def _ring(axis_size):
@@ -665,12 +892,13 @@ def exchange_media_halo(media, cfg: FusedLBMConfig, axis_names, axis_sizes):
 
 
 def fused_substep_sharded(fpc_qm, media, media_ext, cfg: FusedLBMConfig,
-                          axis_names, axis_sizes):
+                          axis_names, axis_sizes, gpc_qm=None):
     """One lattice update on a sharded distribution (inside shard_map over
     a 1-D x mesh or a 2-D x×y mesh): exchange the fpc boundary planes with
     each neighbor over ICI (lax.ppermute) — plus y-halo rows and their x
-    corners on 2-D meshes — and run the local fused kernel with the
-    received data substituted at the shard boundaries.
+    corners on 2-D meshes, plus the second lattice's planes on thermal
+    decks — and run the local fused kernel with the received data
+    substituted at the shard boundaries.
     `media_ext`: the hoisted exchange_media_halo result."""
     x_ring = _ring(axis_sizes[0])
     y_ring = _ring(axis_sizes[1]) if cfg.shard_y else None
@@ -685,11 +913,16 @@ def fused_substep_sharded(fpc_qm, media, media_ext, cfg: FusedLBMConfig,
     }
     if cfg.shard_y:
         ext["y"] = f_ext["y"]
+    if cfg.two_lattice:
+        g_ext = _exchange_xy(gpc_qm, axis_names, cfg, x_ring, y_ring, 1, 2)
+        ext["gx"] = g_ext["x"]
+        if cfg.shard_y:
+            ext["gy"] = g_ext["y"]
     if cfg.has_media:
         ext["mx"] = media_ext["x"]
         if cfg.shard_y:
             ext["my"] = media_ext["y"]
-    return fused_substep(fpc_qm, media, cfg, ext=ext)
+    return fused_substep(fpc_qm, media, cfg, ext=ext, gpc_qm=gpc_qm)
 
 
 # ---------------------------------------------------------------------------
@@ -799,21 +1032,33 @@ def match_chain(problem) -> FusedLBMPlan:
     solver = problem.solver
     if not isinstance(solver, LBMStream):
         _reject("the solver must be LBMStream")
-    if len(solver.buffers_) != 1:
-        _reject("exactly one streamed buffer is supported")
+    if len(solver.buffers_) not in (1, 2):
+        _reject("at most two streamed buffers are supported")
+    two_lattice = len(solver.buffers_) == 2
     f_name, fpc_name = solver.buffers_[0], solver.f_old[0]
+    g_name = solver.buffers_[1] if two_lattice else None
+    gpc_name = solver.f_old[1] if two_lattice else None
+    pc_of = {f_name: fpc_name}
+    if two_lattice:
+        if g_name in pc_of:
+            _reject("the two streamed buffers must be distinct")
+        pc_of[g_name] = gpc_name
 
     st = problem.lbm_stencil()
-    faces = []
-    post_bcs = []
+    faces_by = {name: [] for name in pc_of}
+    post_by = {name: [] for name in pc_of}
     for bc in problem.bc_computes:
+        lat = bc.out
+        if lat not in pc_of:
+            _reject(f"boundary compute '{bc.name}' writes '{lat}', which is "
+                    f"not a streamed buffer")
         if isinstance(bc, (LB.LBMFixedFirstOrderBC, LB.LBMFixedZerothOrderBC)):
             # Zou-He fixed-order faces (reference LBMFixedFirstOrderBC.C /
             # LBMFixedZerothOrderBC.C) — compiled to PostBC update plans
-            if bc.f != f_name or bc.out != f_name:
+            if bc.f != lat:
                 _reject(
                     f"fixed-order BC '{bc.name}' must read and write the "
-                    f"streamed buffer"
+                    f"same streamed buffer"
                 )
             first = isinstance(bc, LB.LBMFixedFirstOrderBC)
             if first and bc.perturb:
@@ -826,14 +1071,10 @@ def match_chain(problem) -> FusedLBMPlan:
             if axis == 1 and int(st.q) != 9:
                 # parity: the jnp chain raises for q != 9 on these faces
                 _reject("bottom/top fixed-order BCs exist for D2Q9 only")
-            post_bcs.append(_zouhe_spec(st, axis, side, float(bc.value), first))
+            post_by[lat].append(
+                _zouhe_spec(st, axis, side, float(bc.value), first))
             continue
         if isinstance(bc, LB.LBMMicroscopicZeroGradientBC):
-            if bc.out != f_name:
-                _reject(
-                    f"zero-gradient BC '{bc.name}' must act on the streamed "
-                    f"buffer"
-                )
             if bc.boundary not in _FACE_AXIS_SIDE:
                 _reject(
                     f"zero-gradient boundary '{bc.boundary}' is not a domain "
@@ -842,24 +1083,25 @@ def match_chain(problem) -> FusedLBMPlan:
             if two_d and bc.boundary in ("front", "back"):
                 _reject("front/back faces do not exist in 2-D")
             axis, side = _FACE_AXIS_SIDE[bc.boundary]
-            post_bcs.append(PostBC(kind="zg", axis=axis, side=side))
+            post_by[lat].append(PostBC(kind="zg", axis=axis, side=side))
             continue
         if not isinstance(bc, LB.LBMBounceBack):
             _reject(f"boundary compute '{bc.name}' ({type(bc).__name__}) "
                     f"is not fusable")
-        if post_bcs:
+        if post_by[lat]:
             # bounce-back runs inside the streaming stage; a deck listing
-            # it AFTER a Zou-He/zero-gradient face would reorder the writes
+            # it AFTER a Zou-He/zero-gradient face on the SAME lattice
+            # would reorder the face writes
             _reject(
                 f"bounce-back '{bc.name}' listed after a Zou-He/zero-"
                 f"gradient BC is not fusable"
             )
-        if bc.f_old != fpc_name or bc.out != f_name:
+        if bc.f_old != pc_of[lat]:
             _reject(f"bounce-back '{bc.name}' must act on the streamed pair")
         if bc.boundary == "wall":
             if not has_media:
                 _reject("wall bounce-back requires binary media")
-            faces.append((-1, 0, ()))  # keep the deck's BC ordering
+            faces_by[lat].append((-1, 0, ()))  # keep the deck's BC ordering
             continue
         if bc.boundary not in _FACE_AXIS_SIDE:
             _reject(f"bounce-back boundary '{bc.boundary}' is not a domain face")
@@ -875,38 +1117,124 @@ def match_chain(problem) -> FusedLBMPlan:
         else:
             low = {"right": "left", "top": "bottom", "back": "front"}[bc.boundary]
             dirs = st.op[incoming[low]]
-        faces.append((axis, side, tuple(int(d) for d in dirs)))
+        faces_by[lat].append((axis, side, tuple(int(d) for d in dirs)))
+    faces = faces_by[f_name]
+    post_bcs = post_by[f_name]
+    faces2 = faces_by[g_name] if two_lattice else []
+    post_bcs2 = post_by[g_name] if two_lattice else []
 
-    density = velocity = equilibrium = collision = speed = residual = None
+    # classify the Solve chain (two passes: collect by type, then wire by
+    # the buffer dataflow — deck order places moments before equilibria,
+    # but classification should not depend on it)
+    by_type = {"density": [], "velocity": [], "equilibrium": [],
+               "collision": [], "speed": [], "residual": [],
+               "forces": [], "apply": []}
     for c in problem.solve_computes:
-        if isinstance(c, L.LBMComputeDensity) and density is None:
-            density = c
-        elif isinstance(c, L.LBMComputeVelocity) and velocity is None:
-            velocity = c
-        elif isinstance(c, L.LBMEquilibrium) and equilibrium is None:
-            equilibrium = c
-        elif type(c) in (L.LBMBGKCollision, L.LBMMRTCollision) and collision is None:
-            collision = c
-        elif isinstance(c, L.LBMComputeVelocityMagnitude) and speed is None:
-            speed = c
-        elif isinstance(c, L.LBMComputeResidual) and residual is None:
-            residual = c
+        if isinstance(c, L.LBMComputeDensity):
+            by_type["density"].append(c)
+        elif isinstance(c, L.LBMComputeVelocity):
+            by_type["velocity"].append(c)
+        elif isinstance(c, L.LBMEquilibrium):
+            by_type["equilibrium"].append(c)
+        elif type(c) in (L.LBMBGKCollision, L.LBMMRTCollision):
+            by_type["collision"].append(c)
+        elif isinstance(c, L.LBMComputeVelocityMagnitude):
+            by_type["speed"].append(c)
+        elif isinstance(c, L.LBMComputeResidual):
+            by_type["residual"].append(c)
+        elif isinstance(c, L.LBMComputeForces):
+            by_type["forces"].append(c)
+        elif isinstance(c, L.LBMApplyForces):
+            by_type["apply"].append(c)
         else:
             _reject(f"solve compute '{c.name}' ({type(c).__name__}) is not fusable")
+    for key in by_type:
+        limit = 2 if key in ("density", "equilibrium", "collision") else 1
+        if len(by_type[key]) > limit:
+            _reject(f"more than {limit} {key} compute(s) in the chain")
+
+    def pick(key, pred):
+        for c in by_type[key]:
+            if pred(c):
+                return c
+        return None
+
+    density = pick("density", lambda c: c.f == f_name)
+    t_density = pick("density", lambda c: c.f == g_name) if two_lattice else None
+    velocity = by_type["velocity"][0] if by_type["velocity"] else None
+    speed = by_type["speed"][0] if by_type["speed"] else None
+    residual = by_type["residual"][0] if by_type["residual"] else None
+    forces = by_type["forces"][0] if by_type["forces"] else None
+    apply_f = by_type["apply"][0] if by_type["apply"] else None
+
     for what, c in (("LBMComputeDensity", density),
                     ("LBMComputeVelocity", velocity)):
         if c is None:
             _reject(f"the chain requires a {what} compute")
+    if two_lattice and t_density is None:
+        _reject("two-lattice chains require a density (zeroth-moment) "
+                "compute on the second streamed buffer")
+
+    equilibrium = pick("equilibrium", lambda c: c.rho == density.out)
+    collision = pick("collision", lambda c: c.f == f_name)
+    equilibrium2 = collision2 = None
+    if two_lattice:
+        equilibrium2 = pick("equilibrium", lambda c: c.rho == t_density.out)
+        collision2 = pick("collision", lambda c: c.f == g_name)
 
     if density.f != f_name:
         _reject("density must be computed from the streamed distribution")
     if velocity.f != f_name or velocity.rho != density.out:
         _reject("velocity must be computed from the streamed distribution/density")
+
+    # force-field coupling (reference LBMComputeForces.C + LBMApplyForces.C:
+    # the thermal decks' buoyancy chain)
+    force_spec = None
     if velocity.enable_forces:
-        _reject("enable_forces (force-field coupling) is not supported")
+        if forces is None:
+            _reject("enable_forces requires a LBMComputeForces compute in "
+                    "the chain")
+        if velocity.forces != forces.out:
+            _reject("the velocity's force field must be the "
+                    "LBMComputeForces output")
+    if forces is not None:
+        if not velocity.enable_forces:
+            _reject("a LBMComputeForces compute requires "
+                    "enable_forces = true on the velocity")
+        if forces.enable_buoyancy:
+            if not two_lattice:
+                _reject("buoyancy forces need the thermal (second) lattice")
+            if forces.temperature != t_density.out:
+                _reject("the buoyancy temperature must be the second "
+                        "lattice's zeroth moment")
+        if forces.enable_gravity and forces.rho != density.out:
+            _reject("the gravity force must consume the chain's density")
+        d = int(forces.gravity_direction)
+        if d >= dom.dim:
+            _reject(f"gravity_direction {d} does not exist in {dom.dim}-D")
+        apply_tau = 0.0
+        if apply_f is not None:
+            if apply_f.out != fpc_name:
+                _reject("LBMApplyForces must write the fluid post-collision "
+                        "buffer")
+            if apply_f.rho != density.out or apply_f.forces != forces.out:
+                _reject("LBMApplyForces must consume the chain's density "
+                        "and force field")
+            apply_tau = float(apply_f.tau)
+        force_spec = ForceSpec(
+            gravity=bool(forces.enable_gravity),
+            buoyancy=bool(forces.enable_buoyancy),
+            g=float(forces.g), rho0=float(forces.rho0),
+            T0=float(forces.T0), direction=d, apply_tau=apply_tau,
+        )
+    elif apply_f is not None:
+        _reject("LBMApplyForces requires a LBMComputeForces compute")
+
     if collision is None:
         # collisionless chain (reference mixed_bcs_* decks): LBMStream with
         # f_old = f — the carried state is the post-BC streamed distribution
+        if two_lattice:
+            _reject("two-lattice chains require a collision per lattice")
         if equilibrium is not None:
             _reject("an equilibrium compute without a collision would go "
                     "stale across fused substeps")
@@ -924,29 +1252,62 @@ def match_chain(problem) -> FusedLBMPlan:
             _reject("collision must write the solver's f_old buffer")
         if collision.projection:
             _reject("Hermite projection is not supported")
+    if two_lattice:
+        if equilibrium2 is None or collision2 is None:
+            _reject("the second lattice requires its own equilibrium and "
+                    "collision computes")
+        if equilibrium2.velocity != velocity.out:
+            _reject("the thermal equilibrium must advect at the fluid "
+                    "velocity")
+        if collision2.f != g_name or collision2.feq != equilibrium2.out:
+            _reject("the thermal collision must consume the second "
+                    "lattice's distribution and equilibrium")
+        if collision2.out != gpc_name:
+            _reject("the thermal collision must write the solver's second "
+                    "f_old buffer")
+        if collision2.projection:
+            _reject("Hermite projection is not supported")
+
     if speed is not None and speed.velocity != velocity.out:
         _reject("velocity magnitude must consume the chain's velocity")
-    if residual is not None and (speed is None or residual.speed != speed.out):
-        _reject("the residual must consume the chain's velocity magnitude")
+    # the carried scalar: the residual field (velocity magnitude, or on
+    # thermal decks the second lattice's zeroth moment)
+    speed_kind = "none"
+    speed_buffer = None
+    if residual is not None:
+        if speed is not None and residual.speed == speed.out:
+            speed_kind, speed_buffer = "umag", speed.out
+        elif two_lattice and residual.speed == t_density.out:
+            speed_kind, speed_buffer = "t", t_density.out
+        else:
+            _reject("the residual must consume the chain's velocity "
+                    "magnitude or the thermal lattice's zeroth moment")
+    elif speed is not None:
+        speed_kind, speed_buffer = "umag", speed.out
 
-    msm = None
-    if type(collision) is L.LBMMRTCollision:
+    def msm_of(coll):
+        if type(coll) is not L.LBMMRTCollision:
+            return None
         # MSM = M⁻¹·S'·M with the kinematic-viscosity diagonal at 1/τ₀
         # (reference LBMMRTCollision / computeLocalRelaxationMatrix)
         S = st.S.copy()
-        S[st.id_kinematic_visc, st.id_kinematic_visc] = 1.0 / float(collision.tau_0)
+        S[st.id_kinematic_visc, st.id_kinematic_visc] = 1.0 / float(coll.tau_0)
         m = st.M_inv @ S @ st.M
         m[np.abs(m) < 1e-14] = 0.0
-        msm = tuple(tuple(float(x) for x in row) for row in m)
+        return tuple(tuple(float(x) for x in row) for row in m)
+
+    msm = msm_of(collision)
+    msm2 = msm_of(collision2) if two_lattice else None
 
     bf = velocity.body_force if velocity.add_body_force else [0.0, 0.0, 0.0]
     nx, ny, nz = (list(dom.shape) + [1, 1])[:3]
     nx_local = int(nx) // p1
     ny_local = int(ny) // p2
     dtype = np.dtype(dom.dtype)
-    block = _pick_block(nx_local, ny_local, int(nz), int(st.q),
-                        dtype.itemsize)
-    for bc in post_bcs:
+    q_eff = int(st.q) * (2 if two_lattice else 1)
+    block = _pick_block(nx_local, ny_local, int(nz), q_eff, dtype.itemsize,
+                        two_d=two_d)
+    for bc in list(post_bcs) + list(post_bcs2):
         if bc.kind == "zg" and bc.axis == 0 and block < 2:
             # the x-face inner-neighbor read is an in-block roll; a 1-plane
             # block has no inner neighbor in VMEM
@@ -971,16 +1332,26 @@ def match_chain(problem) -> FusedLBMPlan:
         msm=msm,
         post_bcs=tuple(post_bcs),
         collide=collision is not None,
-        need_moments=collision is not None or speed is not None,
+        need_moments=(collision is not None or speed_kind != "none"
+                      or two_lattice),
+        two_lattice=two_lattice,
+        tau2=float(collision2.tau_0) if collision2 is not None else 1.0,
+        msm2=msm2,
+        faces2=tuple(faces2),
+        post_bcs2=tuple(post_bcs2),
+        force=force_spec,
+        speed_kind=speed_kind,
     )
     old_keys = set()
     for c in [solver] + list(problem.bc_computes) + list(problem.solve_computes):
         old_keys |= set(getattr(c, "history_requests", dict)())
-    if not old_keys <= {fpc_name, speed.out if speed else None}:
+    allowed = {fpc_name, gpc_name, speed_buffer} - {None}
+    if not old_keys <= allowed:
         _reject(f"unsupported old-state history on {sorted(old_keys)}")
     return FusedLBMPlan(
         config=cfg,
         fpc=fpc_name,
-        speed=speed.out if speed is not None else None,
+        speed=speed_buffer,
         media=problem.lbm_binary_media if has_media else None,
+        fpc2=gpc_name,
     )

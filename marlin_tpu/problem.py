@@ -1057,10 +1057,10 @@ class TensorProblem:
                     f"lbm_backend = PALLAS supports history depth 1 (got "
                     f"{stack.shape[0]} for '{name}')"
                 )
-        # buffers other than the carried pair go stale during the fused
+        # buffers other than the carried set go stale during the fused
         # substeps, so history on them (e.g. a TensorIntegralChange
         # postprocessor on density) would record whole-step differences
-        allowed_old = {plan.fpc, plan.speed}
+        allowed_old = {plan.fpc, plan.fpc2, plan.speed}
         extra_old = set(state["old"]) - allowed_old
         if extra_old:
             raise pallas_lbm.FusedChainError(
@@ -1082,6 +1082,10 @@ class TensorProblem:
         ny_g = cfg.ny_global if cfg.shard_y else cfg.ny
         gtail = (ny_g,) if cfg.two_d else (ny_g, cfg.nz)
         fpc_qm = sq(jnp.transpose(state["buffers"][plan.fpc], (3, 0, 1, 2)))
+        gpc_qm = None
+        if cfg.two_lattice:
+            gpc_qm = sq(jnp.transpose(state["buffers"][plan.fpc2],
+                                      (3, 0, 1, 2)))
         if plan.speed is not None:
             speed = sq(state["buffers"][plan.speed])
         else:
@@ -1103,43 +1107,60 @@ class TensorProblem:
             axis_sizes = (int(sizes[names[0]]),
                           int(sizes[names[1]]) if cfg.shard_y else 1)
 
-            def run_shard(fpc_l, sp_l, media_l):
+            def run_shard(fpc_l, gpc_l, sp_l, media_l):
                 # media is loop-invariant: exchange its halo planes ONCE
                 media_ext = pallas_lbm.exchange_media_halo(
                     media_l, cfg, names, axis_sizes
                 )
 
                 def sub(_i, carry):
-                    cur, _spc = carry
-                    return pallas_lbm.fused_substep_sharded(
-                        cur, media_l, media_ext, cfg, names, axis_sizes
+                    cur, gcur, _spc = carry
+                    out = pallas_lbm.fused_substep_sharded(
+                        cur, media_l, media_ext, cfg, names, axis_sizes,
+                        gpc_qm=gcur,
                     )
+                    if cfg.two_lattice:
+                        return out
+                    return out[0], gcur, out[1]
 
-                return jax.lax.fori_loop(0, n_fused, sub, (fpc_l, sp_l))
+                return jax.lax.fori_loop(0, n_fused, sub,
+                                         (fpc_l, gpc_l, sp_l))
 
             yax = names[1]  # None on 1-D meshes → unsharded y
             fspec = P(None, names[0], yax, *([None] * (len(tail) - 1)))
             sspec = P(names[0], yax, *([None] * (len(tail) - 1)))
             if media is None:
                 media = jnp.ones((cfg.nx_global,) + gtail, fpc_qm.dtype)
-            cur, sp_cur = shard_map(
+            if gpc_qm is None:
+                # 1-lattice: a zero-size dummy keeps the shard_map arity
+                # static (never touched inside)
+                gpc_qm = jnp.zeros_like(fpc_qm[:1])
+            cur, g_cur, sp_cur = shard_map(
                 run_shard, mesh=mesh,
-                in_specs=(fspec, sspec, sspec),
-                out_specs=(fspec, sspec),
+                in_specs=(fspec, fspec, sspec, sspec),
+                out_specs=(fspec, fspec, sspec),
                 # pallas_call outputs carry no varying-mesh-axes metadata
                 check_vma=False,
-            )(fpc_qm, speed, media)
+            )(fpc_qm, gpc_qm, speed, media)
         else:
             def sub(_i, carry):
-                cur, _sp_cur = carry
-                return pallas_lbm.fused_substep(cur, media, cfg)
+                cur, gcur, _sp_cur = carry
+                out = pallas_lbm.fused_substep(cur, media, cfg, gpc_qm=gcur)
+                if cfg.two_lattice:
+                    return out
+                return out[0], gcur, out[1]
 
-            cur, sp_cur = jax.lax.fori_loop(0, n_fused, sub, (fpc_qm, speed))
+            if gpc_qm is None:
+                gpc_qm = jnp.zeros_like(fpc_qm[:1])
+            cur, g_cur, sp_cur = jax.lax.fori_loop(
+                0, n_fused, sub, (fpc_qm, gpc_qm, speed))
 
         unsq = (lambda a: a[..., None]) if cfg.two_d else (lambda a: a)
         from_qm = lambda a: jnp.transpose(unsq(a), (1, 2, 3, 0))
         buffers = dict(state["buffers"])
         buffers[plan.fpc] = from_qm(cur)
+        if cfg.two_lattice:
+            buffers[plan.fpc2] = from_qm(g_cur)
         if plan.speed is not None:
             buffers[plan.speed] = unsq(sp_cur)
         return {

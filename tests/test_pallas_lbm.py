@@ -930,3 +930,305 @@ def test_fused_rejects_smagorinsky():
     dt = jnp.asarray(1.0, p.domain.dtype)
     with pytest.raises(PL.FusedChainError, match="not fusable|LBM"):
         p.step(s, 0.0, dt, dt, False)
+
+
+def test_fused_two_lattice_rayleigh_benard_parity():
+    """Thermal double-distribution decks fuse (r04): the full
+    Rayleigh-Benard example (reference examples/lbm/Rayleigh-Benard —
+    fluid f + passive-scalar g, Boussinesq buoyancy via LBMComputeForces,
+    Guo forcing via LBMApplyForces, bounce-back walls on f, fixed-density
+    (temperature Dirichlet) Zou-He faces on g, residual on T) leaves the
+    whole state pytree equal to the jnp chain at reduced scale."""
+    deck = os.path.join(REF, "examples/lbm/Rayleigh-Benard/rayleigh-benard.i")
+    if not os.path.exists(deck):
+        pytest.skip("deck not shipped")
+    over = ["Nx=48", "Ny=24", "Problem/substeps=6"]
+    _, s1 = _run_deck(hit.load(deck, over + ["Problem/lbm_backend=JNP"]))
+    _, s2 = _run_deck(hit.load(deck, over + ["Problem/lbm_backend=PALLAS"]))
+    _assert_state_parity(s1, s2, tol=1e-10)
+
+
+def test_fused_two_lattice_sharded_parity():
+    """Sharded two-lattice: BOTH distributions' halo planes ride the
+    ppermute exchange; parity vs the serial jnp chain."""
+    import jax
+
+    from marlin_tpu import parallel
+    from marlin_tpu.domain import ParallelMode
+
+    deck = os.path.join(REF, "examples/lbm/Rayleigh-Benard/rayleigh-benard.i")
+    if not os.path.exists(deck):
+        pytest.skip("deck not shipped")
+    over = ["Nx=48", "Ny=24", "Problem/substeps=5"]
+    _, s1 = _run_deck(hit.load(deck, over + ["Problem/lbm_backend=JNP"]))
+
+    mesh = parallel.make_mesh(
+        ParallelMode.REAL_SPACE, jax.devices()[:2], shape=(2,)
+    )
+    root = hit.load(deck, over + [
+        "Problem/lbm_backend=PALLAS", "Domain/parallel_mode=REAL_SPACE"])
+    p = TensorProblem(root, mesh=mesh)
+    s2 = p.init_state()
+    dt = jnp.asarray(1.0, p.domain.dtype)
+    for i in range(3):
+        s2 = p.step(s2, float(i), dt, dt, i == 0)
+    _assert_state_parity(s1, s2, tol=1e-10)
+
+
+_THERMAL_3D_DECK = """
+[Domain]
+  dim = 3
+  nx = 12
+  ny = 8
+  nz = 8
+  mesh_mode = DUMMY
+[]
+[Stencil]
+  [s]
+    type = LBMD3Q19
+  []
+[]
+[TensorBuffers]
+  [f]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [feq]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [fpc]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [g]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [geq]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [gpc]
+    type = LBMTensorBuffer
+    buffer_type = df
+  []
+  [velocity]
+    type = LBMTensorBuffer
+    buffer_type = mv
+  []
+  [density]
+    type = LBMTensorBuffer
+    buffer_type = ms
+  []
+  [T]
+    type = LBMTensorBuffer
+    buffer_type = ms
+  []
+  [F]
+    type = LBMTensorBuffer
+    buffer_type = mv
+  []
+  [media]
+    type = LBMTensorBuffer
+    buffer_type = ms
+    is_integer = true
+    file = {media_h5}
+  []
+[]
+[TensorComputes]
+  [Initialize]
+    [density]
+      type = LBMConstantTensor
+      buffer = density
+      constants = 1.0
+    []
+    [velocity]
+      type = LBMConstantTensor
+      buffer = velocity
+      constants = '0.0 0.0 0.0'
+    []
+    [temperature]
+      type = ParsedCompute
+      buffer = T
+      expression = '1.0 + 0.05 * sin(x / 2.0) * cos(y / 3.0) * cos(z / 5.0)'
+      extra_symbols = true
+    []
+    [feq0]
+      type = LBMEquilibrium
+      buffer = feq
+      bulk = density
+      velocity = velocity
+    []
+    [f0]
+      type = LBMEquilibrium
+      buffer = f
+      bulk = density
+      velocity = velocity
+    []
+    [fpc0]
+      type = LBMEquilibrium
+      buffer = fpc
+      bulk = density
+      velocity = velocity
+    []
+    [geq0]
+      type = LBMEquilibrium
+      buffer = geq
+      bulk = T
+      velocity = velocity
+    []
+    [g0]
+      type = LBMEquilibrium
+      buffer = g
+      bulk = T
+      velocity = velocity
+    []
+    [gpc0]
+      type = LBMEquilibrium
+      buffer = gpc
+      bulk = T
+      velocity = velocity
+    []
+  []
+  [Solve]
+    [Temperature]
+      type = LBMComputeDensity
+      buffer = T
+      f = g
+    []
+    [Density]
+      type = LBMComputeDensity
+      buffer = density
+      f = f
+    []
+    [Forces]
+      type = LBMComputeForces
+      buffer = F
+      rho0 = 1.0
+      rho = density
+      temperature = T
+      T0 = 1.0
+      enable_buoyancy = true
+      gravity = 0.0005
+      gravity_direction = 2
+    []
+    [Velocity]
+      type = LBMComputeVelocity
+      buffer = velocity
+      f = f
+      rho = density
+      forces = F
+      enable_forces = true
+    []
+    [Geq]
+      type = LBMEquilibrium
+      buffer = geq
+      bulk = T
+      velocity = velocity
+    []
+    [Gcoll]
+      type = LBMMRTCollision
+      buffer = gpc
+      f = g
+      feq = geq
+      tau0 = 0.8
+    []
+    [Feq]
+      type = LBMEquilibrium
+      buffer = feq
+      bulk = density
+      velocity = velocity
+    []
+    [Fcoll]
+      type = LBMMRTCollision
+      buffer = fpc
+      f = f
+      feq = feq
+      tau0 = 0.6
+    []
+    [Apply]
+      type = LBMApplyForces
+      buffer = fpc
+      rho = density
+      forces = F
+      tau0 = 0.6
+    []
+    [Residual]
+      type = LBMComputeResidual
+      buffer = T
+      speed = T
+    []
+  []
+  [Boundary]
+    [wall]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = wall
+    []
+    [top]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = back
+    []
+    [bottom]
+      type = LBMBounceBack
+      buffer = f
+      f_old = fpc
+      boundary = front
+    []
+    [hot_bottom]
+      type = LBMFixedZerothOrderBC
+      buffer = g
+      f = g
+      value = 1.1
+      boundary = left
+    []
+    [cold_top]
+      type = LBMFixedZerothOrderBC
+      buffer = g
+      f = g
+      value = 1.0
+      boundary = right
+    []
+  []
+[]
+[TensorSolver]
+  type = LBMStream
+  buffer = 'f g'
+  f_old = 'fpc gpc'
+[]
+[Problem]
+  type = LatticeBoltzmannProblem
+  substeps = 6
+  lbm_backend = {backend}
+  is_binary_media = true
+  binary_media = media
+[]
+[Executioner]
+  type = Transient
+  num_steps = 3
+[]
+"""
+
+
+def test_fused_two_lattice_thermal_3d_mrt_media_parity(tmp_path):
+    """The Pebbles production pattern (reference examples/lbm/Pebbles):
+    3-D thermal double-distribution with MRT collisions on BOTH lattices,
+    obstacle bounce-back (binary media), buoyancy + Guo forcing, and
+    Zou-He temperature faces on the thermal lattice."""
+    import h5py
+
+    media = np.ones((12, 8, 8), dtype=np.int64)
+    media[5:8, 3:6, 2:5] = 0  # interior obstacle
+    h5 = tmp_path / "media.h5"
+    with h5py.File(h5, "w") as f:
+        f.create_dataset("media", data=media)
+
+    _, s1 = _run_deck(hit.parse(
+        _THERMAL_3D_DECK.format(backend="JNP", media_h5=h5)))
+    _, s2 = _run_deck(hit.parse(
+        _THERMAL_3D_DECK.format(backend="PALLAS", media_h5=h5)))
+    _assert_state_parity(s1, s2, tol=1e-10)
