@@ -103,6 +103,11 @@ class PostBC:
     sum2: Tuple[int, ...] = ()
     # per-unknown update rows: (dir, src, cm, tc, tp, tm)
     rows: Tuple[Tuple[int, int, float, float, int, int], ...] = ()
+    # perturb = true (D2Q9 left-face velocity inlet, reference
+    # LBMFixedFirstOrderBC::_ux_profile): the prescribed velocity becomes
+    # the row profile v(y) = value·(1 + 1e-6·sin(2πy/ny)), so the momentum
+    # scalar m = v/(1−v)·facesum is a plane instead of a·facesum + b
+    perturb_value: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -180,6 +185,17 @@ class FusedLBMConfig:
     # "t" (lattice-2 zeroth moment — the thermal decks' residual field),
     # or "none"
     speed_kind: str = "umag"
+    # Hermite second-order regularization of fneq before collision
+    # (reference LBMCollisionDynamics::_hermite_regularization; the
+    # `projection = true` deck knob), per lattice
+    proj: bool = False
+    proj2: bool = False
+    # Smagorinsky turbulent collision on the fluid lattice: (C_s, τ₀) —
+    # per-cell τ from the non-equilibrium momentum flux and the GLOBAL
+    # mean density (reference computeRelaxationParameter).  Only 2-D
+    # single-block serial decks fuse it: there the whole grid is the
+    # block, so the global mean is an in-VMEM reduction
+    smag: Optional[Tuple[float, float]] = None
 
 
 @dataclass(frozen=True)
@@ -450,7 +466,20 @@ def _make_kernel(cfg: FusedLBMConfig):
                         fsum = prev[d] if fsum is None else fsum + prev[d]
                     for d in bc.sum2:
                         fsum = fsum + 2.0 * prev[d]
-                    m = bc.a * fsum + bc.b
+                    if bc.perturb_value:
+                        # D2Q9 left-face sine inlet profile (reference
+                        # LBMFixedFirstOrderBC::_ux_profile): v(y) varies by
+                        # row, so the momentum scalar is a plane
+                        v0 = bc.perturb_value
+                        yio = jax.lax.broadcasted_iota(
+                            jnp.int32, pshape, 1).astype(fsum.dtype)
+                        if cfg.shard_y:
+                            yio = yio + yoff
+                        vprof = v0 + 1.0e-6 * v0 * jnp.sin(
+                            yio / ny_face * 2.0 * math.pi)
+                        m = vprof / (1.0 - vprof) * fsum
+                    else:
+                        m = bc.a * fsum + bc.b
                     for d, src, cm, tc, tp, tm in bc.rows:
                         val = prev[src] + cm * m
                         if tc:
@@ -596,10 +625,78 @@ def _make_kernel(cfg: FusedLBMConfig):
             pref = (1.0 - 0.5 / cfg.force.apply_tau) * cfg.w[qi] / CS2
             return pref * rho * edotF
 
-        def collide(out_ref, planes_get, dens, msm, itau, source):
+        def hermite(fneqs):
+            """Second-order Hermite regularization of the non-equilibrium
+            planes (reference LBMCollisionDynamics::_hermite_regularization,
+            the `projection = true` knob): project fneq onto the e⊗e
+            Hermite space.  Static q×9 coefficient tables; zero entries
+            skipped at trace time."""
+            e = np.array(cfg.e, dtype=np.float64).T  # (3, q)
+            ccr = np.einsum("ai,bi->iab", e, e).reshape(q, 9)
+            H2 = (np.einsum("ai,bi->iab", e, e) / CS2
+                  - np.eye(3)[None, :, :]).reshape(q, 9)
+            cc = []
+            for j in range(9):
+                acc = None
+                for qi in range(q):
+                    cji = float(ccr[qi, j])
+                    if cji == 0.0:
+                        continue
+                    t = fneqs[qi] * cji
+                    acc = t if acc is None else acc + t
+                cc.append(acc)
+            out = []
+            for qi in range(q):
+                acc = None
+                for j in range(9):
+                    hij = float(H2[qi, j])
+                    if hij == 0.0 or cc[j] is None:
+                        continue
+                    t = cc[j] * hij
+                    acc = t if acc is None else acc + t
+                pref = float(cfg.w[qi]) * (1.0 / (2.0 * CS2))
+                out.append(pref * acc if acc is not None
+                           else jnp.zeros(pshape, fneqs[qi].dtype))
+            return out
+
+        def smag_inv_tau(fneqs, dens):
+            """Per-cell 1/τ from the non-equilibrium momentum flux and the
+            GLOBAL mean density (reference computeRelaxationParameter;
+            2-D single-block serial only — the block IS the grid, so the
+            mean is an in-VMEM reduction)."""
+            C_s, tau0 = cfg.smag
+            e = np.array(cfg.e, dtype=np.float64).T
+            zs, on = np.zeros(q), np.ones(q)
+            ex2 = np.stack([e[0], zs, zs])
+            ey2 = np.stack([zs, e[1], zs])
+            ez2 = np.stack([on, zs, e[2]])  # deck nz == 1 (2-D)
+            Q2 = None
+            for k in range(3):
+                for a_ in range(3):
+                    for b_ in range(3):
+                        comp = None
+                        for qi in range(q):
+                            c = float(ez2[k, qi] * ex2[a_, qi] * ey2[b_, qi])
+                            if c == 0.0:
+                                continue
+                            t = fneqs[qi] * c
+                            comp = t if comp is None else comp + t
+                        if comp is not None:
+                            t = comp * comp
+                            Q2 = t if Q2 is None else Q2 + t
+            mean_density = jnp.mean(dens)
+            Q_mean = jnp.sqrt(Q2) / (mean_density * CS2)
+            t_sgs = math.sqrt(C_s) * 1.0 / math.sqrt(CS2)
+            eta = tau0 / t_sgs
+            S = (-eta + jnp.sqrt(eta * eta + 4.0 * Q_mean)) / (2.0 * t_sgs)
+            return 1.0 / (tau0 + C_s * S / CS2)
+
+        def collide(out_ref, planes_get, dens, msm, itau, source, proj,
+                    smag):
             """pass 2: equilibrium + collision (reference LBMBGKCollision /
-            LBMMRTCollision), plus the optional Guo source."""
-            if msm is None:
+            LBMMRTCollision / LBMSmagorinskyCollision), plus the optional
+            Hermite projection and Guo source."""
+            if msm is None and not proj and not smag:
                 # BGK: planes_get() recomputed per direction on the
                 # BB-only path keeps VMEM at one live (B,ny,nz) temp
                 for qi in range(q):
@@ -614,13 +711,20 @@ def _make_kernel(cfg: FusedLBMConfig):
                     if cfg.has_media:
                         u = jnp.where(solid, jnp.zeros((), u.dtype), u)
                     out_ref[qi] = u
-            else:
-                # MRT: fpc = feq + fneq - MSM·fneq needs every direction's
-                # fneq at once — cache the q non-equilibrium planes in VMEM
-                # (q·B·ny·nz·4 B, well under the raised 64 MB limit)
-                fneqs = [planes_get(qi) - equilibrium(qi, dens)
-                         for qi in range(q)]
-                for qi in range(q):
+                return
+            # MRT / projected / Smagorinsky: every direction's fneq at
+            # once — cache the q non-equilibrium planes in VMEM
+            # (q·B·ny·nz·4 B, well under the raised 64 MB limit)
+            fneqs = [planes_get(qi) - equilibrium(qi, dens)
+                     for qi in range(q)]
+            if proj:
+                fneqs = hermite(fneqs)
+            if smag:
+                itau = smag_inv_tau(fneqs, dens)
+            for qi in range(q):
+                if msm is None:
+                    u = equilibrium(qi, dens) + fneqs[qi] - fneqs[qi] * itau
+                else:
                     relax = None
                     for qj in range(q):
                         cji = msm[qi][qj]
@@ -629,13 +733,13 @@ def _make_kernel(cfg: FusedLBMConfig):
                         t = fneqs[qj] * cji
                         relax = t if relax is None else relax + t
                     u = equilibrium(qi, dens) + fneqs[qi] - relax
-                    if source is not None:
-                        s = source(qi)
-                        if s is not None:
-                            u = u + s
-                    if cfg.has_media:
-                        u = jnp.where(solid, jnp.zeros((), u.dtype), u)
-                    out_ref[qi] = u
+                if source is not None:
+                    s = source(qi)
+                    if s is not None:
+                        u = u + s
+                if cfg.has_media:
+                    u = jnp.where(solid, jnp.zeros((), u.dtype), u)
+                out_ref[qi] = u
 
         if not cfg.collide:
             # collisionless chain WITH a speed compute: carry the post-BC
@@ -643,11 +747,13 @@ def _make_kernel(cfg: FusedLBMConfig):
             for qi in range(q):
                 fpc_out[qi] = get(qi)
         else:
-            source = guo_source if cfg.force is not None else None
-            collide(fpc_out, get, rho, cfg.msm, inv_tau, source)
+            source = (guo_source if cfg.force is not None
+                      and cfg.force.apply_tau else None)
+            collide(fpc_out, get, rho, cfg.msm, inv_tau, source,
+                    cfg.proj, cfg.smag is not None)
             if cfg.two_lattice:
                 collide(gpc_out, lambda qi: gs[qi], T, cfg.msm2, inv_tau2,
-                        None)
+                        None, cfg.proj2, False)
 
         # stash this block's LAST input plane — the next (sequential) grid
         # step reads it as its left halo instead of re-fetching from HBM
@@ -1061,8 +1167,6 @@ def match_chain(problem) -> FusedLBMPlan:
                     f"same streamed buffer"
                 )
             first = isinstance(bc, LB.LBMFixedFirstOrderBC)
-            if first and bc.perturb:
-                _reject("perturb = true sine inlet profiles are not fusable")
             if bc.boundary not in ("left", "right", "bottom", "top"):
                 _reject(
                     f"fixed-order BC boundary '{bc.boundary}' is not fusable"
@@ -1071,8 +1175,15 @@ def match_chain(problem) -> FusedLBMPlan:
             if axis == 1 and int(st.q) != 9:
                 # parity: the jnp chain raises for q != 9 on these faces
                 _reject("bottom/top fixed-order BCs exist for D2Q9 only")
-            post_by[lat].append(
-                _zouhe_spec(st, axis, side, float(bc.value), first))
+            spec = _zouhe_spec(st, axis, side, float(bc.value), first)
+            if first and bc.perturb and int(st.q) == 9 \
+                    and bc.boundary == "left":
+                # the sine inlet profile (reference _ux_profile) exists
+                # only in the D2Q9 left-face branch; everywhere else the
+                # jnp chain silently ignores perturb — parity kept
+                spec = PostBC(**{**spec.__dict__,
+                                 "perturb_value": float(bc.value)})
+            post_by[lat].append(spec)
             continue
         if isinstance(bc, LB.LBMMicroscopicZeroGradientBC):
             if bc.boundary not in _FACE_AXIS_SIDE:
@@ -1136,7 +1247,8 @@ def match_chain(problem) -> FusedLBMPlan:
             by_type["velocity"].append(c)
         elif isinstance(c, L.LBMEquilibrium):
             by_type["equilibrium"].append(c)
-        elif type(c) in (L.LBMBGKCollision, L.LBMMRTCollision):
+        elif type(c) in (L.LBMBGKCollision, L.LBMMRTCollision,
+                         L.LBMSmagorinskyCollision):
             by_type["collision"].append(c)
         elif isinstance(c, L.LBMComputeVelocityMagnitude):
             by_type["speed"].append(c)
@@ -1250,12 +1362,24 @@ def match_chain(problem) -> FusedLBMPlan:
             _reject("collision must consume the streamed distribution and equilibrium")
         if collision.out != fpc_name:
             _reject("collision must write the solver's f_old buffer")
-        if collision.projection:
-            _reject("Hermite projection is not supported")
+    smag = None
+    if collision is not None and type(collision) is L.LBMSmagorinskyCollision:
+        # the per-cell τ needs the GLOBAL mean density inside the substep
+        # — only the 2-D single-block serial kernel has the whole grid in
+        # VMEM to reduce over
+        if not two_d:
+            _reject("Smagorinsky collisions fuse on 2-D decks only (the "
+                    "global mean density needs the single-block kernel)")
+        if sharded:
+            _reject("Smagorinsky collisions do not fuse on sharded "
+                    "domains (the mean density is a cross-shard reduction)")
+        smag = (float(collision.C_s), float(collision.tau_0))
     if two_lattice:
         if equilibrium2 is None or collision2 is None:
             _reject("the second lattice requires its own equilibrium and "
                     "collision computes")
+        if type(collision2) is L.LBMSmagorinskyCollision:
+            _reject("Smagorinsky collisions fuse on the fluid lattice only")
         if equilibrium2.velocity != velocity.out:
             _reject("the thermal equilibrium must advect at the fluid "
                     "velocity")
@@ -1265,8 +1389,6 @@ def match_chain(problem) -> FusedLBMPlan:
         if collision2.out != gpc_name:
             _reject("the thermal collision must write the solver's second "
                     "f_old buffer")
-        if collision2.projection:
-            _reject("Hermite projection is not supported")
 
     if speed is not None and speed.velocity != velocity.out:
         _reject("velocity magnitude must consume the chain's velocity")
@@ -1341,6 +1463,9 @@ def match_chain(problem) -> FusedLBMPlan:
         post_bcs2=tuple(post_bcs2),
         force=force_spec,
         speed_kind=speed_kind,
+        proj=bool(collision is not None and collision.projection),
+        proj2=bool(collision2 is not None and collision2.projection),
+        smag=smag,
     )
     old_keys = set()
     for c in [solver] + list(problem.bc_computes) + list(problem.solve_computes):

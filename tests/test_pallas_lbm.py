@@ -30,8 +30,8 @@ def interpret_mode():
     PL._INTERPRET = False
 
 
-def _run_deck(root, steps=3):
-    p = TensorProblem(root)
+def _run_deck(root, steps=3, deck_dir=None):
+    p = TensorProblem(root, deck_dir=deck_dir)
     s = p.init_state()
     dt = jnp.asarray(1.0, p.domain.dtype)
     for i in range(steps):
@@ -841,17 +841,17 @@ def test_fused_sharded_zouhe_parity():
     _assert_state_parity(s1, s2, tol=1e-10)
 
 
-def test_fused_rejects_perturb():
-    """perturb = true sine inlet profiles stay on the jnp chain, with a
-    named error (reference examples/lbm/Karman-vortex/cylinder.i)."""
+def test_fused_perturb_ignored_off_d2q9_left():
+    """perturb = true on a non-D2Q9 deck is a silent no-op in the jnp
+    chain (the sine profile exists only in the D2Q9 left-face branch) —
+    the fused path keeps that parity instead of rejecting."""
     deck = _INLET_OUTLET_DECK.format(backend="PALLAS").replace(
         "value = 0.01", "value = 0.01\n      perturb = true"
     )
-    p = TensorProblem(hit.parse(deck))
-    s = p.init_state()
-    dt = jnp.asarray(1.0, p.domain.dtype)
-    with pytest.raises(PL.FusedChainError, match="perturb"):
-        p.step(s, 0.0, dt, dt, False)
+    jdeck = deck.replace("lbm_backend = PALLAS", "lbm_backend = JNP")
+    _, s1 = _run_deck(hit.parse(jdeck))
+    _, s2 = _run_deck(hit.parse(deck))
+    _assert_state_parity(s1, s2, tol=1e-10)
 
 
 def test_fused_rejects_bounceback_after_zouhe():
@@ -1231,4 +1231,59 @@ def test_fused_two_lattice_thermal_3d_mrt_media_parity(tmp_path):
         _THERMAL_3D_DECK.format(backend="JNP", media_h5=h5)))
     _, s2 = _run_deck(hit.parse(
         _THERMAL_3D_DECK.format(backend="PALLAS", media_h5=h5)))
+    _assert_state_parity(s1, s2, tol=1e-10)
+
+
+def test_fused_obstacle_smagorinsky_parity():
+    """Smagorinsky collision with Hermite projection fuses on 2-D
+    single-block decks (the global mean density is an in-VMEM
+    reduction): reference test/tests/lbm/obstacle.i — wall bounce-back,
+    Zou-He velocity inlet, zero-gradient outlet."""
+    deck = os.path.join(REF, "test/tests/lbm/obstacle.i")
+    if not os.path.exists(deck):
+        pytest.skip("deck not shipped")
+    over = ["Problem/substeps=6"]
+    dd = os.path.dirname(deck)
+    _, s1 = _run_deck(hit.load(deck, over + ["Problem/lbm_backend=JNP"]),
+                      deck_dir=dd)
+    _, s2 = _run_deck(hit.load(deck, over + ["Problem/lbm_backend=PALLAS"]),
+                      deck_dir=dd)
+    _assert_state_parity(s1, s2, tol=1e-10)
+
+
+def test_fused_gold_obstacle():
+    gold = "test/tests/lbm/gold/obstacle.h5"
+    if not os.path.exists(os.path.join(REF, gold)):
+        pytest.skip("no gold")
+    _, tmp = run_ref_deck(
+        "test/tests/lbm/obstacle.i",
+        ["Problem/lbm_backend=PALLAS"],
+        tmpdir="/tmp/marlin_tpu_gold_pallas_obstacle",
+    )
+    h5_diff(gold, f"{tmp}/obstacle.h5", abs_tol=1e-10)
+
+
+def test_fused_karman_vortex_parity(tmp_path):
+    """The full Kármán-vortex example pattern (reference
+    examples/lbm/Karman-vortex/cylinder.i): Smagorinsky + projection,
+    obstacle bounce-back around the cylinder, perturbed (sine-profile)
+    Zou-He velocity inlet, zero-gradient outlet — at reduced scale with
+    a synthesized cylinder media."""
+    import h5py
+
+    deck = os.path.join(REF, "examples/lbm/Karman-vortex/cylinder.i")
+    if not os.path.exists(deck):
+        pytest.skip("deck not shipped")
+    nx, ny = 64, 32
+    x, y = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    media = np.ones((nx, ny), dtype=np.int64)
+    media[(x - 16) ** 2 + (y - 16) ** 2 <= 5 ** 2] = 0
+    h5 = tmp_path / "binary_media.h5"
+    with h5py.File(h5, "w") as f:
+        f.create_dataset("binary_media", data=media)
+
+    over = [f"Domain/nx={nx}", f"Domain/ny={ny}", "Problem/substeps=6",
+            "TensorBuffers/binary_media/file=" + str(h5)]
+    _, s1 = _run_deck(hit.load(deck, over + ["Problem/lbm_backend=JNP"]))
+    _, s2 = _run_deck(hit.load(deck, over + ["Problem/lbm_backend=PALLAS"]))
     _assert_state_parity(s1, s2, tol=1e-10)
