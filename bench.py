@@ -1135,6 +1135,76 @@ def bench_lbm_thermal(substeps=200, reps=5, backend="PALLAS", nx=512, ny=256):
     }
 
 
+def bench_lbm_karman(substeps=100, reps=5, backend="PALLAS",
+                     nx=800, ny=200):
+    """Kármán-vortex cylinder deck (reference
+    examples/lbm/Karman-vortex/cylinder.i at its shipped 800×200 scale:
+    Smagorinsky + Hermite projection, obstacle bounce-back, perturbed
+    Zou-He inlet, zero-gradient outlet) — the r04 single-block 2-D fused
+    pattern.  Media synthesized the way the upstream notebook does."""
+    import tempfile
+
+    import h5py
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from marlin_tpu import hit
+    from marlin_tpu.problem import TensorProblem
+
+    deck = os.path.join(REF_DIR, "examples/lbm/Karman-vortex/cylinder.i")
+    if not os.path.exists(deck):
+        return {"skipped": "reference Karman deck not available"}
+    x, y = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    media = np.ones((nx, ny), dtype=np.int64)
+    media[(x - nx // 5) ** 2 + (y - ny // 2) ** 2 <= (ny // 10) ** 2] = 0
+    tmp = tempfile.mkdtemp()
+    h5path = os.path.join(tmp, "binary_media.h5")
+    with h5py.File(h5path, "w") as f:
+        f.create_dataset("binary_media", data=media)
+
+    root = hit.load(deck, [
+        f"Domain/nx={nx}", f"Domain/ny={ny}",
+        f"Problem/substeps={substeps}",
+        f"Problem/lbm_backend={backend}",
+        "TensorBuffers/binary_media/file=" + h5path,
+    ])
+    problem = TensorProblem(root)
+    state = problem.init_state()
+    step = jax.jit(problem._step_impl, donate_argnums=(0,))
+    dt = jnp.asarray(1.0, problem.domain.dtype)
+
+    t0 = time.time()
+    out = step(state, 0.0, dt, dt, jnp.asarray(False))
+    _sync(out["buffers"]["speed"])
+    first = time.time() - t0
+    _emit({"cells": nx * ny, "stencil": "D2Q9", "backend": backend,
+           "pattern": "smagorinsky+projection+perturbed_inlet+zg_outlet",
+           "compile_s": round(first, 1), "partial_stage": "compiled"})
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    _sync(tiny(jnp.zeros(())))
+    t0 = time.time()
+    _sync(tiny(jnp.zeros(())))
+    rt = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(reps):
+        out = step(out, 0.0, dt, dt, jnp.asarray(False))
+    _sync(out["buffers"]["speed"])
+    step_s = max((time.time() - t0 - rt) / reps, 1e-9)
+    return {
+        "cells": nx * ny,
+        "stencil": "D2Q9",
+        "backend": backend,
+        "pattern": "smagorinsky+projection+perturbed_inlet+zg_outlet",
+        "substep_ms": round(step_s / substeps * 1e3, 3),
+        "mlups": round(nx * ny * substeps / step_s / 1e6, 1),
+        "compile_s": round(first - step_s, 1),
+        "dtype": jnp.dtype(problem.domain.dtype).name,
+    }
+
+
 def bench_lbm_mixed(n=128, substeps=20, reps=3, backend="PALLAS"):
     """Mixed-BC LBM channel (Zou-He velocity inlet + zero-gradient outlet
     + bounce-back walls, D3Q19 BGK): before r04 this pattern fell off the
@@ -1366,6 +1436,10 @@ def _run_child(name):
         print(json.dumps(bench_lbm_thermal(backend="PALLAS")))
     elif name == "lbm_thermal_jnp":
         print(json.dumps(bench_lbm_thermal(backend="JNP")))
+    elif name == "lbm_karman":
+        print(json.dumps(bench_lbm_karman(backend="PALLAS")))
+    elif name == "lbm_karman_jnp":
+        print(json.dumps(bench_lbm_karman(backend="JNP")))
     elif name == "degeus":
         print(json.dumps(bench_degeus()))
     elif name == "degeus_pallas":

@@ -14,6 +14,7 @@ fully on-device path.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import List
 
@@ -270,6 +271,17 @@ _ATEN_OPS = {
     "aten::avg_pool1d": lambda a, B: _aten_pool(a, "avg"),
     "aten::avg_pool2d": lambda a, B: _aten_pool(a, "avg"),
     "aten::avg_pool3d": lambda a, B: _aten_pool(a, "avg"),
+    # layout / reductions (attention-class graphs)
+    # static shapes only: under jit the traced shapes are concrete, so
+    # aten::size lifts to a Python int (traced reshape/view graphs record
+    # x.shape[d] through it)
+    "aten::size": lambda a, B: (a[0].shape[a[1]] if len(a) > 1
+                                else list(a[0].shape)),
+    "aten::transpose": lambda a, B: jnp.swapaxes(a[0], a[1], a[2]),
+    "aten::permute": lambda a, B: jnp.transpose(a[0], a[1]),
+    "aten::mean": lambda a, B: _aten_reduce(a, jnp.mean),
+    "aten::sum": lambda a, B: _aten_reduce(a, jnp.sum),
+    "aten::scaled_dot_product_attention": lambda a, B: _aten_sdpa(a),
 }
 
 
@@ -295,6 +307,13 @@ _WALK_CHECKS = {
         and c.get(ins[5]) is False),
     "aten::max_pool3d": lambda ins, c: (
         all(d == 1 for d in (c.get(ins[4]) or [0]))
+        and c.get(ins[5]) is False),
+    # scaled_dot_product_attention(q, k, v, attn_mask, dropout_p,
+    # is_causal, scale?): masks and causal attention are not lifted (a
+    # wrong mask silently changes results); eval-mode dropout must be 0
+    "aten::scaled_dot_product_attention": lambda ins, c: (
+        c.get(ins[3], "missing") is None
+        and c.get(ins[4]) in (0, 0.0)
         and c.get(ins[5]) is False),
     # avg_pool: arg 4 = ceil_mode, arg 5 = count_include_pad (lifted math
     # divides by the full window, i.e. count_include_pad = True), arg 6 =
@@ -377,6 +396,28 @@ def _aten_group_norm(a):
     if bias is not None:
         out = out + bias.reshape(shape)
     return out
+
+
+def _aten_reduce(a, fn):
+    """aten::mean / aten::sum: full reduction, or (dims, keepdim) forms."""
+    x = a[0]
+    if len(a) == 1 or a[1] is None:
+        return fn(x)
+    dims = a[1] if isinstance(a[1], (list, tuple)) else [a[1]]
+    keepdim = bool(a[2]) if len(a) > 2 and a[2] is not None else False
+    return fn(x, axis=tuple(int(d) for d in dims), keepdims=keepdim)
+
+
+def _aten_sdpa(a):
+    """aten::scaled_dot_product_attention(q, k, v, None, 0.0, False[,
+    scale]) — softmax(q·kᵀ/√d_k)·v; the walk check pins mask/dropout/
+    causal to the liftable combination."""
+    qq, kk, vv = a[0], a[1], a[2]
+    scale = a[6] if len(a) > 6 and a[6] is not None else None
+    if scale is None:
+        scale = 1.0 / math.sqrt(qq.shape[-1])
+    logits = jnp.matmul(qq, jnp.swapaxes(kk, -2, -1), precision=_HI) * scale
+    return jnp.matmul(jax.nn.softmax(logits, axis=-1), vv, precision=_HI)
 
 
 def _aten_pool(a, mode):

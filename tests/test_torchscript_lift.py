@@ -227,3 +227,66 @@ def test_unbatched_conv_input_matches():
     with torch.no_grad():
         want = model(torch.tensor(x)).numpy()
     np.testing.assert_allclose(np.asarray(fn(x)), want, atol=2e-5)
+
+
+def test_attention_block_lifts_and_matches():
+    """A transformer-style self-attention block — linear qkv, view +
+    transpose head split, scaled_dot_product_attention, merge, linear,
+    layer_norm residual — lifts whole and matches torch."""
+
+    class SelfAttention(torch.nn.Module):
+        def __init__(self, d=16, heads=4):
+            super().__init__()
+            self.qkv = torch.nn.Linear(d, 3 * d)
+            self.proj = torch.nn.Linear(d, d)
+            self.norm = torch.nn.LayerNorm(d)
+            self.h = heads
+            self.d = d
+
+        def forward(self, x):
+            n, d = x.shape[0], self.d
+            qkv = self.qkv(x).reshape(n, 3, self.h, d // self.h)
+            qkv = qkv.permute(1, 2, 0, 3)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            o = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+            o = o.transpose(0, 1).reshape(n, d)
+            return self.norm(x + self.proj(o))
+
+    model = SelfAttention().eval()
+    x = np.random.RandomState(4).rand(10, 16).astype(np.float32)
+    with torch.no_grad():
+        traced = torch.jit.trace(model, torch.tensor(x))
+    fn = torchscript_to_jax(traced, np.float32)
+    assert fn is not None
+    with torch.no_grad():
+        want = model(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(np.asarray(fn(x)), want, atol=2e-5)
+
+
+def test_causal_attention_takes_host_fallback():
+    """is_causal=True changes the math — must fall back, not lift wrong."""
+
+    class Causal(torch.nn.Module):
+        def forward(self, x):
+            return torch.nn.functional.scaled_dot_product_attention(
+                x, x, x, is_causal=True)
+
+    x = torch.rand(2, 8, 4)
+    with torch.no_grad():
+        traced = torch.jit.trace(Causal().eval(), x)
+    assert torchscript_to_jax(traced, np.float32) is None
+
+
+def test_mean_reduction_matches():
+    class Pool(torch.nn.Module):
+        def forward(self, x):
+            return x.mean(dim=1, keepdim=True) + x.sum(dim=0)
+
+    x = np.random.RandomState(5).rand(6, 7).astype(np.float32)
+    with torch.no_grad():
+        traced = torch.jit.trace(Pool().eval(), torch.tensor(x))
+    fn = torchscript_to_jax(traced, np.float32)
+    assert fn is not None
+    with torch.no_grad():
+        want = Pool()(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(np.asarray(fn(x)), want, atol=1e-6)

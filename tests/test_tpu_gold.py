@@ -40,6 +40,15 @@ H5_CASES = [
      "test/tests/lbm/gold/channel3D.h5", "channel3D.h5", 1e-3),
     ("test/tests/lbm/mixed_bcs_d3q19.i", [],
      "test/tests/lbm/gold/mixed_bcs_d3q19.h5", "mixed_bcs_d3q19.h5", 1e-3),
+    # the FUSED Pallas kernels on the actual chip (the CPU suite runs them
+    # in interpret mode, which never sees Mosaic's tiling/VMEM rules —
+    # r04 caught a real 2-D tiling gap this way): 3-D blocked BGK and the
+    # 2-D single-block Smagorinsky + projection + Zou-He + zero-gradient
+    # chain
+    ("test/tests/lbm/channel3D.i", ["Problem/lbm_backend=PALLAS"],
+     "test/tests/lbm/gold/channel3D.h5", "channel3D.h5", 1e-3),
+    ("test/tests/lbm/obstacle.i", ["Problem/lbm_backend=PALLAS"],
+     "test/tests/lbm/gold/obstacle.h5", "obstacle.h5", 1e-3),
 ]
 
 
