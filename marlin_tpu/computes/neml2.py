@@ -654,6 +654,200 @@ class ChabochePlasticHardening(_NEML2Model):
         return {self.to_var: rate}
 
 
+class ScalarBackwardEulerTimeIntegration(_NEML2Model):
+    """residual/<var> = s − s_old − ṡ·(t − t_old) — NEML2's
+    BackwardEulerTimeIntegration<Scalar>.  Unlike the forward-Euler variant
+    this model does not update the state: it emits the implicit residual on
+    NEML2's residual axis, consumed by ImplicitUpdate's Newton solve (the
+    rate ṡ is evaluated by sibling models AT the current guess of
+    state/<var>, which enters through the composed chain)."""
+
+    NCOMP = 1
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        var = params.get_str("variable", required=True)
+        self.state_var = var if "/" in var else f"state/{var}"
+        if not self.state_var.startswith("state/"):
+            params.error("variable",
+                         "implicit integration targets a state/ variable")
+        self.rate = f"{self.state_var}_rate"
+        self.old = "old_" + self.state_var
+        self.t = params.get_str("time", "forces/t")
+        self.t_old = f"old_{self.t}"
+        self.to_var = self.state_var.replace("state/", "residual/", 1)
+        self.from_var = [self.state_var, self.rate, self.old,
+                         self.t, self.t_old]
+
+    def forward(self, env):
+        dt = env[self.t] - env[self.t_old]
+        return {self.to_var: env[self.state_var] - env[self.old]
+                - env[self.rate] * dt}
+
+
+class SR2BackwardEulerTimeIntegration(ScalarBackwardEulerTimeIntegration):
+    """residual/<var> = S − S_old − Ṡ·(t − t_old) on Mandel SR2 variables —
+    NEML2's BackwardEulerTimeIntegration<SR2> (implicit residual for tensor
+    state: plastic strain, back stress)."""
+
+    NCOMP = 6
+
+    def forward(self, env):
+        dt = env[self.t] - env[self.t_old]
+        return {self.to_var: env[self.state_var] - env[self.old]
+                - env[self.rate] * dt[..., None]}
+
+
+def _find_backward_euler(model):
+    """Walk a (possibly composed) model for its implicit-residual members."""
+    if isinstance(model, ScalarBackwardEulerTimeIntegration):
+        return [model]
+    if isinstance(model, ComposedModel):
+        found = []
+        for m in model.models:
+            found.extend(_find_backward_euler(m))
+        return found
+    return []
+
+
+class ImplicitUpdate(_NEML2Model):
+    """NEML2's ImplicitUpdate: Newton-solve the implicit model's residual
+    R(state) = 0 for the integrated state variables, then expose the solved
+    state (and every other output of the inner model at the solution).
+
+    The reference wraps NEML2's assembled Newton with libTorch autodiff
+    Jacobians (src/tensor_computes/NEML2TensorCompute.C wraps any such
+    model).  marlin_tpu does it the JAX way: the unknowns at every grid
+    point are packed into one trailing axis u ∈ R^n (scalar vars contribute
+    one slot, Mandel SR2 vars six), the per-point Jacobian is built from n
+    `jax.jvp` columns of the residual (exact forward-mode autodiff — no
+    finite differences), and a field-wide vectorized Newton runs in a
+    single `lax.while_loop` with batched `jnp.linalg.solve` on the
+    (..., n, n) systems.  Everything stays inside the jitted compute graph:
+    no host syncs, no per-point Python.
+
+    Convergence: max|R| < absolute_tolerance, or < relative_tolerance ×
+    max|R₀|; `miter` bounds the iteration count (non-convergence leaves the
+    last iterate — NaN guards downstream surface divergence, matching the
+    NaN semantics of the reference's solver failures)."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        inner_name = params.get_str("implicit_model", required=True)
+        root = params.node.parent
+        node = root.children.get(inner_name)
+        if node is None:
+            raise NEML2Error(
+                f"ImplicitUpdate '{name}': implicit_model '{inner_name}' "
+                f"not found (available: {sorted(root.children)})")
+        sp = Params(node)
+        mtype = sp.get_str("type", required=True)
+        if mtype not in _MODEL_TYPES:
+            raise NEML2Error(
+                f"ImplicitUpdate '{name}': implicit_model '{inner_name}' "
+                f"has unsupported type '{mtype}'")
+        self.inner = _MODEL_TYPES[mtype](inner_name, sp)
+        self.abs_tol = params.get_float("absolute_tolerance", 1e-10)
+        self.rel_tol = params.get_float("relative_tolerance", 1e-8)
+        self.miter = params.get_int("miter", 50)
+
+        be = _find_backward_euler(self.inner)
+        if not be:
+            raise NEML2Error(
+                f"ImplicitUpdate '{name}': implicit_model '{inner_name}' "
+                "contains no BackwardEulerTimeIntegration member — nothing "
+                "to solve for")
+        # (state var, component count, residual var) per unknown, in a
+        # stable order; the packed unknown vector follows this layout
+        self.specs = [(m.state_var, m.NCOMP, m.to_var) for m in be]
+        unknowns = {s for s, _, _ in self.specs}
+        inner_from = set(getattr(self.inner, "from_var", []))
+        self.from_var = sorted(inner_from - unknowns)
+        inner_to = self.inner.to_var
+        inner_to = inner_to if isinstance(inner_to, (list, tuple)) else [inner_to]
+        self.to_var = sorted(
+            unknowns | {v for v in inner_to if not v.startswith("residual/")})
+
+    def forward(self, env):
+        import jax
+
+        n = sum(nc for _, nc, _ in self.specs)
+
+        def unpack(u, base):
+            """u (..., n) -> env with the unknown state vars filled in."""
+            e = dict(base)
+            i = 0
+            for var, nc, _ in self.specs:
+                e[var] = u[..., i] if nc == 1 else u[..., i:i + nc]
+                i += nc
+            return e
+
+        def pack_residual(res, shape):
+            cols = []
+            for var, nc, rvar in self.specs:
+                r = res[rvar]
+                if nc == 1:
+                    cols.append(jnp.broadcast_to(r, shape)[..., None])
+                else:
+                    cols.append(jnp.broadcast_to(r, shape + (nc,)))
+            return jnp.concatenate(cols, axis=-1)
+
+        # initial guess: the old state (NEML2's default Newton seed)
+        guess = {var: env["old_" + var] for var, _, _ in self.specs}
+        probe = self.inner.forward({**env, **guess})
+        # the residuals carry the full broadcast grid shape (forces enter
+        # through the chain) — derive the common per-point layout from them
+        shape = jnp.broadcast_shapes(*[
+            probe[rvar].shape if nc == 1 else probe[rvar].shape[:-1]
+            for _, nc, rvar in self.specs])
+        cols = []
+        for var, nc, _ in self.specs:
+            g = jnp.asarray(guess[var])
+            if nc == 1:
+                cols.append(jnp.broadcast_to(g, shape)[..., None])
+            else:
+                cols.append(jnp.broadcast_to(g, shape + (nc,)))
+        u0 = jnp.concatenate(cols, axis=-1)
+
+        def res_fn(u):
+            return pack_residual(self.inner.forward(unpack(u, env)), shape)
+
+        r0 = res_fn(u0)
+        tol = jnp.maximum(jnp.asarray(self.abs_tol, u0.dtype),
+                          self.rel_tol * jnp.max(jnp.abs(r0)))
+        eye = jnp.eye(n, dtype=u0.dtype)
+
+        def jac(u):
+            # n exact forward-mode columns; n is small (a handful of state
+            # vars), so this beats materializing a full jacfwd over fields
+            cols = [jax.jvp(res_fn, (u,),
+                            (jnp.broadcast_to(eye[i], u.shape),))[1]
+                    for i in range(n)]
+            return jnp.stack(cols, axis=-1)  # (..., n, n)
+
+        def cond(carry):
+            _, r, it = carry
+            return jnp.logical_and(it < self.miter,
+                                   jnp.max(jnp.abs(r)) > tol)
+
+        def body(carry):
+            u, r, it = carry
+            du = jnp.linalg.solve(jac(u), r[..., None])[..., 0]
+            u = u - du
+            return u, res_fn(u), it + 1
+
+        u, _, _ = jax.lax.while_loop(cond, body,
+                                     (u0, r0, jnp.zeros((), jnp.int32)))
+
+        solved = unpack(u, env)
+        out = self.inner.forward(solved)
+        result = {var: solved[var] for var, _, _ in self.specs}
+        for k, v in out.items():
+            if not k.startswith("residual/"):
+                result[k] = v
+        return result
+
+
 class ArrheniusParameter(_NEML2Model):
     """p(T) = p0·exp(−Q/(R·T)) (NEML2 ArrheniusParameter: thermally
     activated parameter scaling; R defaults to the gas constant in
@@ -694,6 +888,9 @@ _MODEL_TYPES = {
     "LinearKinematicHardening": LinearKinematicHardening,
     "ChabochePlasticHardening": ChabochePlasticHardening,
     "ArrheniusParameter": ArrheniusParameter,
+    "ScalarBackwardEulerTimeIntegration": ScalarBackwardEulerTimeIntegration,
+    "SR2BackwardEulerTimeIntegration": SR2BackwardEulerTimeIntegration,
+    "ImplicitUpdate": ImplicitUpdate,
 }
 
 
