@@ -357,7 +357,43 @@ def bench_1a():
     return out
 
 
-def bench_2a(num_steps=100):
+def bench_1a_fused():
+    """The 1a tuned variant ALONE (Pallas FFT + carried ū + fused spectral
+    substep) — a second-chance slot: when the 1a child's budget gate had to
+    skip the variant behind a slow required compile, leftover late-suite
+    budget can still land the driver-captured fused number."""
+    import jax
+
+    from marlin_tpu.problem import TensorProblem
+
+    root = _load_deck("benchmarks/01_spinodal_decomposition/1a.i",
+                      ["Domain/fft_backend=PALLAS",
+                       "Problem/carry_reciprocal=true",
+                       "Problem/fused_spectral=true"])
+    problem = TensorProblem(root)
+    state = problem.init_state()
+    run = jax.jit(build_run(problem, num_steps=1000, dt0=1.0, growth=1.1,
+                            dtmax=300.0, end_time=10500.0, change_tol=1e-4))
+    t0 = time.time()
+    s, t, F, _, _ = run(state)
+    F = float(F)
+    first = time.time() - t0
+    out = {"fused_value": round(first, 3), "unit": "s (incl. compile)",
+           "fused_vs_baseline": round(BASELINE_SECONDS / first, 3),
+           "fused_F_final": round(F, 3), "fused_steps": int(s),
+           "compile_incl": True}
+    _emit(out)  # salvage: compile-inclusive wall + physics
+    t0 = time.time()
+    s, t, F, _, _ = run(state)
+    F = float(F)
+    wall = time.time() - t0
+    return {"fused_value": round(wall, 3),
+            "fused_vs_baseline": round(BASELINE_SECONDS / wall, 3),
+            "fused_F_final": round(F, 3), "fused_steps": int(s),
+            "compile_s": round(first - wall, 1)}
+
+
+def bench_2a(num_steps=100, variant=None):
     """Reference benchmark 2a (Ostwald ripening: c + 4 order parameters,
     200x200, `substeps = 2000`, adaptive dt growth 1.1 to dtmax 10) —
     the reference's second headline deck
@@ -461,6 +497,27 @@ def bench_2a(num_steps=100):
             "vs_baseline": None,
             "compile_incl": True,
         })
+
+    if variant == "tuned":
+        # second-chance slot: ONLY the tuned config (batch_fft + carried ū),
+        # for when the 2a slot's budget gate had to skip it
+
+        def progress_t(first_wall):
+            _emit({"tuned_value": round(first_wall, 3),
+                   "unit": f"s/{num_steps}steps (incl. compile)",
+                   "compile_incl": True})
+
+        wall2, first2, s2, t2, pps2, sub2 = run(
+            ["Problem/batch_fft=true", "TensorSolver/carry_reciprocal=true"],
+            progress=progress_t)
+        return {
+            "tuned_value": round(wall2, 3),
+            "tuned_substep_us": round(wall2 / (s2 * sub2) * 1e6, 1),
+            "tuned_F_final": round(pps2.get("F", float("nan")), 3),
+            "tuned_c_range": [round(pps2.get("min_c", 0.0), 4),
+                              round(pps2.get("max_c", 0.0), 4)],
+            "tuned_compile_s": round(first2 - wall2, 1),
+        }
 
     wall, first, step, t, pps, substeps = run([], progress=progress)
     total_substeps = step * substeps
@@ -654,6 +711,50 @@ def bench_ch3d(n, substeps=10, reps=3):
             out_d[f"{key}_error"] = repr(e)[:300]
             _emit(out_d)
     return out_d
+
+
+def bench_ch3d_fused(n=512, substeps=10, reps=3):
+    """Second-chance slot for the ch3d fused headline (the whole predictor
+    substep as 5 Pallas passes, pallas_spectral.py): when the ch3d_512
+    child's budget gate had to skip the fused variant behind a slow
+    required compile, leftover late-suite budget can still land the
+    driver-captured fused cell-updates/s number."""
+    import jax
+    import jax.numpy as jnp
+
+    from marlin_tpu import hit
+    from marlin_tpu.problem import TensorProblem
+
+    deck = (_CH3D_DECK.format(n=n, substeps=substeps)
+            .replace("substeps =",
+                     "carry_reciprocal = true\n  fused_spectral = true\n"
+                     "  substeps =")
+            .replace("[Domain]", "[Domain]\n  fft_backend = PALLAS"))
+    problem = TensorProblem(hit.parse(deck))
+    step = jax.jit(problem._step_impl, donate_argnums=(0,))
+    dt = jnp.asarray(1e-3, problem.domain.dtype)
+
+    t0 = time.time()
+    out = step(problem.init_state(), 0.0, dt, dt, jnp.asarray(False))
+    _sync(out["buffers"]["c"])
+    first = time.time() - t0
+    _emit({"cells": n ** 3, "fused_compile_s": round(first, 1),
+           "partial_stage": "compiled"})
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    _sync(tiny(jnp.zeros(())))
+    t0 = time.time()
+    _sync(tiny(jnp.zeros(())))
+    rt = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(reps):
+        out = step(out, 0.0, dt, dt, jnp.asarray(False))
+    _sync(out["buffers"]["c"])
+    sub_s = max((time.time() - t0 - rt) / reps, 1e-9) / substeps
+    return {"fused_substep_ms": round(sub_s * 1e3, 3),
+            "fused_cell_updates_per_s": round(n ** 3 / sub_s),
+            "fused_compile_s": round(first, 1)}
 
 
 def bench_lbm(n=128, substeps=20, reps=3, backend="JNP"):
@@ -1416,6 +1517,8 @@ def _run_child(name):
         print(json.dumps(bench_probe()))
     elif name == "1a":
         print(json.dumps(bench_1a()))
+    elif name == "ch3d_fused":
+        print(json.dumps(bench_ch3d_fused()))
     elif name.startswith("ch3d_"):
         print(json.dumps(bench_ch3d(int(name.split("_")[1]))))
     elif name == "2a":
@@ -1458,6 +1561,10 @@ def _run_child(name):
     elif name == "degeus128_pallas":
         print(json.dumps(bench_degeus(steps=2, reps=1, n=128,
                                       fft_backend="PALLAS")))
+    elif name == "1a_fused":
+        print(json.dumps(bench_1a_fused()))
+    elif name == "2a_tuned":
+        print(json.dumps(bench_2a(variant="tuned")))
     else:
         raise SystemExit(f"unknown benchmark {name}")
 
@@ -1544,14 +1651,68 @@ def _probe(deadline):
     return False
 
 
+# Second-chance children: late-suite slots that re-attempt a headline
+# VARIANT number whose primary slot's budget gate had to skip it behind a
+# slow required compile.  key -> (primary slot key or None for top level,
+# presence-check key, variant key prefix to merge).
+SECOND_CHANCE = {
+    "1a_fused": (None, "fused_value", "fused"),
+    "ch3d_fused": ("ch3d_512", "fused_substep_ms", "fused"),
+    "2a_tuned": ("benchmark_2a", "tuned_value", "tuned"),
+}
+
+
+def _second_chance_target(result, key):
+    sc = SECOND_CHANCE.get(key)
+    if sc is None:
+        return None, None
+    target = result if sc[0] is None else result.get(sc[0])
+    return sc, (target if isinstance(target, dict) else None)
+
+
+def _second_chance_landed(result, key):
+    """True when the metric a second-chance child exists for is already in
+    the accumulated result (the primary slot's gate let the variant run)."""
+    sc, target = _second_chance_target(result, key)
+    return (sc is not None and target is not None
+            and target.get(sc[1]) is not None)
+
+
+def _absorb(result, key, sub):
+    """Merge one child's output dict into the accumulated artifact."""
+    if key == "1a":
+        # the 1a headline IS the artifact's top-level metric
+        if "value" in sub and sub.get("value") is not None:
+            result.update(sub)
+        else:
+            result.update({k: v for k, v in sub.items()
+                           if k in ("error", "skipped", "partial")})
+        return
+    sc, target = _second_chance_target(result, key)
+    if sc is not None:
+        if sub.get(sc[1]) is not None:
+            # land the second-chance number in the primary slot, where the
+            # budget-gated variant would have put it
+            if target is None:
+                target = result.setdefault(sc[0], {})
+            target.pop(f"{sc[2]}_skipped", None)
+            target.update({k: v for k, v in sub.items()
+                           if k.startswith(sc[2])})
+        else:
+            result[key] = sub
+        return
+    result[key] = sub
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--list":
         print("children (run one with: python bench.py --child <name>):")
-        for name in ("probe", "1a", "2a", "ch3d_256", "ch3d_512", "lbm",
-                     "lbm_pallas", "lbm_porous", "lbm_porous_jnp",
+        for name in ("probe", "1a", "1a_fused", "2a", "2a_tuned", "ch3d_256",
+                     "ch3d_512", "ch3d_fused",
+                     "lbm", "lbm_pallas", "lbm_porous", "lbm_porous_jnp",
                      "lbm_mixed", "lbm_mixed_jnp", "lbm_thermal",
-                     "lbm_thermal_jnp", "degeus",
-                     "degeus_pallas", "degeus64", "degeus64_pallas",
+                     "lbm_thermal_jnp", "lbm_karman", "lbm_karman_jnp",
+                     "degeus", "degeus_pallas", "degeus64", "degeus64_pallas",
                      "degeus128", "degeus128_pallas"):
             print(" ", name)
         return
@@ -1603,6 +1764,11 @@ def main():
         # measured anywhere from 73 to ~680 s on axon
         ("benchmark_2a", "2a", 2, 900, 400),
         # showcases (not in the reserve: BASELINE metrics outrank them)
+        # second chances for the headline VARIANT numbers when the primary
+        # slots' budget gates had to skip them behind slow required compiles
+        ("1a_fused", "1a_fused", 1, 600, 0),
+        ("ch3d_fused", "ch3d_fused", 1, 600, 0),
+        ("2a_tuned", "2a_tuned", 1, 600, 0),
         ("ch3d_256", "ch3d_256", 1, 600, 0),
         ("lbm_channel3d_128_pallas", "lbm_pallas", 1, 600, 0),
         ("lbm_channel3d_128", "lbm", 1, 600, 0),
@@ -1619,6 +1785,8 @@ def main():
     for (key, child, attempts, timeout, _), reserve in zip(children, reserves):
         if wedged:
             sub = {"skipped": "backend wedged"}
+        elif _second_chance_landed(result, key):
+            sub = {"skipped": "already landed in the primary slot"}
         elif deadline - time.time() < 120:
             sub = {"skipped": "budget exhausted"}
         else:
@@ -1631,14 +1799,7 @@ def main():
                 wedged = not _probe(deadline)
                 if wedged:
                     sub = dict(sub, skipped="backend wedged")
-        if key == "1a":
-            if "value" in sub and sub.get("value") is not None:
-                result.update(sub)
-            else:
-                result.update({k: v for k, v in sub.items()
-                               if k in ("error", "skipped", "partial")})
-        else:
-            result[key] = sub
+        _absorb(result, key, sub)
         # incremental emission: the FULL accumulated result line goes to
         # BOTH stdout and stderr after every child, so even a hard parent
         # kill (rc=124 in the r03 driver run) leaves a complete parseable

