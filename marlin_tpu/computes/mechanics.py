@@ -92,33 +92,58 @@ def dyad22(A2, B2):
 def conjugate_gradient(A, b, x0, tol, maxiter):
     """Matrix-free CG with relative-to-|b| convergence
     (reference conjugateGradientSolve, include/utils/MarlinUtils.h:55-131).
-    Runs as a lax.while_loop; returns (x, iterations, residual_norm)."""
+    Runs as a lax.while_loop; returns (x, iterations, residual_norm).
+
+    Breakdown guard (beyond the reference, which returns whatever iterate
+    maxiter lands on): the Green-projected tangent is positive
+    SEMI-definite, so when a tolerance below the operator's floor keeps CG
+    iterating, roundoff (amplified under sharded-FFT reduction ordering)
+    injects null-space components until p·Ap ≈ 0 and the iterates explode
+    — measured |F| ~ 2e6 on the tight-tolerance mech3d deck at 4 slab
+    ranks.  The guard skips the update on a non-positive p·Ap, stops on
+    NaN or a 100× residual-growth, and returns the best iterate seen (a
+    truncated inexact-Newton step).  In the convergent regime none of
+    this triggers and the iteration is bit-identical to the reference."""
     b_norm = jnp.linalg.norm(b)
     x = x0
     r = b - A(x)
     p = r
     rz0 = jnp.sum(r * r)
+    r0_norm = jnp.linalg.norm(r)
+    growth_cap = 100.0 * jnp.maximum(b_norm, r0_norm)
 
     def cond(carry):
-        x, r, p, rz_old, k, res_norm, done = carry
+        x, r, p, rz_old, k, res_norm, done, x_best, res_best, blown = carry
         return (~done) & (k < maxiter)
 
     def body(carry):
-        x, r, p, rz_old, k, res_norm, done = carry
+        x, r, p, rz_old, k, res_norm, done, x_best, res_best, blown = carry
         Ap = A(p)
-        alpha = rz_old / jnp.sum(p * Ap)
+        pAp = jnp.sum(p * Ap)
+        broke = pAp <= 0.0
+        alpha = jnp.where(broke, 0.0, rz_old / jnp.where(broke, 1.0, pAp))
         x = x + alpha * p
         r = r - alpha * Ap
         res_norm = jnp.linalg.norm(r)
-        done = res_norm <= tol * b_norm
+        improved = res_norm < res_best
+        x_best = jnp.where(improved, x, x_best)
+        res_best = jnp.minimum(res_norm, res_best)
+        diverged = broke | jnp.isnan(res_norm) | (res_norm > growth_cap)
+        done = (res_norm <= tol * b_norm) | diverged
         rz_new = jnp.sum(r * r)
         beta = rz_new / rz_old
         p = jnp.where(done, p, r + beta * p)
-        return (x, r, p, rz_new, k + 1, res_norm, done)
+        return (x, r, p, rz_new, k + 1, res_norm, done,
+                x_best, res_best, blown | diverged)
 
-    init = (x, r, p, rz0, jnp.zeros((), jnp.int32), jnp.linalg.norm(r), b_norm == 0.0)
-    x, r, p, rz, k, res_norm, done = jax.lax.while_loop(cond, body, init)
-    return x, k, res_norm
+    init = (x, r, p, rz0, jnp.zeros((), jnp.int32), r0_norm,
+            b_norm == 0.0, x, r0_norm, jnp.asarray(False))
+    (x, r, p, rz, k, res_norm, done,
+     x_best, res_best, blown) = jax.lax.while_loop(cond, body, init)
+    # only a blown solve substitutes the best iterate — the convergent
+    # path returns the final x unchanged (bit-exact gold parity)
+    return (jnp.where(blown, x_best, x), k,
+            jnp.where(blown, res_best, res_norm))
 
 
 def _identity_tensors(dim, dtype):
@@ -594,26 +619,41 @@ class FFTQuasistaticElasticity(TensorCompute):
         Axy = jnp.broadcast_to((lam + mu) * k[0] * k[1], shape)
         Axz = jnp.broadcast_to((lam + mu) * k[0] * k[2], shape)
         Ayz = jnp.broadcast_to((lam + mu) * k[1] * k[2], shape)
-        zero_idx = (0,) * dom.dim
-        Axx = Axx.at[zero_idx].set(1.0)
-        Ayy = Ayy.at[zero_idx].set(1.0)
-        Azz = Azz.at[zero_idx].set(1.0)
+        # k=0 pin via a factorized where-mask, NOT a scatter: GSPMD
+        # miscompiles a scatter-into-broadcast when the consumer chain
+        # crosses into the shard_map FFT (observed: det==0 at each
+        # shard's local origin on the 4-rank slab mesh), and on TPU a
+        # fused select is free while scatter is not
+        k2 = dom.k_square
+        at_zero = k2 == 0
+        one = jnp.ones((), dtype=Axx.dtype)
+        Axx = jnp.where(at_zero, one, Axx)
+        Ayy = jnp.where(at_zero, one, Ayy)
+        Azz = jnp.where(at_zero, one, Azz)
         cbar = state[self.cbar]
         e = 2.0 * self.e0 * cbar * (3.0 * self.lam + self.mu)
-        e = e.at[zero_idx].set(0.0)
-        b = jnp.stack(
-            [jnp.broadcast_to(k[0] * e, shape), jnp.broadcast_to(k[1] * e, shape),
-             jnp.broadcast_to(k[2] * e, shape)], -1
+        e = jnp.where(at_zero, jnp.zeros((), dtype=e.dtype), e)
+        b0 = k[0] * e
+        b1 = k[1] * e
+        b2 = k[2] * e
+        # closed-form cofactor solve of the symmetric 3x3 acoustic system —
+        # pure elementwise arithmetic instead of a batched LU custom call:
+        # jnp.linalg.solve miscompiles under GSPMD sharding (NaN fields on
+        # the 4-rank slab mesh, while the same call is fine eagerly) and a
+        # pointwise adjugate maps onto the VPU without any custom call
+        c00 = Ayy * Azz - Ayz * Ayz
+        c01 = Axz * Ayz - Axy * Azz
+        c02 = Axy * Ayz - Axz * Ayy
+        det = Axx * c00 + Axy * c01 + Axz * c02
+        inv_det = 1.0 / det
+        c11 = Axx * Azz - Axz * Axz
+        c12 = Axy * Axz - Axx * Ayz
+        c22 = Axx * Ayy - Axy * Axy
+        x = jnp.stack(
+            [(c00 * b0 + c01 * b1 + c02 * b2) * inv_det,
+             (c01 * b0 + c11 * b1 + c12 * b2) * inv_det,
+             (c02 * b0 + c12 * b1 + c22 * b2) * inv_det], -1
         )
-        A = jnp.stack(
-            [
-                jnp.stack([Axx, Axy, Axz], -1),
-                jnp.stack([Axy, Ayy, Ayz], -1),
-                jnp.stack([Axz, Ayz, Azz], -1),
-            ],
-            -1,
-        )
-        x = jnp.linalg.solve(A, b[..., None])[..., 0]
         return {
             name: dom.ifft(x[..., i]) for i, name in enumerate(self.displacements)
         }
