@@ -1747,9 +1747,6 @@ def main():
         # compiles 1-2 whole-run programs (headline + optional fused
         # variant); the headline is emitted incrementally either way
         ("1a", "1a", 2, 900, 250),
-        # required 512^3 metric = ONE program + fft roofline; fused/carry/
-        # pallas variants are budget-gated inside the child
-        ("ch3d_512", "ch3d_512", 1, 900, 300),
         # attempts=2 (r03 post-mortem: single-shot at timeout 600 lost the
         # whole child to one 500 s-class cold compile; a second attempt
         # hits the just-written compile cache and finishes in seconds)
@@ -1763,6 +1760,12 @@ def main():
         # the multi-variable fused substep); its cold compile has been
         # measured anywhere from 73 to ~680 s on axon
         ("benchmark_2a", "2a", 2, 900, 400),
+        # required 512^3 metric = ONE program + fft roofline; fused/carry/
+        # pallas variants are budget-gated inside the child.  LAST of the
+        # BASELINE children (r04 reorder): its compile is the most
+        # queue-volatile (533-900+ s observed) — cheap-certain children
+        # first maximizes expected artifact coverage under a fixed budget
+        ("ch3d_512", "ch3d_512", 1, 900, 300),
         # showcases (not in the reserve: BASELINE metrics outrank them)
         # second chances for the headline VARIANT numbers when the primary
         # slots' budget gates had to skip them behind slow required compiles
@@ -1793,9 +1796,14 @@ def main():
             os.environ["MARLIN_TPU_BENCH_RESERVE"] = str(reserve)
             sub = _spawn(child, deadline, attempts=attempts, timeout=timeout)
             if ("error" in sub and "partial" not in sub
+                    and "timeout" not in str(sub.get("error", ""))
                     and deadline - time.time() > 150):
                 # distinguish a flaky child from a wedged backend before
-                # spending further timeouts
+                # spending further timeouts.  A child TIMEOUT is excluded:
+                # it proves the backend is reachable-but-slow (usually a
+                # backed-up remote compile queue), and the probe would only
+                # burn 90-180 s squeezing the remaining children (r04 run:
+                # the post-ch3d probe cost degeus128 its slot)
                 wedged = not _probe(deadline)
                 if wedged:
                     sub = dict(sub, skipped="backend wedged")
