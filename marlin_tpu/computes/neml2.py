@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..params import Params
 from ..registry import computes
+from ..smallsolve import small_solve
 from .base import ComputeError, TensorCompute
 
 
@@ -722,9 +723,9 @@ class ImplicitUpdate(_NEML2Model):
     one slot, Mandel SR2 vars six), the per-point Jacobian is built from n
     `jax.jvp` columns of the residual (exact forward-mode autodiff — no
     finite differences), and a field-wide vectorized Newton runs in a
-    single `lax.while_loop` with batched `jnp.linalg.solve` on the
-    (..., n, n) systems.  Everything stays inside the jitted compute graph:
-    no host syncs, no per-point Python.
+    single `lax.while_loop` with an unrolled elementwise solve
+    (smallsolve.py) of the (..., n, n) systems.  Everything stays inside
+    the jitted compute graph: no host syncs, no per-point Python.
 
     Convergence: max|R| < absolute_tolerance, or < relative_tolerance ×
     max|R₀|; `miter` bounds the iteration count (non-convergence leaves the
@@ -832,7 +833,9 @@ class ImplicitUpdate(_NEML2Model):
 
         def body(carry):
             u, r, it = carry
-            du = jnp.linalg.solve(jac(u), r[..., None])[..., 0]
+            # unrolled elementwise solve (smallsolve.py): GSPMD/layout-safe
+            # under sharded decks, unlike the batched-LU custom call
+            du = small_solve(jac(u), r)
             u = u - du
             return u, res_fn(u), it + 1
 

@@ -262,6 +262,28 @@ def local_slices(domain):
 # ---------------------------------------------------------------------------
 
 
+def _row_major(x):
+    """Pin x to a freshly-linearized default (dim0-major) layout.
+
+    XLA:CPU's fft thunk hard-rejects non-dim0-major operand layouts
+    (RET_CHECK fft_thunk.cc:167) instead of inserting a copy, and in deep
+    fused sharded programs (e.g. the coupled ABM corrector: solve ->
+    stack/slice -> ifft in ONE program) layout assignment feeds it a
+    column-major buffer.  A bare optimization_barrier is layout-
+    transparent and a reshape pair folds away before layout assignment —
+    but reshape -> barrier -> reshape survives: the 1-D intermediate has
+    exactly one layout, so the reshape back can only be a row-major
+    bitcast.  Cost: at most one linearization copy per transform (the
+    operand materializes for the all_to_all/gather anyway).  Pinning BOTH
+    the fft operand and result is required — layout pressure comes from
+    the consumer side.  No-op off the CPU backend: the workaround targets
+    the CPU thunk runtime; TPU keeps unconstrained fusion."""
+    if jax.default_backend() != "cpu":
+        return x
+    flat = jax.lax.optimization_barrier(x.reshape(-1))
+    return flat.reshape(x.shape)
+
+
 def fft(domain, x):
     from .domain import ParallelMode
 
@@ -309,6 +331,7 @@ def fft_slab(domain, x):
     half_z = dim == 3 and not jnp.iscomplexobj(x)
 
     def kernel(blk):
+        blk = _row_major(blk)  # fft-thunk layout pin, see _row_major
         if half_z:
             z = jnp.fft.rfft(blk, axis=2).astype(cdtype)
             z = jnp.fft.fft(z, axis=0)
@@ -345,6 +368,7 @@ def ifft_slab(domain, x):
     nz = domain.n_global[2] if dim == 3 else None
 
     def kernel(blk):
+        blk = _row_major(blk)  # fft-thunk layout pin, see _row_major
         z = jnp.fft.ifft(blk, axis=1)
         z = jax.lax.all_to_all(z, "sp", split_axis=1, concat_axis=0, tiled=True)
         z = jnp.fft.ifft(z, axis=0)
@@ -374,11 +398,14 @@ def _gspmd_fft(domain, x):
     spatial = tuple(range(domain.dim))
 
     if jnp.iscomplexobj(x):
-        fn = lambda a: jnp.fft.fftn(a, axes=spatial).astype(domain.cdtype)
+        fn = lambda a: jnp.fft.fftn(
+            _row_major(a), axes=spatial).astype(domain.cdtype)
     elif domain.dim == 3 and domain._use_rfft(2):
-        fn = lambda a: jnp.fft.rfftn(a, axes=spatial).astype(domain.cdtype)
+        fn = lambda a: jnp.fft.rfftn(
+            _row_major(a), axes=spatial).astype(domain.cdtype)
     else:
-        fn = lambda a: jnp.fft.fftn(a, axes=spatial).astype(domain.cdtype)
+        fn = lambda a: jnp.fft.fftn(
+            _row_major(a), axes=spatial).astype(domain.cdtype)
     # the transform runs inside a replicated shard_map so its operand is a
     # plain per-device buffer (XLA:CPU's fft thunk rejects the partitioner's
     # resharded layouts when fed from the gather directly)
@@ -393,11 +420,11 @@ def _gspmd_ifft(domain, x):
     spatial = tuple(range(domain.dim))
     if (domain.dim == 3 and domain._use_rfft(2)
             and x.shape[2] == domain.reciprocal_shape[2]):
-        fn = lambda a: jnp.fft.irfftn(
-            a, s=domain.shape, axes=spatial).astype(domain.dtype)
+        fn = lambda a: _row_major(jnp.fft.irfftn(
+            _row_major(a), s=domain.shape, axes=spatial).astype(domain.dtype))
     else:
-        fn = lambda a: jnp.fft.ifftn(
-            a, axes=spatial).real.astype(domain.dtype)
+        fn = lambda a: _row_major(jnp.fft.ifftn(
+            _row_major(a), axes=spatial).real.astype(domain.dtype))
     z = shard_map(fn, mesh=mesh, in_specs=P(), out_specs=P(),
                   check_vma=False)(x)
     return jax.lax.with_sharding_constraint(

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..params import Params
 from ..registry import solvers
+from ..smallsolve import small_solve
 from .abm import ALPHA, BETA, MAX_ORDER
 from .base import SplitOperatorBase
 
@@ -118,8 +119,11 @@ class AdamsBashforthMoultonCoupled(SplitOperatorBase):
             return x.astype(dtype)
 
         def solve(A, rhs_list):
+            # unrolled elementwise solve (smallsolve.py): the batched-LU
+            # custom call's output layout trips XLA's CPU fft thunk when
+            # the result feeds the inverse FFT inside a sharded program
             b = jnp.stack([cast(r) for r in rhs_list], axis=-1)
-            ubar_all = jnp.linalg.solve(A, b[..., None])[..., 0]
+            ubar_all = small_solve(A, b)
             return [ubar_all[..., i] for i in range(N)]
 
         # predictor rhs
