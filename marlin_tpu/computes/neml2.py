@@ -655,6 +655,39 @@ class ChabochePlasticHardening(_NEML2Model):
         return {self.to_var: rate}
 
 
+class RateIndependentPlasticFlowConstraint(_NEML2Model):
+    """The Fischer–Burmeister complementarity residual of rate-INDEPENDENT
+    plasticity (NEML2 RateIndependentPlasticFlowConstraint): with the
+    plastic multiplier rate γ̇ = state/internal/gamma_rate as an implicit
+    unknown, emit
+
+        residual/internal/gamma_rate = γ̇ − f − √(γ̇² + f²)
+
+    i.e. FB(γ̇, −f), which vanishes iff γ̇ ≥ 0, f ≤ 0 and γ̇·f = 0 — the
+    KKT conditions.  Combine with Normality/AssociativePlasticFlow and
+    BackwardEulerTimeIntegration members inside ImplicitUpdate for the
+    standard rate-independent return map solved as one Newton system
+    (reference runs the same model via NEML2's assembled Newton,
+    src/tensor_computes/NEML2TensorCompute.C)."""
+
+    NCOMP = 1
+    emits_residual = True
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.f = params.get_str("yield_function", "state/internal/fp")
+        self.state_var = params.get_str("flow_rate",
+                                        "state/internal/gamma_rate")
+        self.to_var = self.state_var.replace("state/", "residual/", 1)
+        # old_<flow_rate> is ImplicitUpdate's Newton seed for the unknown;
+        # listing it keeps the deck-level mapped-input audit honest
+        self.from_var = [self.state_var, self.f, "old_" + self.state_var]
+
+    def forward(self, env):
+        g, f = env[self.state_var], env[self.f]
+        return {self.to_var: g - f - jnp.sqrt(g * g + f * f)}
+
+
 class ScalarBackwardEulerTimeIntegration(_NEML2Model):
     """residual/<var> = s − s_old − ṡ·(t − t_old) — NEML2's
     BackwardEulerTimeIntegration<Scalar>.  Unlike the forward-Euler variant
@@ -664,6 +697,7 @@ class ScalarBackwardEulerTimeIntegration(_NEML2Model):
     state/<var>, which enters through the composed chain)."""
 
     NCOMP = 1
+    emits_residual = True
 
     def __init__(self, name, params):
         super().__init__(name, params)
@@ -700,8 +734,10 @@ class SR2BackwardEulerTimeIntegration(ScalarBackwardEulerTimeIntegration):
 
 
 def _find_backward_euler(model):
-    """Walk a (possibly composed) model for its implicit-residual members."""
-    if isinstance(model, ScalarBackwardEulerTimeIntegration):
+    """Walk a (possibly composed) model for its implicit-residual members
+    (BackwardEulerTimeIntegration and any other residual emitter, e.g.
+    RateIndependentPlasticFlowConstraint)."""
+    if getattr(model, "emits_residual", False):
         return [model]
     if isinstance(model, ComposedModel):
         found = []
@@ -869,6 +905,69 @@ class ArrheniusParameter(_NEML2Model):
         return {self.to_var: self.p0 * jnp.exp(-self.Q / (self.R * env[self.T]))}
 
 
+class ThermalEigenstrain(_NEML2Model):
+    """Isotropic thermal-expansion eigenstrain Eg = α·(T − T0)·I on the
+    Mandel SR2 axis (NEML2 ThermalEigenstrain): [αΔT, αΔT, αΔT, 0, 0, 0].
+    Subtract from the total strain (SR2LinearCombination) to feed
+    elasticity."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.alpha = params.get_float("CTE", required=True)
+        self.T0 = params.get_float("reference_temperature", required=True)
+        self.T = params.get_str("temperature", "forces/T")
+        self.to_var = params.get_str("eigenstrain", "forces/Eg")
+        self.from_var = [self.T]
+
+    def forward(self, env):
+        dT = env[self.T] - self.T0
+        vol = self.alpha * dT
+        zero = jnp.zeros_like(vol)
+        return {self.to_var: jnp.stack(
+            [vol, vol, vol, zero, zero, zero], axis=-1)}
+
+
+class PowerLawIsotropicHardening(_NEML2Model):
+    """k(ep) = K·ep^n (NEML2 PowerLawIsotropicHardening)."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.K = params.get_float("hardening_modulus", required=True)
+        self.n = params.get_float("exponent", required=True)
+        self.ep = params.get_str("equivalent_plastic_strain",
+                                 "state/internal/ep")
+        self.to_var = params.get_str("isotropic_hardening",
+                                     "state/internal/k")
+        self.from_var = [self.ep]
+
+    def forward(self, env):
+        # clamp at 0 so the n<1 branch stays finite under a Newton iterate
+        # that momentarily probes ep < 0
+        ep = jnp.maximum(env[self.ep], 0.0)
+        return {self.to_var: self.K * ep ** self.n}
+
+
+class SlopeSaturationVoceIsotropicHardening(_NEML2Model):
+    """Rate-form Voce hardening k̇ = θ·(1 − k/R)·γ̇ (NEML2
+    SlopeSaturationVoceIsotropicHardening): integrate state/internal/k with
+    a Scalar(Backward|Forward)EulerTimeIntegration member; saturates at R
+    with initial hardening slope θ."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.R = params.get_float("saturated_hardening", required=True)
+        self.theta = params.get_float("initial_hardening_rate", required=True)
+        self.k = params.get_str("isotropic_hardening", "state/internal/k")
+        self.gamma_rate = params.get_str("flow_rate",
+                                         "state/internal/gamma_rate")
+        self.to_var = self.k + "_rate"
+        self.from_var = [self.k, self.gamma_rate]
+
+    def forward(self, env):
+        return {self.to_var: self.theta * (1.0 - env[self.k] / self.R)
+                * env[self.gamma_rate]}
+
+
 _MODEL_TYPES = {
     "ScalarMultiplication": ScalarMultiplication,
     "ScalarLinearCombination": ScalarLinearCombination,
@@ -894,6 +993,11 @@ _MODEL_TYPES = {
     "ScalarBackwardEulerTimeIntegration": ScalarBackwardEulerTimeIntegration,
     "SR2BackwardEulerTimeIntegration": SR2BackwardEulerTimeIntegration,
     "ImplicitUpdate": ImplicitUpdate,
+    "RateIndependentPlasticFlowConstraint": RateIndependentPlasticFlowConstraint,
+    "ThermalEigenstrain": ThermalEigenstrain,
+    "PowerLawIsotropicHardening": PowerLawIsotropicHardening,
+    "SlopeSaturationVoceIsotropicHardening":
+        SlopeSaturationVoceIsotropicHardening,
 }
 
 

@@ -1326,3 +1326,155 @@ def test_neml2_implicit_update_deck_level(tmp_path):
     # parsed IC stays a broadcastable (nx,1); the solved state is grid-full)
     np.testing.assert_allclose(s, np.broadcast_to(s0, s.shape) / 2.0,
                                atol=1e-12)
+
+
+def test_neml2_thermal_eigenstrain(tmp_path):
+    """ThermalEigenstrain: Eg = alpha*(T - T0)*I on the Mandel axis, fed to
+    elasticity through SR2LinearCombination (the standard thermo-elastic
+    chain; reference runs it via NEML2's ThermalEigenstrain)."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [eg]
+    type = ThermalEigenstrain
+    CTE = 1e-5
+    reference_temperature = 300
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "eg")
+    T = jnp.asarray([[300.0, 400.0], [250.0, 350.0]])
+    out = m.forward({"forces/T": T})["forces/Eg"]
+    assert out.shape == (2, 2, 6)
+    vol = 1e-5 * (np.asarray(T) - 300.0)
+    np.testing.assert_allclose(np.asarray(out[..., :3]),
+                               np.stack([vol] * 3, axis=-1), atol=1e-15)
+    np.testing.assert_allclose(np.asarray(out[..., 3:]), 0.0, atol=0)
+
+
+def test_neml2_power_law_and_slope_saturation_hardening(tmp_path):
+    """PowerLawIsotropicHardening k = K*ep^n and the rate-form
+    SlopeSaturationVoceIsotropicHardening kdot = theta*(1 - k/R)*gdot;
+    the latter's backward-Euler fixed point saturates at R."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [pl]
+    type = PowerLawIsotropicHardening
+    hardening_modulus = 200
+    exponent = 0.5
+  []
+  [ssv]
+    type = SlopeSaturationVoceIsotropicHardening
+    saturated_hardening = 100
+    initial_hardening_rate = 1000
+  []
+[]
+"""
+    )
+    pl = load_neml2_model(str(tmp_path / "model.i"), "pl")
+    out = pl.forward({"state/internal/ep": jnp.asarray([0.0, 0.04, 0.09])})
+    np.testing.assert_allclose(np.asarray(out["state/internal/k"]),
+                               [0.0, 200 * 0.2, 200 * 0.3], atol=1e-12)
+    # negative Newton probe stays finite (clamped at 0)
+    neg = pl.forward({"state/internal/ep": jnp.asarray(-1e-3)})
+    assert float(neg["state/internal/k"]) == 0.0
+
+    ssv = load_neml2_model(str(tmp_path / "model.i"), "ssv")
+    out = ssv.forward({"state/internal/k": jnp.asarray(20.0),
+                       "state/internal/gamma_rate": jnp.asarray(0.01)})
+    np.testing.assert_allclose(np.asarray(out["state/internal/k_rate"]),
+                               1000 * (1 - 0.2) * 0.01, atol=1e-12)
+    # saturation: zero rate at k = R
+    sat = ssv.forward({"state/internal/k": jnp.asarray(100.0),
+                       "state/internal/gamma_rate": jnp.asarray(0.01)})
+    np.testing.assert_allclose(np.asarray(sat["state/internal/k_rate"]),
+                               0.0, atol=1e-12)
+
+
+def test_neml2_rate_independent_plasticity_fb(tmp_path):
+    """RateIndependentPlasticFlowConstraint inside ImplicitUpdate: a scalar
+    perfect-plasticity system with unknowns (ep, gamma_rate) and the
+    Fischer-Burmeister KKT residual.  Closed form: s = E*(e - ep); plastic
+    when E*e > sy with s = sy, ep = e - sy/E; elastic stays exactly
+    elastic.  Exercised on a field mixing both branches (the vectorized
+    Newton converges per-point)."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [stress]
+    type = ScalarLinearCombination
+    from_var = 'forces/e state/internal/ep'
+    to_var = 'state/internal/s'
+    coefficients = '1000.0 -1000.0'
+  []
+  [yield]
+    type = YieldFunction
+    stress_measure = 'state/internal/s'
+    yield_stress = 5.0
+  []
+  [eprate]
+    type = ScalarLinearCombination
+    from_var = 'state/internal/gamma_rate'
+    to_var = 'state/internal/ep_rate'
+  []
+  [integ]
+    type = ScalarBackwardEulerTimeIntegration
+    variable = 'state/internal/ep'
+  []
+  [fb]
+    type = RateIndependentPlasticFlowConstraint
+  []
+  [system]
+    type = ComposedModel
+    models = 'stress yield eprate integ fb'
+  []
+  [impl]
+    type = ImplicitUpdate
+    implicit_model = system
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "impl")
+    assert "state/internal/gamma_rate" not in m.from_var
+    assert "old_state/internal/gamma_rate" in m.from_var
+
+    e = jnp.asarray([0.004, 0.010, 0.020])  # elastic, plastic, plastic
+    out = m.forward({
+        "forces/e": e,
+        "old_state/internal/ep": jnp.zeros_like(e),
+        "old_state/internal/gamma_rate": jnp.zeros_like(e),
+        "forces/t": jnp.asarray(1.0),
+        "old_forces/t": jnp.asarray(0.0),
+    })
+    ep = np.asarray(out["state/internal/ep"])
+    s = np.asarray(out["state/internal/s"])
+    g = np.asarray(out["state/internal/gamma_rate"])
+    np.testing.assert_allclose(ep, [0.0, 0.005, 0.015], atol=1e-9)
+    np.testing.assert_allclose(s, [4.0, 5.0, 5.0], atol=1e-6)
+    np.testing.assert_allclose(g, ep, atol=1e-9)  # dt = 1, ep_old = 0
+
+    # second step from the plastic state with UNLOADING: purely elastic,
+    # ep frozen, gamma_rate returns to 0
+    out2 = m.forward({
+        "forces/e": jnp.asarray([0.004, 0.008, 0.018]),
+        "old_state/internal/ep": out["state/internal/ep"],
+        "old_state/internal/gamma_rate": out["state/internal/gamma_rate"],
+        "forces/t": jnp.asarray(2.0),
+        "old_forces/t": jnp.asarray(1.0),
+    })
+    np.testing.assert_allclose(np.asarray(out2["state/internal/ep"]),
+                               ep, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out2["state/internal/s"]),
+                               [4.0, 3.0, 3.0], atol=1e-6)
