@@ -86,74 +86,120 @@ def torchscript_to_jax(module, dtype):
         return v
 
     steps = []
-    supported = True
     # walk-time constant map: lets per-op checks reject flag combinations
-    # that cannot be lifted (transposed convs, training-mode batch_norm,
-    # ceil-mode pooling) so they take the host fallback instead of tracing
-    # wrong math
+    # that cannot be lifted (training-mode batch_norm, ceil-mode pooling,
+    # masked/causal attention) so they take the host fallback instead of
+    # tracing wrong math
     const_vals = {}
-    for node in graph.nodes():
-        kind = node.kind()
-        outs = [o.debugName() for o in node.outputs()]
-        ins = [i.debugName() for i in node.inputs()]
-        if kind == "prim::Constant":
-            try:
-                val = node.output().toIValue()
-            except Exception:
-                supported = False
-                break
-            const_vals[outs[0]] = val
-            steps.append(("const", outs, val))
-            continue
-        if kind == "prim::ListConstruct":
-            # shape lists for view/reshape/flatten, tensor lists for cat,
-            # normalized_shape for layer_norm
-            if all(n in const_vals for n in ins):
-                const_vals[outs[0]] = [const_vals[n] for n in ins]
-            steps.append(("list", outs, ins))
-            continue
-        # In-place variants (relu_, add_, ...) surviving freeze mean torch's
-        # remove-mutation pass could NOT functionalize them — later reads of
-        # the mutated Value would alias pre-mutation data under a pure
-        # interpretation, silently corrupting results.  Take the host
-        # fallback (review r03 finding; the fallback is always correct).
-        if kind.endswith("_"):
-            supported = False
-            break
-        if kind in _ATEN_OPS:
-            if kind == "aten::div" and len(ins) > 2:
-                # div with a rounding_mode ('floor'/'trunc') would silently
-                # evaluate as true division — take the host fallback
-                supported = False
-                break
-            check = _WALK_CHECKS.get(kind)
-            if check is not None and not check(ins, const_vals):
-                supported = False
-                break
-            steps.append(("op", outs, kind, ins))
-        else:
-            supported = False
-            break
-    if not supported:
+
+    # Defaulted trailing arguments (e.g. ConvTranspose's output_size=None)
+    # bind as walk-time constants: the compute calls the surrogate with ONE
+    # tensor, so every other argument takes its schema default.  This lets
+    # the None-check `prim::If`s that script mode emits for such args fold
+    # away below.
+    graph_inputs = [i.debugName() for i in graph.inputs()]
+    data_inputs = [n for n in graph_inputs if not n.startswith("self")]
+    if len(data_inputs) != 1:
+        try:
+            schema_args = module.forward.schema.arguments
+        except Exception:
+            return None
+        # positional zip: graph inputs follow the forward schema
+        by_name = dict(zip(graph_inputs, schema_args))
+        default_env = {}
+        for extra in data_inputs[1:]:
+            arg = by_name.get(extra)
+            if arg is None or not arg.has_default_value():
+                return None  # genuinely multi-input: host fallback
+            const_vals[extra] = default_env[extra] = arg.default_value
+    else:
+        default_env = {}
+
+    def walk(nodes):
+        """Append interpretation steps for a node list; False = host
+        fallback.  Recurses into the TAKEN block of a constant-condition
+        prim::If (script mode branches on defaulted Optional args)."""
+        for node in nodes:
+            kind = node.kind()
+            outs = [o.debugName() for o in node.outputs()]
+            ins = [i.debugName() for i in node.inputs()]
+            if kind == "prim::Constant":
+                try:
+                    val = node.output().toIValue()
+                except Exception:
+                    return False
+                const_vals[outs[0]] = val
+                steps.append(("const", outs, val))
+                continue
+            if kind == "prim::ListConstruct":
+                # shape lists for view/reshape/flatten, tensor lists for
+                # cat, normalized_shape for layer_norm
+                if all(n in const_vals for n in ins):
+                    const_vals[outs[0]] = [const_vals[n] for n in ins]
+                steps.append(("list", outs, ins))
+                continue
+            if kind in ("aten::__is__", "aten::__isnot__"):
+                # only meaningful on walk-time constants (None checks of
+                # defaulted args); identity on None/bool singletons is exact
+                if not all(n in const_vals for n in ins):
+                    return False
+                val = const_vals[ins[0]] is const_vals[ins[1]]
+                if kind == "aten::__isnot__":
+                    val = not val
+                const_vals[outs[0]] = val
+                steps.append(("const", outs, val))
+                continue
+            if kind == "prim::If":
+                cond = const_vals.get(ins[0])
+                if not isinstance(cond, bool):
+                    return False  # data-dependent branch: host fallback
+                block = list(node.blocks())[0 if cond else 1]
+                if not walk(block.nodes()):
+                    return False
+                rets = [o.debugName() for o in block.returnNode().inputs()]
+                for o, r in zip(outs, rets):
+                    steps.append(("alias", [o], r))
+                    if r in const_vals:
+                        const_vals[o] = const_vals[r]
+                continue
+            # In-place variants (relu_, add_, ...) surviving freeze mean
+            # torch's remove-mutation pass could NOT functionalize them —
+            # later reads of the mutated Value would alias pre-mutation
+            # data under a pure interpretation, silently corrupting
+            # results.  Take the host fallback (review r03 finding; the
+            # fallback is always correct).
+            if kind.endswith("_"):
+                return False
+            if kind in _ATEN_OPS:
+                if kind == "aten::div" and len(ins) > 2:
+                    # div with a rounding_mode ('floor'/'trunc') would
+                    # silently evaluate as true division — host fallback
+                    return False
+                check = _WALK_CHECKS.get(kind)
+                if check is not None and not check(ins, const_vals):
+                    return False
+                steps.append(("op", outs, kind, ins))
+                continue
+            return False
+        return True
+
+    if not walk(graph.nodes()):
         return None
 
-    graph_inputs = [i.debugName() for i in graph.inputs()]
     ret = [o.debugName() for o in graph.return_node().inputs()]
     if len(ret) != 1:
         return None
 
-    data_inputs = [n for n in graph_inputs if not n.startswith("self")]
-    if len(data_inputs) != 1:
-        return None  # multi-input graphs take the host fallback
-
     def fn(x):
-        env = {}
+        env = {n: to_dev(v) for n, v in default_env.items()}
         env[data_inputs[0]] = x
         for step in steps:
             if step[0] == "const":
                 env[step[1][0]] = to_dev(step[2])
             elif step[0] == "list":
                 env[step[1][0]] = [env.get(n) for n in step[2]]
+            elif step[0] == "alias":
+                env[step[1][0]] = env.get(step[2])
             else:
                 _, outs, kind, ins = step
                 args = [env.get(n) for n in ins]
@@ -259,10 +305,25 @@ _ATEN_OPS = {
                                               a[5], a[6] if len(a) > 6 else 1),
     "aten::conv3d": lambda a, B: _aten_convnd(a[0], a[1], a[2], a[3], a[4],
                                               a[5], a[6] if len(a) > 6 else 1),
-    "aten::convolution": lambda a, B: _aten_convnd(a[0], a[1], a[2], a[3],
-                                                   a[4], a[5], a[8]),
-    "aten::_convolution": lambda a, B: _aten_convnd(a[0], a[1], a[2], a[3],
-                                                    a[4], a[5], a[8]),
+    "aten::convolution": lambda a, B: (
+        _aten_conv_transpose(a[0], a[1], a[2], a[3], a[4], a[7], a[8], a[5])
+        if a[6] else
+        _aten_convnd(a[0], a[1], a[2], a[3], a[4], a[5], a[8])),
+    "aten::_convolution": lambda a, B: (
+        _aten_conv_transpose(a[0], a[1], a[2], a[3], a[4], a[7], a[8], a[5])
+        if a[6] else
+        _aten_convnd(a[0], a[1], a[2], a[3], a[4], a[5], a[8])),
+    # conv_transposeNd(input, weight, bias, stride, padding,
+    #                  output_padding, groups, dilation)
+    "aten::conv_transpose1d": lambda a, B: _aten_conv_transpose(
+        a[0], a[1], a[2], a[3], a[4], a[5], a[6] if len(a) > 6 else 1,
+        a[7] if len(a) > 7 else 1),
+    "aten::conv_transpose2d": lambda a, B: _aten_conv_transpose(
+        a[0], a[1], a[2], a[3], a[4], a[5], a[6] if len(a) > 6 else 1,
+        a[7] if len(a) > 7 else 1),
+    "aten::conv_transpose3d": lambda a, B: _aten_conv_transpose(
+        a[0], a[1], a[2], a[3], a[4], a[5], a[6] if len(a) > 6 else 1,
+        a[7] if len(a) > 7 else 1),
     "aten::batch_norm": lambda a, B: _aten_batch_norm(a),
     "aten::group_norm": lambda a, B: _aten_group_norm(a),
     "aten::max_pool1d": lambda a, B: _aten_pool(a, "max"),
@@ -293,9 +354,10 @@ def _const_is(v, want):
 #: cannot be lifted faithfully (the host fallback is always correct).
 #: Signature: (input debugNames, const map) -> liftable?
 _WALK_CHECKS = {
-    # aten::convolution / _convolution arg 6 = transposed
-    "aten::convolution": lambda ins, c: c.get(ins[6]) is False,
-    "aten::_convolution": lambda ins, c: c.get(ins[6]) is False,
+    # aten::convolution / _convolution arg 6 = transposed; both branches
+    # lift now, but the flag must be a walk-time constant to pick one
+    "aten::convolution": lambda ins, c: isinstance(c.get(ins[6]), bool),
+    "aten::_convolution": lambda ins, c: isinstance(c.get(ins[6]), bool),
     # arg 5 = training; eval-mode running stats only
     "aten::batch_norm": lambda ins, c: c.get(ins[5]) is False,
     # max_pool: arg 4 = dilation (must be 1s), arg 5 = ceil_mode
@@ -358,6 +420,43 @@ def _aten_convnd(x, w, bias, stride, padding, dilation, groups):
         x, w, window_strides=[int(q) for q in s], padding=pad,
         rhs_dilation=[int(q) for q in d], dimension_numbers=dn,
         feature_group_count=int(groups), precision=_HI)
+    if bias is not None:
+        out = out + bias.reshape((1, -1) + (1,) * nd)
+    return out[0] if squeeze_batch else out
+
+
+def _aten_conv_transpose(x, w, bias, stride, padding, output_padding,
+                         groups, dilation):
+    """torch conv_transposeNd as a forward correlation: lhs_dilation
+    inserts the stride zeros, the taps are flipped, and torch's
+    (C_in, C_out/g, *k) weight regroups to conv_general_dilated's
+    (C_out, C_in/g, *k) — all on the MXU path."""
+    nd = w.ndim - 2
+    squeeze_batch = x.ndim == nd + 1
+    if squeeze_batch:  # unbatched input (C, *spatial)
+        x = x[None]
+
+    def tup(v):
+        v = list(v) if isinstance(v, (list, tuple)) else [v]
+        return [int(q) for q in (v * nd if len(v) == 1 else v)]
+
+    s, p, op, d = tup(stride), tup(padding), tup(output_padding), tup(dilation)
+    g = int(groups)
+    cin, cout_g = w.shape[0], w.shape[1]
+    wk = jnp.reshape(w, (g, cin // g, cout_g) + w.shape[2:])
+    wk = jnp.swapaxes(wk, 1, 2)
+    wk = jnp.reshape(wk, (g * cout_g, cin // g) + w.shape[2:])
+    wk = jnp.flip(wk, axis=tuple(range(2, 2 + nd)))
+    pad = [(d[i] * (w.shape[2 + i] - 1) - p[i],
+            d[i] * (w.shape[2 + i] - 1) - p[i] + op[i])
+           for i in range(nd)]
+    spatial = "DHW"[3 - nd:]
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, wk.shape, ("NC" + spatial, "OI" + spatial, "NC" + spatial))
+    out = jax.lax.conv_general_dilated(
+        x, wk, window_strides=[1] * nd, padding=pad,
+        lhs_dilation=s, rhs_dilation=d,
+        dimension_numbers=dn, feature_group_count=g, precision=_HI)
     if bias is not None:
         out = out + bias.reshape((1, -1) + (1,) * nd)
     return out[0] if squeeze_batch else out

@@ -200,10 +200,17 @@ def test_group_norm_matches():
     np.testing.assert_allclose(np.asarray(fn(x)), want, atol=2e-5)
 
 
-def test_transposed_conv_takes_host_fallback():
-    """ConvTranspose2d lowers to aten::_convolution with transposed=True —
-    unliftable; must return None, not wrong math."""
-    assert _lift(torch.nn.ConvTranspose2d(2, 2, 3)) is None
+def test_transposed_conv_lifts_default_args():
+    """ConvTranspose2d (script mode: Optional output_size arg + the
+    None-check prim::If it emits) lifts via defaulted-argument constant
+    binding and matches torch."""
+    model = torch.nn.ConvTranspose2d(2, 2, 3)
+    fn = _lift(model)
+    assert fn is not None
+    x = np.random.RandomState(3).rand(1, 2, 5, 5).astype(np.float32)
+    with torch.no_grad():
+        want = model.eval()(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(np.asarray(fn(x)), want, atol=2e-5)
 
 
 def test_ceil_mode_pool_takes_host_fallback():
@@ -290,3 +297,43 @@ def test_mean_reduction_matches():
     with torch.no_grad():
         want = Pool()(torch.tensor(x)).numpy()
     np.testing.assert_allclose(np.asarray(fn(x)), want, atol=1e-6)
+
+
+def test_conv_transpose_lifts_and_matches():
+    """ConvTranspose1d/2d with stride, padding, output_padding, dilation
+    and groups lift to lax.conv_general_dilated (lhs_dilation + flipped
+    taps + IO->OI regrouping) and match torch."""
+    cases = [
+        (torch.nn.ConvTranspose1d(4, 6, 3, stride=2, padding=1,
+                                  output_padding=1), (2, 4, 11)),
+        (torch.nn.ConvTranspose2d(4, 6, 3, stride=2, padding=1), (2, 4, 8, 8)),
+        (torch.nn.ConvTranspose2d(4, 4, 3, stride=1, padding=0, groups=2,
+                                  dilation=2, bias=False), (2, 4, 8, 8)),
+        (torch.nn.ConvTranspose3d(2, 3, 2, stride=2), (1, 2, 4, 4, 4)),
+    ]
+    for model, shape in cases:
+        fn = _lift(model)
+        assert fn is not None, model
+        x = np.random.RandomState(5).rand(*shape).astype(np.float32)
+        with torch.no_grad():
+            want = model.eval()(torch.tensor(x)).numpy()
+        got = np.asarray(fn(x))
+        np.testing.assert_allclose(got, want, atol=2e-5,
+                                   err_msg=str(model))
+
+
+def test_conv_transpose_in_cnn_chain():
+    """An encoder-decoder chain (conv2d down, conv_transpose2d up) lifts
+    whole — the common surrogate-UNet shape."""
+    model = torch.nn.Sequential(
+        torch.nn.Conv2d(1, 4, 3, stride=2, padding=1),
+        torch.nn.ReLU(),
+        torch.nn.ConvTranspose2d(4, 1, 3, stride=2, padding=1,
+                                 output_padding=1),
+    )
+    fn = _lift(model)
+    assert fn is not None
+    x = np.random.RandomState(7).rand(3, 1, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        want = model.eval()(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(np.asarray(fn(x)), want, atol=2e-5)
