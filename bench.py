@@ -47,9 +47,24 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 # every child subprocess inherits it.
 _cache = os.environ.get("MARLIN_TPU_COMPILE_CACHE",
                         os.path.join(_HERE, ".jax_cache"))
-if _cache and _cache != "0":
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+
+def _enable_compile_cache():
+    """Turn the persistent cache ON via jax.config — NOT env vars.
+
+    Measured r04: `JAX_COMPILATION_CACHE_DIR` is silently IGNORED by this
+    jax version (`optional_string_state(default=None)` never consults the
+    environment), so every bench child ran with the cache disabled — the
+    jit_f probe logged 'Not writing persistent cache entry ... since cache
+    is disabled/not initialized' while the env var was set.  Only
+    jax.config.update actually enables it (marlin_tpu/main.py already does
+    this for deck runs; bench children must too)."""
+    if not _cache or _cache == "0":
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # Global wall-clock budget for the whole suite (r01 post-mortem: the driver
 # killed a > 40 min run and every completed child's result was lost because
@@ -1513,6 +1528,7 @@ def bench_probe():
 
 
 def _run_child(name):
+    _enable_compile_cache()
     if name == "probe":
         print(json.dumps(bench_probe()))
     elif name == "1a":

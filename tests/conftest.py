@@ -31,9 +31,14 @@ if TPU_LANE:
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), ".jax_cache"))
     if _cache and _cache != "0":
-        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
-        os.environ.setdefault(
-            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+        # jax.config, NOT env vars: this jax version's
+        # optional_string_state(default=None) silently ignores
+        # JAX_COMPILATION_CACHE_DIR (measured r04 — the cache never
+        # initialized through the env route)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 if not TPU_LANE:
     flags = os.environ.get("XLA_FLAGS", "")
