@@ -685,7 +685,16 @@ class RateIndependentPlasticFlowConstraint(_NEML2Model):
 
     def forward(self, env):
         g, f = env[self.state_var], env[self.f]
-        return {self.to_var: g - f - jnp.sqrt(g * g + f * f)}
+        # safe sqrt: at the FB corner g = f = 0 (a point loaded EXACTLY to
+        # yield) sqrt'(0) = inf would NaN the Newton Jacobian (r04 advisor
+        # finding).  The double-where keeps both primal and jvp finite and
+        # picks the subgradient with d(sqrt)/d(g,f) = 0 at the corner —
+        # a valid Clarke subdifferential element of FB, so Newton still
+        # converges (residual derivative there is (1, -1)).
+        s2 = g * g + f * f
+        safe = jnp.where(s2 > 0.0, s2, 1.0)
+        norm = jnp.where(s2 > 0.0, jnp.sqrt(safe), 0.0)
+        return {self.to_var: g - f - norm}
 
 
 class ScalarBackwardEulerTimeIntegration(_NEML2Model):
@@ -850,8 +859,11 @@ class ImplicitUpdate(_NEML2Model):
             return pack_residual(self.inner.forward(unpack(u, env)), shape)
 
         r0 = res_fn(u0)
+        # NaN-excluded initial residual for the relative tolerance — a NaN
+        # tol would otherwise disable convergence grid-wide
+        r0_ok = jnp.where(jnp.isnan(r0), 0.0, jnp.abs(r0))
         tol = jnp.maximum(jnp.asarray(self.abs_tol, u0.dtype),
-                          self.rel_tol * jnp.max(jnp.abs(r0)))
+                          self.rel_tol * jnp.max(r0_ok))
         eye = jnp.eye(n, dtype=u0.dtype)
 
         def jac(u):
@@ -864,8 +876,16 @@ class ImplicitUpdate(_NEML2Model):
 
         def cond(carry):
             _, r, it = carry
+            # NaN-robust convergence: the elementwise solve keeps grid
+            # points independent, so one diverged (NaN) point must not
+            # freeze every OTHER point at an unconverged iterate (r04
+            # advisor finding — jnp.max(NaN) > tol is False, which would
+            # exit Newton after one iteration grid-wide).  NaN points are
+            # excluded from the residual max: they can never improve, and
+            # the NaN stays in the output to surface the divergence.
+            r_ok = jnp.where(jnp.isnan(r), 0.0, jnp.abs(r))
             return jnp.logical_and(it < self.miter,
-                                   jnp.max(jnp.abs(r)) > tol)
+                                   jnp.max(r_ok) > tol)
 
         def body(carry):
             u, r, it = carry
@@ -941,10 +961,20 @@ class PowerLawIsotropicHardening(_NEML2Model):
         self.from_var = [self.ep]
 
     def forward(self, env):
-        # clamp at 0 so the n<1 branch stays finite under a Newton iterate
-        # that momentarily probes ep < 0
+        # For n<1 the derivative of ep**n blows up as ep->0+, and a virgin
+        # state (ep_old = 0) seeds the ImplicitUpdate Newton exactly there —
+        # an inf Jacobian column NaNs the whole grid on the first step (r04
+        # advisor finding).  Double-where construction: the primal stays
+        # EXACT (k(0) = 0, negative Newton probes clamp to 0) while the
+        # pow always sees a positive floor, so its jvp is finite; at
+        # ep <= floor both maximum() and where() route the tangent to the
+        # constant side, giving a zero (perfect-plasticity) hardening slope
+        # at the seed — the next iterate lands at ep > 0 where the true
+        # slope takes over.
         ep = jnp.maximum(env[self.ep], 0.0)
-        return {self.to_var: self.K * ep ** self.n}
+        ep_safe = jnp.maximum(ep, 1e-12)
+        return {self.to_var:
+                self.K * jnp.where(ep > 0.0, ep_safe ** self.n, 0.0)}
 
 
 class SlopeSaturationVoceIsotropicHardening(_NEML2Model):

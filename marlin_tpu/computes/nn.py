@@ -140,8 +140,16 @@ def torchscript_to_jax(module, dtype):
                 continue
             if kind in ("aten::__is__", "aten::__isnot__"):
                 # only meaningful on walk-time constants (None checks of
-                # defaulted args); identity on None/bool singletons is exact
+                # defaulted args); Python `is` identity is exact ONLY for
+                # the None/bool singletons — equal non-interned int/float
+                # constants can compare non-identical and would fold the
+                # wrong prim::If branch (r04 advisor finding).  Restrict
+                # folding to the defaulted-Optional pattern this exists
+                # for; anything else takes the host fallback.
                 if not all(n in const_vals for n in ins):
+                    return False
+                if not any(const_vals[n] is None or isinstance(const_vals[n], bool)
+                           for n in ins):
                     return False
                 val = const_vals[ins[0]] is const_vals[ins[1]]
                 if kind == "aten::__isnot__":

@@ -1478,3 +1478,146 @@ def test_neml2_rate_independent_plasticity_fb(tmp_path):
                                ep, atol=1e-9)
     np.testing.assert_allclose(np.asarray(out2["state/internal/s"]),
                                [4.0, 3.0, 3.0], atol=1e-6)
+
+def test_neml2_power_law_implicit_from_virgin(tmp_path):
+    """PowerLawIsotropicHardening (n<1) composed INSIDE the rate-independent
+    Fischer-Burmeister return map, starting from a virgin state ep_old = 0
+    (r04 advisor finding: the jvp of ep**n at ep=0 is infinite for n<1, so
+    the ImplicitUpdate Jacobian went inf and every grid point NaN'd on the
+    first step).  Closed form for the plastic branch: E*(e-ep) = sy + K*√ep
+    → with x = √ep, K x² ... solved exactly via the quadratic formula."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    E, sy, K = 1000.0, 5.0, 100.0
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [stress]
+    type = ScalarLinearCombination
+    from_var = 'forces/e state/internal/ep'
+    to_var = 'state/internal/s'
+    coefficients = '1000.0 -1000.0'
+  []
+  [hard]
+    type = PowerLawIsotropicHardening
+    hardening_modulus = 100.0
+    exponent = 0.5
+  []
+  [yield]
+    type = YieldFunction
+    stress_measure = 'state/internal/s'
+    isotropic_hardening = 'state/internal/k'
+    yield_stress = 5.0
+  []
+  [eprate]
+    type = ScalarLinearCombination
+    from_var = 'state/internal/gamma_rate'
+    to_var = 'state/internal/ep_rate'
+  []
+  [integ]
+    type = ScalarBackwardEulerTimeIntegration
+    variable = 'state/internal/ep'
+  []
+  [fb]
+    type = RateIndependentPlasticFlowConstraint
+  []
+  [system]
+    type = ComposedModel
+    models = 'stress hard yield eprate integ fb'
+  []
+  [impl]
+    type = ImplicitUpdate
+    implicit_model = system
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "impl")
+    e = jnp.asarray([0.004, 0.010, 0.020])  # elastic, plastic, plastic
+    out = m.forward({
+        "forces/e": e,
+        "old_state/internal/ep": jnp.zeros_like(e),
+        "old_state/internal/gamma_rate": jnp.zeros_like(e),
+        "forces/t": jnp.asarray(1.0),
+        "old_forces/t": jnp.asarray(0.0),
+    })
+    ep = np.asarray(out["state/internal/ep"])
+    s = np.asarray(out["state/internal/s"])
+    assert np.all(np.isfinite(ep)), f"NaN from virgin-state power-law: {ep}"
+    # plastic branch closed form: E(e-ep) = sy + K sqrt(ep); with x=sqrt(ep)
+    # E x^2 + K x + (sy - E e) = 0
+    def ep_exact(ei):
+        if E * ei <= sy:
+            return 0.0
+        x = (-K + np.sqrt(K * K + 4 * E * (E * ei - sy))) / (2 * E)
+        return x * x
+    expect = [ep_exact(float(v)) for v in np.asarray(e)]
+    np.testing.assert_allclose(ep, expect, atol=1e-9)
+    np.testing.assert_allclose(
+        s, [E * 0.004] + [sy + K * np.sqrt(v) for v in expect[1:]], atol=1e-6)
+
+
+def test_neml2_fb_corner_exact_yield(tmp_path):
+    """A point loaded EXACTLY to yield (E*e == sy) sits at the
+    Fischer-Burmeister corner g = f = 0 where sqrt has an infinite
+    derivative (r04 advisor finding: one NaN point froze Newton for the
+    whole grid after a single iteration, leaving neighbors at s = 5.0025
+    instead of 5.0).  The safe-sqrt plus NaN-robust convergence must leave
+    every point converged and finite."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [stress]
+    type = ScalarLinearCombination
+    from_var = 'forces/e state/internal/ep'
+    to_var = 'state/internal/s'
+    coefficients = '1000.0 -1000.0'
+  []
+  [yield]
+    type = YieldFunction
+    stress_measure = 'state/internal/s'
+    yield_stress = 5.0
+  []
+  [eprate]
+    type = ScalarLinearCombination
+    from_var = 'state/internal/gamma_rate'
+    to_var = 'state/internal/ep_rate'
+  []
+  [integ]
+    type = ScalarBackwardEulerTimeIntegration
+    variable = 'state/internal/ep'
+  []
+  [fb]
+    type = RateIndependentPlasticFlowConstraint
+  []
+  [system]
+    type = ComposedModel
+    models = 'stress yield eprate integ fb'
+  []
+  [impl]
+    type = ImplicitUpdate
+    implicit_model = system
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "impl")
+    # 0.005 is EXACTLY at yield (1000*0.005 == 5.0, representable in fp);
+    # neighbors mix elastic and plastic branches
+    e = jnp.asarray([0.004, 0.005, 0.010, 0.020])
+    out = m.forward({
+        "forces/e": e,
+        "old_state/internal/ep": jnp.zeros_like(e),
+        "old_state/internal/gamma_rate": jnp.zeros_like(e),
+        "forces/t": jnp.asarray(1.0),
+        "old_forces/t": jnp.asarray(0.0),
+    })
+    ep = np.asarray(out["state/internal/ep"])
+    s = np.asarray(out["state/internal/s"])
+    assert np.all(np.isfinite(ep)), f"NaN at the FB corner: {ep}"
+    np.testing.assert_allclose(ep, [0.0, 0.0, 0.005, 0.015], atol=1e-9)
+    np.testing.assert_allclose(s, [4.0, 5.0, 5.0, 5.0], atol=1e-6)
