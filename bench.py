@@ -64,7 +64,15 @@ def _enable_compile_cache():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # Cache EVERY program, including sub-0.5 s ones (r05 measurement: the
+    # axon remote queue turns each tiny-program cache miss into an
+    # unpredictable multi-second-to-minutes round trip — a trivial 512^2
+    # matmul compile was observed at 532 s under queue contention, and the
+    # "compile_s" a child reports is mostly the SUM of those waits, not
+    # XLA compile time.  The 0.5 s default threshold excluded exactly the
+    # convert_element_type/broadcast/dynamic_slice stragglers that then
+    # re-queued remotely on every single run).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 # Global wall-clock budget for the whole suite (r01 post-mortem: the driver
 # killed a > 40 min run and every completed child's result was lost because
@@ -587,6 +595,147 @@ def bench_2a(num_steps=100, variant=None):
             "fused_F_final": round(pps3.get("F", float("nan")), 3),
         })
     except Exception as e:
+        out["fused_error"] = repr(e)[:300]
+    return out
+
+
+def bench_sh(num_steps=40, variant=None):
+    """BASELINE config #2: Swift-Hohenberg pattern formation, the 400x400
+    crystal-growth deck (reference: examples/swift_hohenberg/
+    swifthohenberg.i — random melt IC, r=0.025, alpha=1, quadratic+cubic
+    nonlinearity, `spectral_solve_substeps = 1000`, IterationAdaptiveDT
+    growth 1.2 / dt0 10 / dtmax 1000).  The reference publishes no timing
+    for it, so there is no vs_baseline; the value is wall time for the
+    first `num_steps` outer steps (num_steps*1000 substeps; each substep =
+    1 parsed nonlinearity + 2 forward / 1 inverse FFT + the semi-implicit
+    k-space update) with substep throughput, plus the psi range and
+    integral for the physics cross-check (the melt crystallizes:
+    psi spreads from [0, 0.07] to an O(+-0.4) stripe/dot pattern).
+
+    The fused variant runs the same deck with the marlin_tpu perf knobs
+    (Pallas direct-DFT FFTs at the 400-point extent, carried psibar, fused
+    spectral substep) — same physics to f32 roundoff."""
+    import jax
+    import jax.numpy as jnp
+
+    from marlin_tpu.problem import TensorProblem
+
+    platform = jax.default_backend()
+    deck = "examples/swift_hohenberg/swifthohenberg.i"
+    # ~10 s device chunks (the axon worker crashes on ~100 s single
+    # executions, see bench_2a)
+    chunk = 20
+
+    def run(cli, progress=None):
+        root = _load_deck(deck, cli)
+        problem = TensorProblem(root)
+        state = problem.init_state()
+
+        def run_chunk(carry):
+            def cond(c):
+                return c[0] < jnp.minimum(c[5], num_steps)
+
+            def body(c):
+                step, t, dt, dt_old, st, lim = c
+                new = problem._step_impl(st, t, dt, dt_old, step == 0)
+                # IterationAdaptiveDT schedule from the deck: growth 1.2,
+                # dt0 10, dtmax 1000 (no iteration feedback — ABM lowering
+                # of the legacy FFTSemiImplicit block is non-iterative)
+                dt_new = jnp.minimum(dt * 1.2, 1000.0)
+                return (step + 1, t + dt, dt_new, dt, new, lim)
+
+            step, t, dt, dt_old, st, lim = jax.lax.while_loop(
+                cond, body, carry)
+            return (step, t, dt, dt_old, st, lim + chunk)
+
+        run_chunk = jax.jit(run_chunk)
+
+        def full(state):
+            carry = (
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), problem.domain.dtype),
+                jnp.asarray(10.0, problem.domain.dtype),
+                jnp.zeros((), problem.domain.dtype),
+                state,
+                jnp.asarray(chunk, jnp.int32),
+            )
+            for _ in range((num_steps + chunk - 1) // chunk):
+                carry = run_chunk(carry)
+            _sync(carry[1])
+            return carry
+
+        t0 = time.time()
+        full(state)  # compile (one program serves every chunk) + warm run
+        first = time.time() - t0
+        if progress is not None:
+            progress(first)
+        t0 = time.time()
+        step, t, dt, _, final, _ = full(state)
+        step, t = int(step), float(t)
+        wall = time.time() - t0
+        pps = problem.execute_postprocessors(final, "TIMESTEP_END", t,
+                                             float(dt))
+        return wall, first, step, t, pps, problem.solver.substeps
+
+    if variant == "fused":
+        # second-chance slot: ONLY the fused config, for when the sh_400
+        # slot's budget gate had to skip it
+        def progress_f(first_wall):
+            _emit({"fused_value": round(first_wall, 3),
+                   "unit": f"s/{num_steps}steps (incl. compile)",
+                   "compile_incl": True})
+
+        wall2, first2, s2, t2, pps2, sub2 = run(
+            ["Domain/fft_backend=PALLAS", "Problem/carry_reciprocal=true",
+             "Problem/fused_spectral=true"], progress=progress_f)
+        return {
+            "fused_value": round(wall2, 3),
+            "fused_substep_us": round(wall2 / (s2 * sub2) * 1e6, 1),
+            "fused_psi_range": [round(pps2.get("min_psi", 0.0), 4),
+                                round(pps2.get("max_psi", 0.0), 4)],
+            "fused_compile_s": round(first2 - wall2, 1),
+        }
+
+    def progress(first_wall):
+        _emit({
+            "metric": f"benchmark_sh_walltime_{platform}",
+            "value": round(first_wall, 3),
+            "unit": f"s/{num_steps}steps (incl. compile)",
+            "vs_baseline": None,
+            "compile_incl": True,
+        })
+
+    wall, first, step, t, pps, substeps = run([], progress=progress)
+    out = {
+        "metric": f"benchmark_sh_walltime_{platform}",
+        "value": round(wall, 3),
+        "unit": f"s/{step}steps",
+        "vs_baseline": None,  # reference publishes no SH timing
+        "compile_s": round(first - wall, 1),
+        "steps": step,
+        "t_final": round(t, 2),
+        "substep_us": round(wall / (step * substeps) * 1e6, 1),
+        "psi_range": [round(pps.get("min_psi", 0.0), 4),
+                      round(pps.get("max_psi", 0.0), 4)],
+        "Psi": round(pps.get("Psi", float("nan")), 3),
+    }
+    _emit(out)
+
+    # fused variant: optional — budget-gated like every other variant
+    if not _allow_variant(420, out.get("compile_s")):
+        out["fused_skipped"] = "budget"
+        return out
+    try:
+        wall2, first2, s2, t2, pps2, sub2 = run([
+            "Domain/fft_backend=PALLAS", "Problem/carry_reciprocal=true",
+            "Problem/fused_spectral=true"])
+        out.update({
+            "fused_value": round(wall2, 3),
+            "fused_substep_us": round(wall2 / (s2 * sub2) * 1e6, 1),
+            "fused_psi_range": [round(pps2.get("min_psi", 0.0), 4),
+                                round(pps2.get("max_psi", 0.0), 4)],
+        })
+    except Exception as e:  # report, never break the required metric
         out["fused_error"] = repr(e)[:300]
     return out
 
@@ -1539,6 +1688,10 @@ def _run_child(name):
         print(json.dumps(bench_ch3d(int(name.split("_")[1]))))
     elif name == "2a":
         print(json.dumps(bench_2a()))
+    elif name == "sh":
+        print(json.dumps(bench_sh()))
+    elif name == "sh_fused":
+        print(json.dumps(bench_sh(variant="fused")))
     elif name == "lbm":
         print(json.dumps(bench_lbm()))
     elif name == "lbm_pallas":
@@ -1675,6 +1828,7 @@ SECOND_CHANCE = {
     "1a_fused": (None, "fused_value", "fused"),
     "ch3d_fused": ("ch3d_512", "fused_substep_ms", "fused"),
     "2a_tuned": ("benchmark_2a", "tuned_value", "tuned"),
+    "sh_fused": ("sh_400", "fused_value", "fused"),
 }
 
 
@@ -1723,7 +1877,8 @@ def _absorb(result, key, sub):
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--list":
         print("children (run one with: python bench.py --child <name>):")
-        for name in ("probe", "1a", "1a_fused", "2a", "2a_tuned", "ch3d_256",
+        for name in ("probe", "1a", "1a_fused", "2a", "2a_tuned", "sh",
+                     "sh_fused", "ch3d_256",
                      "ch3d_512", "ch3d_fused",
                      "lbm", "lbm_pallas", "lbm_porous", "lbm_porous_jnp",
                      "lbm_mixed", "lbm_mixed_jnp", "lbm_thermal",
@@ -1776,24 +1931,36 @@ def main():
         # the multi-variable fused substep); its cold compile has been
         # measured anywhere from 73 to ~680 s on axon
         ("benchmark_2a", "2a", 2, 900, 400),
+        # BASELINE config #2 (Swift-Hohenberg pattern formation) — r05
+        # addition: a named BASELINE config had zero perf tracking for
+        # four rounds
+        ("sh_400", "sh", 2, 900, 250),
         # required 512^3 metric = ONE program + fft roofline; fused/carry/
         # pallas variants are budget-gated inside the child.  LAST of the
-        # BASELINE children (r04 reorder): its compile is the most
+        # non-LBM BASELINE children (r04 reorder): its compile is the most
         # queue-volatile (533-900+ s observed) — cheap-certain children
         # first maximizes expected artifact coverage under a fixed budget
         ("ch3d_512", "ch3d_512", 1, 900, 300),
+        # BASELINE config #5 (LBM stream-collide) — r05: reserve-protected
+        # (nonzero est) ahead of the second-chance slots, so a cold-cache
+        # run degrades earlier children to required-only rather than
+        # starving LBM out of the artifact a fifth round running.  The
+        # ests are deliberately TRIMMED below the ~250 s cold worst case:
+        # warm runs land everything, cold runs still favor the children
+        # above (VERDICT r04 item 1)
+        ("lbm_mixed_128_pallas", "lbm_mixed", 1, 600, 120),
+        ("lbm_thermal_rb_pallas", "lbm_thermal", 1, 600, 120),
         # showcases (not in the reserve: BASELINE metrics outrank them)
         # second chances for the headline VARIANT numbers when the primary
         # slots' budget gates had to skip them behind slow required compiles
         ("1a_fused", "1a_fused", 1, 600, 0),
         ("ch3d_fused", "ch3d_fused", 1, 600, 0),
         ("2a_tuned", "2a_tuned", 1, 600, 0),
-        ("ch3d_256", "ch3d_256", 1, 600, 0),
+        ("sh_fused", "sh_fused", 1, 600, 0),
         ("lbm_channel3d_128_pallas", "lbm_pallas", 1, 600, 0),
         ("lbm_channel3d_128", "lbm", 1, 600, 0),
         ("lbm_porous_128_pallas", "lbm_porous", 1, 600, 0),
-        ("lbm_mixed_128_pallas", "lbm_mixed", 1, 600, 0),
-        ("lbm_thermal_rb_pallas", "lbm_thermal", 1, 600, 0),
+        ("ch3d_256", "ch3d_256", 1, 600, 0),
     ]
     reserves = []
     tail = 0.0

@@ -998,6 +998,191 @@ class SlopeSaturationVoceIsotropicHardening(_NEML2Model):
                 * env[self.gamma_rate]}
 
 
+class PowerLawCreep(_NEML2Model):
+    """Secondary (steady-state) power-law creep flow rate (classical
+    Norton law; the NEML2 creep-family entry point the reference reaches
+    through its full-library wrap, src/tensor_computes/NEML2TensorCompute.C):
+
+        γ̇ = A·(⟨sm⟩/σ0)^n
+
+    with sm an effective (von Mises) stress measure.  No yield surface —
+    creep flows at any stress.  Compose with SR2Invariant(VONMISES) →
+    Normality → AssociativePlasticFlow → SR2(Backward|Forward)Euler for
+    the standard 3-D creep chain; ArrheniusParameter supplies a
+    temperature-dependent A.  The Macaulay bracket + safe-pow keep the
+    jvp finite at sm = 0 for n < 1 (same double-where discipline as
+    PowerLawIsotropicHardening)."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.A = params.get_float("coefficient", required=True)
+        self.n = params.get_float("exponent", required=True)
+        self.s0 = params.get_float("reference_stress", 1.0)
+        self.sm = params.get_str("stress_measure", "state/internal/sm")
+        self.to_var = params.get_str("flow_rate",
+                                     "state/internal/gamma_rate")
+        self.from_var = [self.sm]
+
+    def forward(self, env):
+        s = jnp.maximum(env[self.sm], 0.0) / self.s0
+        s_safe = jnp.maximum(s, 1e-12)
+        return {self.to_var:
+                self.A * jnp.where(s > 0.0, s_safe ** self.n, 0.0)}
+
+
+class BlackburnCreep(_NEML2Model):
+    """Blackburn-style sinh creep rate (the hyperbolic-sine minimum creep
+    law; covers the power-law-breakdown regime the Norton law misses):
+
+        γ̇ = A·sinh(β·⟨sm⟩)^n
+
+    Same composition surface as PowerLawCreep.  sinh is smooth at 0, so
+    only the outer pow needs the safe-pow guard for n < 1."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.A = params.get_float("coefficient", required=True)
+        self.beta = params.get_float("beta", required=True)
+        self.n = params.get_float("exponent", 1.0)
+        self.sm = params.get_str("stress_measure", "state/internal/sm")
+        self.to_var = params.get_str("flow_rate",
+                                     "state/internal/gamma_rate")
+        self.from_var = [self.sm]
+
+    def forward(self, env):
+        sh = jnp.sinh(self.beta * jnp.maximum(env[self.sm], 0.0))
+        sh_safe = jnp.maximum(sh, 1e-12)
+        return {self.to_var:
+                self.A * jnp.where(sh > 0.0, sh_safe ** self.n, 0.0)}
+
+
+class IsotropicDamageEffectiveStress(_NEML2Model):
+    """Lemaitre effective-stress coupling s̃ = sm/(1−d): the undamaged-
+    skeleton stress driving yield/flow when isotropic damage d ∈ [0, 1)
+    grows.  Feed the output into YieldFunction/PowerLawCreep in place of
+    the raw stress measure; d is clamped to d_max (< 1) to keep the
+    division finite at full damage."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.sm = params.get_str("stress_measure", "state/internal/sm")
+        self.d = params.get_str("damage", "state/internal/d")
+        self.d_max = params.get_float("maximum_damage", 0.99)
+        self.to_var = params.get_str("effective_stress",
+                                     "state/internal/sm_eff")
+        self.from_var = [self.sm, self.d]
+
+    def forward(self, env):
+        d = jnp.clip(env[self.d], 0.0, self.d_max)
+        return {self.to_var: env[self.sm] / (1.0 - d)}
+
+
+class PlasticStrainDamageRate(_NEML2Model):
+    """Ductile damage accumulation ḋ = γ̇/εf (linear in accumulated
+    plastic flow; εf = `failure_strain`, the equivalent plastic strain at
+    full damage).  Integrate with Scalar(Backward|Forward)Euler
+    TimeIntegration; inside ImplicitUpdate this is the residual-emitting
+    damage unknown of the coupled softening system."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.ef = params.get_float("failure_strain", required=True)
+        self.gamma = params.get_str("flow_rate", "state/internal/gamma_rate")
+        self.to_var = params.get_str("damage_rate", "state/internal/d_rate")
+        self.from_var = [self.gamma]
+
+    def forward(self, env):
+        return {self.to_var: env[self.gamma] / self.ef}
+
+
+class GTNYieldFunction(_NEML2Model):
+    """Gurson-Tvergaard-Needleman porous-plasticity yield function
+    (NEML2 GTNYieldFunction):
+
+        f = (se/σf)² + 2·q1·φ·cosh(q2·skk/(2·σf)) − (1 + q3·φ²)
+
+    with se the von Mises measure, skk the stress trace (pressure
+    channel), φ the void fraction, and σf = yield_stress + isotropic
+    hardening.  At φ = 0 it reduces to the normalized J2 surface
+    (se/σf)² − 1."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.q1 = params.get_float("q1", 1.0)
+        self.q2 = params.get_float("q2", 1.0)
+        self.q3 = params.get_float("q3", 1.0)
+        self.sy = params.get_float("yield_stress", required=True)
+        self.se = params.get_str("stress_measure", "state/internal/se")
+        self.skk = params.get_str("stress_trace", "state/internal/skk")
+        self.phi = params.get_str("void_fraction", "state/internal/phi")
+        self.k = params.get_str("isotropic_hardening", "")
+        self.to_var = params.get_str("yield_function", "state/internal/fp")
+        self.from_var = [self.se, self.skk, self.phi] + (
+            [self.k] if self.k else [])
+
+    def forward(self, env):
+        sf = self.sy + (env[self.k] if self.k else 0.0)
+        se, skk, phi = env[self.se], env[self.skk], env[self.phi]
+        return {self.to_var:
+                (se / sf) ** 2
+                + 2.0 * self.q1 * phi * jnp.cosh(self.q2 * skk / (2.0 * sf))
+                - (1.0 + self.q3 * phi * phi)}
+
+
+class GursonCavitation(_NEML2Model):
+    """Void growth from plastic incompressibility of the matrix (NEML2
+    GursonCavitation): φ̇ = (1 − φ)·tr(Ėp).  Deviatoric (J2) flow gives
+    φ̇ = 0; the pressure-sensitive GTN normal grows voids under triaxial
+    load."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.phi = params.get_str("void_fraction", "state/internal/phi")
+        self.Ep_rate = params.get_str("plastic_strain_rate",
+                                      "state/internal/Ep_rate")
+        self.to_var = self.phi + "_rate"
+        self.from_var = [self.phi, self.Ep_rate]
+
+    def forward(self, env):
+        Ep_rate = env[self.Ep_rate]
+        tr = Ep_rate[..., 0] + Ep_rate[..., 1] + Ep_rate[..., 2]
+        return {self.to_var: (1.0 - env[self.phi]) * tr}
+
+
+class ScalarVariableRate(_NEML2Model):
+    """ṡ = (s − s_old)/(t − t_old) (NEML2 ScalarVariableRate): the
+    backward-difference rate of a state/forces variable, e.g. a strain
+    rate driving viscous models."""
+
+    NCOMP = 1
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        var = params.get_str("variable", required=True)
+        self.var = var if "/" in var else f"state/{var}"
+        self.old = "old_" + self.var
+        self.t = params.get_str("time", "forces/t")
+        self.t_old = f"old_{self.t}"
+        self.to_var = params.get_str("rate", self.var + "_rate")
+        self.from_var = [self.var, self.old, self.t, self.t_old]
+
+    def forward(self, env):
+        dt = env[self.t] - env[self.t_old]
+        return {self.to_var: (env[self.var] - env[self.old]) / dt}
+
+
+class SR2VariableRate(ScalarVariableRate):
+    """Ṡ = (S − S_old)/(t − t_old) on Mandel SR2 variables (NEML2
+    SR2VariableRate)."""
+
+    NCOMP = 6
+
+    def forward(self, env):
+        dt = env[self.t] - env[self.t_old]
+        return {self.to_var:
+                (env[self.var] - env[self.old]) / dt[..., None]}
+
+
 _MODEL_TYPES = {
     "ScalarMultiplication": ScalarMultiplication,
     "ScalarLinearCombination": ScalarLinearCombination,
@@ -1028,6 +1213,14 @@ _MODEL_TYPES = {
     "PowerLawIsotropicHardening": PowerLawIsotropicHardening,
     "SlopeSaturationVoceIsotropicHardening":
         SlopeSaturationVoceIsotropicHardening,
+    "PowerLawCreep": PowerLawCreep,
+    "BlackburnCreep": BlackburnCreep,
+    "IsotropicDamageEffectiveStress": IsotropicDamageEffectiveStress,
+    "PlasticStrainDamageRate": PlasticStrainDamageRate,
+    "GTNYieldFunction": GTNYieldFunction,
+    "GursonCavitation": GursonCavitation,
+    "ScalarVariableRate": ScalarVariableRate,
+    "SR2VariableRate": SR2VariableRate,
 }
 
 

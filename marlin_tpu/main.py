@@ -78,7 +78,7 @@ def main(argv=None):
             os.path.expanduser("~/.cache/marlin_tpu/xla"))
     if cache_dir and cache_dir != "0":
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     # multi-host launch (docs/multihost.md): one process per host, all
     # joining a jax.distributed cluster; jax.devices() then spans every
     # host and [Domain] parallel_mode meshes lay shardings across the

@@ -89,7 +89,7 @@ def test_neml2_unknown_model_type_errors(tmp_path):
     from marlin_tpu.executioner import run_deck
 
     (tmp_path / "model.i").write_text(
-        "[Models]\n  [m]\n    type = GursonCavitation\n  []\n[]\n"
+        "[Models]\n  [m]\n    type = ResolvedShear\n  []\n[]\n"
     )
     (tmp_path / "deck.i").write_text(
         """
@@ -1621,3 +1621,284 @@ def test_neml2_fb_corner_exact_yield(tmp_path):
     assert np.all(np.isfinite(ep)), f"NaN at the FB corner: {ep}"
     np.testing.assert_allclose(ep, [0.0, 0.0, 0.005, 0.015], atol=1e-9)
     np.testing.assert_allclose(s, [4.0, 5.0, 5.0, 5.0], atol=1e-6)
+
+def test_neml2_power_law_creep(tmp_path):
+    """PowerLawCreep gdot = A*(sm/s0)^n: exact values, zero and negative
+    stress give zero rate (finite jvp via the safe-pow guard)."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [creep]
+    type = PowerLawCreep
+    coefficient = 1e-6
+    exponent = 5.0
+    reference_stress = 100.0
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "creep")
+    sm = jnp.asarray([0.0, -50.0, 100.0, 200.0])
+    out = m.forward({"state/internal/sm": sm})
+    g = np.asarray(out["state/internal/gamma_rate"])
+    np.testing.assert_allclose(g, [0.0, 0.0, 1e-6, 1e-6 * 2.0 ** 5],
+                               rtol=1e-12)
+
+
+def test_neml2_implicit_creep_relaxation(tmp_path):
+    """PowerLawCreep inside ImplicitUpdate: stress relaxation at constant
+    total strain, s = E*(e - ep), epdot = A*s^n.  One backward-Euler step
+    verified against an in-test bisection of
+    ep1 = dt*A*(E*(e - ep1))^n."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    E, A, n = 1000.0, 1e-4, 3.0
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [stress]
+    type = ScalarLinearCombination
+    from_var = 'forces/e state/internal/ep'
+    to_var = 'state/internal/sm'
+    coefficients = '1000.0 -1000.0'
+  []
+  [creep]
+    type = PowerLawCreep
+    coefficient = 1e-4
+    exponent = 3.0
+  []
+  [eprate]
+    type = ScalarLinearCombination
+    from_var = 'state/internal/gamma_rate'
+    to_var = 'state/internal/ep_rate'
+  []
+  [integ]
+    type = ScalarBackwardEulerTimeIntegration
+    variable = 'state/internal/ep'
+  []
+  [system]
+    type = ComposedModel
+    models = 'stress creep eprate integ'
+  []
+  [impl]
+    type = ImplicitUpdate
+    implicit_model = system
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "impl")
+    e = jnp.asarray([0.002, 0.004])
+    out = m.forward({
+        "forces/e": e,
+        "old_state/internal/ep": jnp.zeros_like(e),
+        "forces/t": jnp.asarray(1.0),
+        "old_forces/t": jnp.asarray(0.0),
+    })
+    ep = np.asarray(out["state/internal/ep"])
+
+    def ep_exact(ei):
+        lo, hi = 0.0, ei
+        for _ in range(200):
+            mid = 0.5 * (lo + hi)
+            r = mid - A * (E * (ei - mid)) ** n
+            lo, hi = (lo, mid) if r > 0 else (mid, hi)
+        return 0.5 * (lo + hi)
+
+    np.testing.assert_allclose(
+        ep, [ep_exact(float(v)) for v in np.asarray(e)], atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out["state/internal/sm"]),
+                               E * (np.asarray(e) - ep), rtol=1e-9)
+
+
+def test_neml2_blackburn_creep(tmp_path):
+    """BlackburnCreep gdot = A*sinh(beta*sm)^n exact values."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [creep]
+    type = BlackburnCreep
+    coefficient = 2e-5
+    beta = 0.01
+    exponent = 2.0
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "creep")
+    sm = jnp.asarray([0.0, 100.0, 300.0])
+    g = np.asarray(m.forward({"state/internal/sm": sm})
+                   ["state/internal/gamma_rate"])
+    np.testing.assert_allclose(
+        g, [0.0, 2e-5 * np.sinh(1.0) ** 2, 2e-5 * np.sinh(3.0) ** 2],
+        rtol=1e-6)
+
+
+def test_neml2_damage_softening_chain(tmp_path):
+    """IsotropicDamageEffectiveStress + PlasticStrainDamageRate coupled to
+    the Fischer-Burmeister return map: yield on sm/(1-d) with d = ep/ef.
+    One step from virgin state has the closed form
+    ep = (E*e - sy)/(E - sy/ef) (consistency: E*(e-ep) = sy*(1-ep/ef))."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    E, sy, ef = 1000.0, 5.0, 0.1
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [stress]
+    type = ScalarLinearCombination
+    from_var = 'forces/e state/internal/ep'
+    to_var = 'state/internal/sm'
+    coefficients = '1000.0 -1000.0'
+  []
+  [eff]
+    type = IsotropicDamageEffectiveStress
+    damage = 'state/internal/d'
+  []
+  [yield]
+    type = YieldFunction
+    stress_measure = 'state/internal/sm_eff'
+    yield_stress = 5.0
+  []
+  [eprate]
+    type = ScalarLinearCombination
+    from_var = 'state/internal/gamma_rate'
+    to_var = 'state/internal/ep_rate'
+  []
+  [drate]
+    type = PlasticStrainDamageRate
+    failure_strain = 0.1
+  []
+  [epinteg]
+    type = ScalarBackwardEulerTimeIntegration
+    variable = 'state/internal/ep'
+  []
+  [dinteg]
+    type = ScalarBackwardEulerTimeIntegration
+    variable = 'state/internal/d'
+  []
+  [fb]
+    type = RateIndependentPlasticFlowConstraint
+  []
+  [system]
+    type = ComposedModel
+    models = 'stress eff yield eprate drate epinteg dinteg fb'
+  []
+  [impl]
+    type = ImplicitUpdate
+    implicit_model = system
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "impl")
+    e = jnp.asarray([0.004, 0.010])  # elastic, plastic+damaging
+    z = jnp.zeros_like(e)
+    out = m.forward({
+        "forces/e": e,
+        "old_state/internal/ep": z,
+        "old_state/internal/d": z,
+        "old_state/internal/gamma_rate": z,
+        "forces/t": jnp.asarray(1.0),
+        "old_forces/t": jnp.asarray(0.0),
+    })
+    ep = np.asarray(out["state/internal/ep"])
+    d = np.asarray(out["state/internal/d"])
+    ep_pl = (E * 0.010 - sy) / (E - sy / ef)
+    np.testing.assert_allclose(ep, [0.0, ep_pl], atol=1e-9)
+    np.testing.assert_allclose(d, [0.0, ep_pl / ef], atol=1e-8)
+    # softening: the DAMAGED true stress is below the undamaged yield
+    s = np.asarray(out["state/internal/sm"])
+    assert s[1] < sy
+    np.testing.assert_allclose(s[1], sy * (1 - ep_pl / ef), rtol=1e-6)
+
+
+def test_neml2_gtn_yield_and_cavitation(tmp_path):
+    """GTNYieldFunction reduces to normalized J2 at phi=0, matches the
+    full formula at phi>0; GursonCavitation gives phidot = (1-phi)*tr(Ep_rate)
+    and zero for deviatoric flow."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [gtn]
+    type = GTNYieldFunction
+    yield_stress = 100.0
+    q1 = 1.5
+    q2 = 1.2
+    q3 = 2.25
+  []
+  [cav]
+    type = GursonCavitation
+  []
+[]
+"""
+    )
+    gtn = load_neml2_model(str(tmp_path / "model.i"), "gtn")
+    se = jnp.asarray([100.0, 150.0])
+    skk = jnp.asarray([0.0, 90.0])
+    phi = jnp.asarray([0.0, 0.05])
+    f = np.asarray(gtn.forward({"state/internal/se": se,
+                                "state/internal/skk": skk,
+                                "state/internal/phi": phi})
+                   ["state/internal/fp"])
+    # phi=0, se=sy: exactly on the J2 surface
+    np.testing.assert_allclose(f[0], 0.0, atol=1e-12)
+    expect = (1.5 ** 2 + 2 * 1.5 * 0.05 * np.cosh(1.2 * 90.0 / 200.0)
+              - (1 + 2.25 * 0.05 ** 2))
+    np.testing.assert_allclose(f[1], expect, rtol=1e-6)
+
+    cav = load_neml2_model(str(tmp_path / "model.i"), "cav")
+    # dilational flow: tr = 0.03; deviatoric flow: tr = 0
+    Ep_rate = jnp.asarray([[0.01, 0.01, 0.01, 0.0, 0.0, 0.0],
+                           [0.02, -0.01, -0.01, 0.1, 0.0, 0.0]])
+    out = cav.forward({"state/internal/phi": jnp.asarray([0.2, 0.2]),
+                       "state/internal/Ep_rate": Ep_rate})
+    np.testing.assert_allclose(np.asarray(out["state/internal/phi_rate"]),
+                               [0.8 * 0.03, 0.0], atol=1e-12)
+
+
+def test_neml2_variable_rates(tmp_path):
+    """Scalar/SR2VariableRate: backward-difference rates."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [srate]
+    type = ScalarVariableRate
+    variable = 'forces/e'
+  []
+  [trate]
+    type = SR2VariableRate
+    variable = 'forces/E'
+  []
+[]
+"""
+    )
+    srate = load_neml2_model(str(tmp_path / "model.i"), "srate")
+    out = srate.forward({"forces/e": jnp.asarray(0.3),
+                         "old_forces/e": jnp.asarray(0.1),
+                         "forces/t": jnp.asarray(2.0),
+                         "old_forces/t": jnp.asarray(1.5)})
+    np.testing.assert_allclose(float(out["forces/e_rate"]), 0.4, rtol=1e-12)
+
+    trate = load_neml2_model(str(tmp_path / "model.i"), "trate")
+    E1 = jnp.asarray([1.0, 0.0, 0.0, 0.5, 0.0, 0.0])
+    E0 = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    out = trate.forward({"forces/E": E1, "old_forces/E": E0,
+                         "forces/t": jnp.asarray(1.0),
+                         "old_forces/t": jnp.asarray(0.5)})
+    np.testing.assert_allclose(np.asarray(out["forces/E_rate"]),
+                               [2.0, 0, 0, 1.0, 0, 0], rtol=1e-12)
