@@ -73,6 +73,64 @@ def param_table(cls):
     return rows
 
 
+# Types documented inside a FAMILY prose page rather than a file of their
+# own name (e.g. the three linear factors share ReciprocalLaplacianFactor.md).
+# Every registered type must resolve to a prose page through either its own
+# <Name>.md or an entry here — test_docs_complete enforces it.
+GROUP_PAGES = {
+    "BroydenSolver": "SecantSolver.md",
+    "ComputeDisplacements": "FFTMechanics.md",
+    "ComputeVonMisesStress": "FFTMechanics.md",
+    "ComputeGroupExecutionCount": "Postprocessors.md",
+    "ComputeReynoldsNumber": "Postprocessors.md",
+    "ConstantReciprocalTensor": "ConstantTensor.md",
+    "ElementAverageValue": "AuxPostprocessors.md",
+    "ElementExtremeValue": "AuxPostprocessors.md",
+    "ElementIntegralVariablePostprocessor": "AuxPostprocessors.md",
+    "FunctionElementIntegral": "AuxPostprocessors.md",
+    "NodalExtremeValue": "AuxPostprocessors.md",
+    "ParsedPostprocessor": "AuxPostprocessors.md",
+    "IterationPostprocessor": "AuxPostprocessors.md",
+    "TensorSolverIterations": "AuxPostprocessors.md",
+    "FFTGradientSquare": "FFTGradient.md",
+    "GradientTensor": "FFTGradient.md",
+    "InverseFFT": "ForwardFFT.md",
+    "LBMApplyForces": "LBMComputeVelocity.md",
+    "LBMComputeDensity": "LBMComputeVelocity.md",
+    "LBMComputeForces": "LBMComputeVelocity.md",
+    "LBMComputeVelocityMagnitude": "LBMComputeVelocity.md",
+    "LBMComputeResidual": "LBMStream.md",
+    "LBMComputeChemicalPotential": "LBMPhaseEquilibrium.md",
+    "LBMIsotropicGradient": "LBMPhaseEquilibrium.md",
+    "LBMIsotropicLaplacian": "LBMPhaseEquilibrium.md",
+    "LBMConstantTensor": "LBMTensorUnitConverter.md",
+    "LBMStackTensors": "LBMTensorUnitConverter.md",
+    "LBMD3Q19": "LBMD2Q9.md",
+    "LBMD3Q27": "LBMD2Q9.md",
+    "LBMFixedZerothOrderBC": "LBMFixedFirstOrderBC.md",
+    "LBMMRTCollision": "LBMBGKCollision.md",
+    "LBMSmagorinskyCollision": "LBMBGKCollision.md",
+    "LBMSmagorinskyMRTCollision": "LBMBGKCollision.md",
+    "LBMNeumannBC": "LBMDirichletBC.md",
+    "MacroscopicShearTensor": "RankTwoIdentity.md",
+    "PhaseMechanicsTest": "RankTwoIdentity.md",
+    "ParsedTensor": "ParsedCompute.md",
+    "RealSpaceForwardEuler": "ForwardEulerSolver.md",
+    "ReciprocalIntegral": "Postprocessors.md",
+    "ReciprocalLaplacianSquareFactor": "ReciprocalLaplacianFactor.md",
+    "SwiftHohenbergLinear": "ReciprocalLaplacianFactor.md",
+    "ReciprocalMatDiffusion": "ReciprocalAllenCahn.md",
+    "SemiImplicitCriticalTimeStep": "Postprocessors.md",
+    "SemiImplicitSolver": "AdamsBashforthMoulton.md",
+    "TensorAveragePostprocessor": "Postprocessors.md",
+    "TensorExtremeValuePostprocessor": "Postprocessors.md",
+    "TensorHistogram": "Postprocessors.md",
+    "TensorIntegralChangePostprocessor": "Postprocessors.md",
+    "TensorIntegralPostprocessor": "Postprocessors.md",
+    "TensorInterfaceVelocityPostprocessor": "Postprocessors.md",
+}
+
+
 def main():
     from marlin_tpu import registry
     import marlin_tpu.computes  # noqa: F401
@@ -131,10 +189,17 @@ def main():
             doc = doc.split("\n\n")[0].replace("\n", " ")
             alias = f" (alias: {', '.join(names[1:])})" if len(names) > 1 else ""
             out.append(f"### {names[0]}{alias}\n")
-            page = os.path.join(os.path.dirname(__file__), "types",
-                                f"{names[0]}.md")
-            if os.path.exists(page):
-                doc += f"  [Prose page →](types/{names[0]}.md)"
+            page_file = None
+            for n in names:
+                if os.path.exists(os.path.join(
+                        os.path.dirname(__file__), "types", f"{n}.md")):
+                    page_file = f"{n}.md"
+                    break
+                if n in GROUP_PAGES:
+                    page_file = GROUP_PAGES[n]
+                    break
+            if page_file is not None:
+                doc += f"  [Prose page →](types/{page_file})"
             out.append(doc)
             rows = param_table(cls)
             if rows:

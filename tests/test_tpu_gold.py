@@ -123,31 +123,41 @@ CSV_CASES = [
     # ss=10 cs=2 order=2 — the highest-order corrector combo the reference
     # ships golds for (test/tests/solvers/tests `corrector_steps_2_order_2`;
     # r03 review: the previous 10_1_2 combo has NO gold, so pytest silently
-    # skipped and the lane never exercised the ABM solver on the device)
+    # skipped and the lane never exercised the ABM solver on the device).
+    #
+    # Device-noise floor, TWO measured datapoints on the v5e (2026-08-21,
+    # /tmp/noise_meas.py protocol — worst-column max relative deviation vs
+    # the f64 gold):
+    #   diagonal 10_0_1 (AB1, predictor only):   2.87e-4 (u_max)
+    #   diagonal 10_2_2 (AB2 + 2 AM correctors): 5.10e-4 (v_min)
+    # vs 2.1e-5 for the same 10_2_2 deck at f32 on CPU.  The corrector
+    # barely amplifies it (1.8x for 3 extra sweeps), so the floor is the
+    # device FFT transform noise (docs/tpu_numerics.md §what-drifts), not
+    # solver-order error growth.  Tolerances: ~3x each measurement.
+    ("test/tests/solvers/diagonal.i", ["ss=10", "cs=0", "order=1"],
+     "test/tests/solvers/gold/diagonal_10_0_1.csv", "diagonal_10_0_1.csv",
+     1e-3),
     ("test/tests/solvers/diagonal.i", ["ss=10", "cs=2", "order=2"],
-     "test/tests/solvers/gold/diagonal_10_2_2.csv", "diagonal_10_2_2.csv"),
+     "test/tests/solvers/gold/diagonal_10_2_2.csv", "diagonal_10_2_2.csv",
+     1.5e-3),
     ("test/tests/solvers/coupled.i", ["ss=10", "cs=2", "order=2"],
-     "test/tests/solvers/gold/coupled_10_2_2.csv", "coupled_10_2_2.csv"),
+     "test/tests/solvers/gold/coupled_10_2_2.csv", "coupled_10_2_2.csv",
+     1.5e-3),
     # postprocessor reductions on device
     ("test/tests/postprocessors/postprocessors.i",
      ["Outputs/file_base=average", "Postprocessors/active=avg_c"],
-     "test/tests/postprocessors/gold/average.csv", "average.csv"),
+     "test/tests/postprocessors/gold/average.csv", "average.csv", 1.5e-3),
 ]
 
 
 @pytest.mark.parametrize(
-    "deck,cli,gold,out", CSV_CASES,
-    ids=[os.path.basename(c[0]) for c in CSV_CASES])
-def test_tpu_csv_gold(deck, cli, gold, out):
+    "deck,cli,gold,out,tol", CSV_CASES,
+    ids=[os.path.basename(c[2]) for c in CSV_CASES])
+def test_tpu_csv_gold(deck, cli, gold, out, tol):
     if not os.path.exists(os.path.join(REF, gold)):
         pytest.skip("no gold")
     _, tmp = run_ref_deck(deck, cli, tmpdir="/tmp/marlin_tpu_gold_dev")
-    # rel 1.5e-3: the device's FFT transform noise (docs/tpu_numerics.md
-    # §what-drifts), amplified by the order-2 corrector, measures 5.1e-4
-    # worst-column (v_min) on the chip vs 2.1e-5 for the SAME deck at f32
-    # on CPU — a device-FFT floor, not a solver defect; 3x margin on the
-    # measured value, still far below any physical feature of the gold
-    csv_diff(gold, f"{tmp}/{out}", rel_tol=1.5e-3, abs_tol=1e-6)
+    csv_diff(gold, f"{tmp}/{out}", rel_tol=tol, abs_tol=1e-6)
 
 
 def test_tpu_backend_is_real_device():
