@@ -38,7 +38,7 @@ if TPU_LANE:
         import jax
 
         jax.config.update("jax_compilation_cache_dir", _cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 if not TPU_LANE:
     flags = os.environ.get("XLA_FLAGS", "")

@@ -1287,3 +1287,28 @@ def test_fused_karman_vortex_parity(tmp_path):
     _, s1 = _run_deck(hit.load(deck, over + ["Problem/lbm_backend=JNP"]))
     _, s2 = _run_deck(hit.load(deck, over + ["Problem/lbm_backend=PALLAS"]))
     _assert_state_parity(s1, s2, tol=1e-10)
+
+
+def test_fused_thermal3d_parity():
+    """3-D thermal double-distribution (the bench _THERMAL3D_DECK: D3Q19
+    f+g, Boussinesq buoyancy with gravity along x, bounce-back plates +
+    Zou-He fixed-temperature left/right faces): the fused two-lattice
+    3-D kernel must match the jnp chain.  The reference's own 3-D thermal
+    deck is examples/lbm/natural_convection_3D/convection.i (same chain
+    with notebook-generated regional media)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+
+    states = []
+    for backend in ("JNP", "PALLAS"):
+        root = hit.parse(bench._THERMAL3D_DECK.format(
+            n=16, substeps=5, backend=backend))
+        _, s = _run_deck(root)
+        states.append(s)
+    _assert_state_parity(states[0], states[1], tol=1e-10)
