@@ -1183,6 +1183,200 @@ class SR2VariableRate(ScalarVariableRate):
                 (env[self.var] - env[self.old]) / dt[..., None]}
 
 
+def _euler_rotation(phi1, Phi, phi2):
+    """Bunge Z-X-Z Euler angles (radians) -> 3x3 rotation matrix (numpy,
+    build-time constant)."""
+    import numpy as np
+
+    c1, s1 = np.cos(phi1), np.sin(phi1)
+    c, s = np.cos(Phi), np.sin(Phi)
+    c2, s2 = np.cos(phi2), np.sin(phi2)
+    return np.array([
+        [c1 * c2 - s1 * s2 * c, -c1 * s2 - s1 * c2 * c, s1 * s],
+        [s1 * c2 + c1 * s2 * c, -s1 * s2 + c1 * c2 * c, -c1 * s],
+        [s2 * s, c2 * s, c],
+    ])
+
+
+def _schmid_mandel(params):
+    """Build the Mandel 6-vectors of the symmetric Schmid tensors
+    P_a = sym(d_a ⊗ n_a) for the crystal class + orientation given in
+    `params` (numpy constants baked into the program).
+
+    `crystal_class` = FCC (12 octahedral {111}<110> systems, default) or
+    BCC ({110}<111>, 12 systems); `euler_angles` = Bunge Z-X-Z in
+    radians rotates the crystal frame."""
+    import numpy as np
+
+    cls = params.get_str("crystal_class", "FCC").upper()
+    if cls == "FCC":
+        normals, dirs = [], []
+        for n in ([1, 1, 1], [-1, 1, 1], [1, -1, 1], [1, 1, -1]):
+            n = np.asarray(n, float)
+            for d in ([0, 1, -1], [1, 0, -1], [1, -1, 0],
+                      [0, 1, 1], [1, 0, 1], [1, 1, 0]):
+                d = np.asarray(d, float)
+                if abs(np.dot(n, d)) < 1e-12:
+                    normals.append(n / np.linalg.norm(n))
+                    dirs.append(d / np.linalg.norm(d))
+        # each plane keeps its 3 in-plane <110> directions -> 12 systems
+        normals, dirs = np.asarray(normals), np.asarray(dirs)
+    elif cls == "BCC":
+        normals, dirs = [], []
+        for n in ([1, 1, 0], [1, -1, 0], [1, 0, 1],
+                  [1, 0, -1], [0, 1, 1], [0, 1, -1]):
+            n = np.asarray(n, float)
+            for d in ([1, 1, 1], [-1, 1, 1], [1, -1, 1], [1, 1, -1]):
+                d = np.asarray(d, float)
+                if abs(np.dot(n, d)) < 1e-12:
+                    normals.append(n / np.linalg.norm(n))
+                    dirs.append(d / np.linalg.norm(d))
+        normals, dirs = np.asarray(normals), np.asarray(dirs)
+    else:
+        raise NEML2Error(f"unknown crystal_class '{cls}' (FCC or BCC)")
+
+    angles = params.get_float_vector("euler_angles", [0.0, 0.0, 0.0])
+    if len(angles) != 3:
+        params.error("euler_angles", "three Bunge Z-X-Z angles (radians)")
+    R = _euler_rotation(*angles)
+    normals = normals @ R.T
+    dirs = dirs @ R.T
+    P = 0.5 * (dirs[:, :, None] * normals[:, None, :]
+               + normals[:, :, None] * dirs[:, None, :])  # (ns, 3, 3)
+    rt2 = np.sqrt(2.0)
+    return np.stack([P[:, 0, 0], P[:, 1, 1], P[:, 2, 2],
+                     rt2 * P[:, 1, 2], rt2 * P[:, 0, 2],
+                     rt2 * P[:, 0, 1]], axis=-1)  # (ns, 6) Mandel
+
+
+class ResolvedShear(_NEML2Model):
+    """Resolved shear stresses τ_a = M : P_a on every slip system (NEML2
+    crystal-plasticity ResolvedShear): the Mandel dot of the stress with
+    each symmetric Schmid tensor sym(d_a ⊗ n_a).  The crystal geometry
+    (class + orientation) is built once at load time and baked into the
+    program as constants."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.P = _schmid_mandel(params)  # (ns, 6)
+        self.stress = params.get_str("stress", "state/internal/M")
+        self.to_var = params.get_str("resolved_shears",
+                                     "state/internal/resolved_shears")
+        self.from_var = [self.stress]
+
+    def forward(self, env):
+        M = env[self.stress]
+        P = jnp.asarray(self.P, M.dtype)
+        return {self.to_var: jnp.einsum("...i,si->...s", M, P)}
+
+
+class SingleSlipStrengthMap(_NEML2Model):
+    """Map the single scalar hardening state τ̄ to every slip system's
+    strength g_a = τ0 + τ̄ (NEML2 SingleSlipStrengthMap with
+    constant_strength τ0)."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.tau0 = params.get_float("constant_strength", required=True)
+        self.nslip = params.get_int("n_slip", 12)
+        self.hard = params.get_str("slip_hardening",
+                                   "state/internal/slip_hardening")
+        self.to_var = params.get_str("slip_strengths",
+                                     "state/internal/slip_strengths")
+        self.from_var = [self.hard]
+
+    def forward(self, env):
+        g = self.tau0 + env[self.hard]
+        return {self.to_var: jnp.broadcast_to(
+            g[..., None], g.shape + (self.nslip,))}
+
+
+class PowerLawSlipRule(_NEML2Model):
+    """Power-law slip-system flow rule (NEML2 PowerLawSlipRule):
+
+        γ̇_a = γ̇0 · |τ_a/g_a|^(n−1) · (τ_a/g_a)
+
+    — odd in τ, so slip reverses with the load.  The |x|^(n-1)·x form is
+    evaluated as sign(x)·|x|^n with a safe-pow floor so the jvp stays
+    finite at τ = 0 for n < 1 (the n > 1 production case is unaffected)."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.g0 = params.get_float("gamma0", required=True)
+        self.n = params.get_float("n", required=True)
+        self.tau = params.get_str("resolved_shears",
+                                  "state/internal/resolved_shears")
+        self.g = params.get_str("slip_strengths",
+                                "state/internal/slip_strengths")
+        self.to_var = params.get_str("slip_rates",
+                                     "state/internal/slip_rates")
+        self.from_var = [self.tau, self.g]
+
+    def forward(self, env):
+        x = env[self.tau] / env[self.g]
+        ax = jnp.abs(x)
+        ax_safe = jnp.maximum(ax, 1e-12)
+        mag = jnp.where(ax > 0.0, ax_safe ** self.n, 0.0)
+        return {self.to_var: self.g0 * jnp.sign(x) * mag}
+
+
+class SumSlipRates(_NEML2Model):
+    """Σ_a |γ̇_a| (NEML2 SumSlipRates): the total slip activity driving
+    single-strength hardening."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.rates = params.get_str("slip_rates", "state/internal/slip_rates")
+        self.to_var = params.get_str("sum_slip_rates",
+                                     "state/internal/sum_slip_rates")
+        self.from_var = [self.rates]
+
+    def forward(self, env):
+        return {self.to_var: jnp.sum(jnp.abs(env[self.rates]), axis=-1)}
+
+
+class VoceSingleSlipHardening(_NEML2Model):
+    """Voce hardening of the single slip strength (NEML2
+    VoceSingleSlipHardeningRule): τ̄̇ = θ0·(1 − τ̄/τ_f)·Σ|γ̇_a|.
+    Integrate state/internal/slip_hardening with a
+    Scalar(Backward|Forward)EulerTimeIntegration member."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.theta0 = params.get_float("initial_slope", required=True)
+        self.tau_f = params.get_float("saturated_hardening", required=True)
+        self.hard = params.get_str("slip_hardening",
+                                   "state/internal/slip_hardening")
+        self.ssr = params.get_str("sum_slip_rates",
+                                  "state/internal/sum_slip_rates")
+        self.to_var = self.hard + "_rate"
+        self.from_var = [self.hard, self.ssr]
+
+    def forward(self, env):
+        return {self.to_var: self.theta0
+                * (1.0 - env[self.hard] / self.tau_f) * env[self.ssr]}
+
+
+class PlasticDeformationRate(_NEML2Model):
+    """Ėp = Σ_a γ̇_a·P_a (NEML2 PlasticDeformationRate, small-deformation
+    form): the plastic strain rate as the slip-rate-weighted sum of the
+    Schmid tensors, on the Mandel SR2 axis.  Uses the same crystal
+    geometry parameters as ResolvedShear."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.P = _schmid_mandel(params)  # (ns, 6)
+        self.rates = params.get_str("slip_rates", "state/internal/slip_rates")
+        self.to_var = params.get_str("plastic_strain_rate",
+                                     "state/internal/Ep_rate")
+        self.from_var = [self.rates]
+
+    def forward(self, env):
+        g = env[self.rates]
+        P = jnp.asarray(self.P, g.dtype)
+        return {self.to_var: jnp.einsum("...s,si->...i", g, P)}
+
+
 _MODEL_TYPES = {
     "ScalarMultiplication": ScalarMultiplication,
     "ScalarLinearCombination": ScalarLinearCombination,
@@ -1221,6 +1415,12 @@ _MODEL_TYPES = {
     "GursonCavitation": GursonCavitation,
     "ScalarVariableRate": ScalarVariableRate,
     "SR2VariableRate": SR2VariableRate,
+    "ResolvedShear": ResolvedShear,
+    "SingleSlipStrengthMap": SingleSlipStrengthMap,
+    "PowerLawSlipRule": PowerLawSlipRule,
+    "SumSlipRates": SumSlipRates,
+    "VoceSingleSlipHardening": VoceSingleSlipHardening,
+    "PlasticDeformationRate": PlasticDeformationRate,
 }
 
 

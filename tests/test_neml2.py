@@ -89,7 +89,7 @@ def test_neml2_unknown_model_type_errors(tmp_path):
     from marlin_tpu.executioner import run_deck
 
     (tmp_path / "model.i").write_text(
-        "[Models]\n  [m]\n    type = ResolvedShear\n  []\n[]\n"
+        "[Models]\n  [m]\n    type = MixedControlSetup\n  []\n[]\n"
     )
     (tmp_path / "deck.i").write_text(
         """
@@ -1902,3 +1902,202 @@ def test_neml2_variable_rates(tmp_path):
                          "old_forces/t": jnp.asarray(0.5)})
     np.testing.assert_allclose(np.asarray(out["forces/E_rate"]),
                                [2.0, 0, 0, 1.0, 0, 0], rtol=1e-12)
+
+def test_neml2_crystal_schmid_geometry(tmp_path):
+    """FCC/BCC slip geometry: 12 systems each, traceless Schmid tensors
+    with Mandel self-contraction 1/2 (orthonormal d, n)."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [fcc]
+    type = ResolvedShear
+  []
+  [bcc]
+    type = ResolvedShear
+    crystal_class = BCC
+  []
+[]
+"""
+    )
+    for name in ("fcc", "bcc"):
+        m = load_neml2_model(str(tmp_path / "model.i"), name)
+        P = m.P
+        assert P.shape == (12, 6), name
+        np.testing.assert_allclose(P[:, :3].sum(axis=1), 0.0, atol=1e-12)
+        np.testing.assert_allclose((P * P).sum(axis=1), 0.5, atol=1e-12)
+
+
+def test_neml2_resolved_shear_schmid_factors(tmp_path):
+    """Uniaxial stress along z on an unrotated FCC crystal: the resolved
+    shears are sigma times the Schmid factors — 8 systems at the maximal
+    1/sqrt(6), 4 inactive."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        "[Models]\n  [rs]\n    type = ResolvedShear\n  []\n[]\n"
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "rs")
+    sigma = 100.0
+    M = jnp.asarray([0.0, 0.0, sigma, 0.0, 0.0, 0.0])
+    tau = np.sort(np.abs(np.asarray(
+        m.forward({"state/internal/M": M})
+        ["state/internal/resolved_shears"])))
+    np.testing.assert_allclose(tau[:4], 0.0, atol=1e-9)
+    np.testing.assert_allclose(tau[4:], sigma / np.sqrt(6.0), rtol=1e-12)
+
+    # rotation invariance of the ACTIVITY SPECTRUM: rotating crystal and
+    # load together must reproduce the same sorted shears — here just
+    # check a rotated crystal still has 12 finite shears bounded by
+    # sigma/2 (max possible Schmid factor)
+    (tmp_path / "rot.i").write_text(
+        """
+[Models]
+  [rs]
+    type = ResolvedShear
+    euler_angles = '0.3 0.7 1.1'
+  []
+[]
+"""
+    )
+    mr = load_neml2_model(str(tmp_path / "rot.i"), "rs")
+    taur = np.asarray(mr.forward({"state/internal/M": M})
+                      ["state/internal/resolved_shears"])
+    assert np.all(np.abs(taur) <= sigma / 2 + 1e-9)
+
+
+def test_neml2_crystal_plasticity_rate_chain(tmp_path):
+    """Full single-crystal rate chain at fixed stress: ResolvedShear ->
+    SingleSlipStrengthMap -> PowerLawSlipRule -> SumSlipRates ->
+    VoceSingleSlipHardening + PlasticDeformationRate, verified against a
+    numpy reimplementation; plastic flow is traceless (slip preserves
+    volume)."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [rs]
+    type = ResolvedShear
+  []
+  [map]
+    type = SingleSlipStrengthMap
+    constant_strength = 50.0
+  []
+  [rule]
+    type = PowerLawSlipRule
+    gamma0 = 1e-3
+    n = 8.0
+  []
+  [ssr]
+    type = SumSlipRates
+  []
+  [voce]
+    type = VoceSingleSlipHardening
+    initial_slope = 500.0
+    saturated_hardening = 30.0
+  []
+  [pdr]
+    type = PlasticDeformationRate
+  []
+  [chain]
+    type = ComposedModel
+    models = 'rs map rule ssr voce pdr'
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "chain")
+    M = jnp.asarray([10.0, -5.0, 80.0, 3.0, 0.0, 7.0])
+    hard = jnp.asarray(10.0)
+    out = m.forward({"state/internal/M": M,
+                     "state/internal/slip_hardening": hard})
+
+    P = load_neml2_model(str(tmp_path / "model.i"), "rs").P  # (12, 6)
+    tau = np.asarray(M) @ P.T
+    g = 50.0 + 10.0
+    x = tau / g
+    rates = 1e-3 * np.sign(x) * np.abs(x) ** 8
+    np.testing.assert_allclose(
+        np.asarray(out["state/internal/slip_rates"]), rates, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(out["state/internal/sum_slip_rates"]),
+        np.sum(np.abs(rates)), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(out["state/internal/slip_hardening_rate"]),
+        500.0 * (1 - 10.0 / 30.0) * np.sum(np.abs(rates)), rtol=1e-5)
+    Ep_rate = np.asarray(out["state/internal/Ep_rate"])
+    np.testing.assert_allclose(Ep_rate, rates @ P, rtol=1e-5)
+    np.testing.assert_allclose(Ep_rate[:3].sum(), 0.0, atol=1e-10)
+
+
+def test_neml2_crystal_implicit_hardening(tmp_path):
+    """Implicit (backward-Euler) integration of the single slip strength
+    inside ImplicitUpdate at fixed stress: tau_bar1 solves
+    tau_bar1 = tau_bar0 + dt*theta0*(1 - tau_bar1/tau_f)*S(tau_bar1),
+    verified against an in-test fixed-point iteration."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [rs]
+    type = ResolvedShear
+  []
+  [map]
+    type = SingleSlipStrengthMap
+    constant_strength = 50.0
+  []
+  [rule]
+    type = PowerLawSlipRule
+    gamma0 = 1e-3
+    n = 8.0
+  []
+  [ssr]
+    type = SumSlipRates
+  []
+  [voce]
+    type = VoceSingleSlipHardening
+    initial_slope = 500.0
+    saturated_hardening = 30.0
+  []
+  [integ]
+    type = ScalarBackwardEulerTimeIntegration
+    variable = 'state/internal/slip_hardening'
+  []
+  [system]
+    type = ComposedModel
+    models = 'rs map rule ssr voce integ'
+  []
+  [impl]
+    type = ImplicitUpdate
+    implicit_model = system
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "impl")
+    M = jnp.asarray([0.0, 0.0, 120.0, 0.0, 0.0, 0.0])
+    out = m.forward({
+        "state/internal/M": M,
+        "old_state/internal/slip_hardening": jnp.asarray(2.0),
+        "forces/t": jnp.asarray(1.0),
+        "old_forces/t": jnp.asarray(0.0),
+    })
+    got = float(out["state/internal/slip_hardening"])
+
+    P = load_neml2_model(str(tmp_path / "model.i"), "rs").P
+
+    def S(tb):
+        tau = np.asarray(M) @ P.T
+        x = tau / (50.0 + tb)
+        return np.sum(np.abs(1e-3 * np.sign(x) * np.abs(x) ** 8))
+
+    tb = 2.0
+    for _ in range(200):
+        tb = 2.0 + 1.0 * 500.0 * (1 - tb / 30.0) * S(tb)
+    np.testing.assert_allclose(got, tb, rtol=1e-6)
