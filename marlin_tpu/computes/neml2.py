@@ -1377,6 +1377,69 @@ class PlasticDeformationRate(_NEML2Model):
         return {self.to_var: jnp.einsum("...s,si->...i", g, P)}
 
 
+class MixedControlSetup(_NEML2Model):
+    """Mixed stress/strain control, assembly half (NEML2
+    MixedControlSetup): drive each Mandel component by EITHER a
+    prescribed strain or a prescribed stress.  `control` (6 flags;
+    1 = stress-controlled) selects per component; `forces/fixed_values`
+    carries the prescribed values; the 6-vector implicit unknown
+    state/mixed_state holds the complement (the strain of
+    stress-controlled components, the stress of strain-controlled
+    ones).  Assembles BOTH driving fields:
+
+        E_i = control_i ? mixed_state_i : fixed_i     (strain)
+        T_i = control_i ? fixed_i : mixed_state_i     (target stress)
+
+    The constitutive sibling computes S(E); close the system with
+    SR2EqualityConstraint(state/mixed_state: S == T) inside
+    ImplicitUpdate — stress-controlled RVE loading without an outer
+    iteration."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        import numpy as np
+
+        ctl = params.get_float_vector("control", required=True)
+        if len(ctl) != 6:
+            params.error("control", "six Mandel-component flags (0/1)")
+        self.control = np.asarray(ctl, float)
+        self.fixed = params.get_str("fixed_values", "forces/fixed_values")
+        self.state_var = params.get_str("mixed_state", "state/mixed_state")
+        self.strain = params.get_str("strain", "forces/E")
+        self.target = params.get_str("stress_target", "state/S_target")
+        self.to_var = [self.strain, self.target]
+        self.from_var = [self.fixed, self.state_var]
+
+    def forward(self, env):
+        c = jnp.asarray(self.control, env[self.fixed].dtype)
+        fixed, mixed = env[self.fixed], env[self.state_var]
+        return {self.strain: c * mixed + (1.0 - c) * fixed,
+                self.target: c * fixed + (1.0 - c) * mixed}
+
+
+class SR2EqualityConstraint(_NEML2Model):
+    """residual/<variable> = a − b on Mandel SR2 fields: a generic
+    equality-constraint residual emitter for ImplicitUpdate (marlin_tpu
+    extension; the closure NEML2 builds into its mixed-control assembly).
+    `variable` names the implicit unknown the constraint determines."""
+
+    NCOMP = 6
+    emits_residual = True
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        var = params.get_str("variable", required=True)
+        self.state_var = var if "/" in var else f"state/{var}"
+        self.a = params.get_str("a", required=True)
+        self.b = params.get_str("b", required=True)
+        self.to_var = self.state_var.replace("state/", "residual/", 1)
+        self.from_var = [self.a, self.b, self.state_var,
+                         "old_" + self.state_var]
+
+    def forward(self, env):
+        return {self.to_var: env[self.a] - env[self.b]}
+
+
 _MODEL_TYPES = {
     "ScalarMultiplication": ScalarMultiplication,
     "ScalarLinearCombination": ScalarLinearCombination,
@@ -1421,6 +1484,8 @@ _MODEL_TYPES = {
     "SumSlipRates": SumSlipRates,
     "VoceSingleSlipHardening": VoceSingleSlipHardening,
     "PlasticDeformationRate": PlasticDeformationRate,
+    "MixedControlSetup": MixedControlSetup,
+    "SR2EqualityConstraint": SR2EqualityConstraint,
 }
 
 

@@ -89,7 +89,7 @@ def test_neml2_unknown_model_type_errors(tmp_path):
     from marlin_tpu.executioner import run_deck
 
     (tmp_path / "model.i").write_text(
-        "[Models]\n  [m]\n    type = MixedControlSetup\n  []\n[]\n"
+        "[Models]\n  [m]\n    type = OrientationRate\n  []\n[]\n"
     )
     (tmp_path / "deck.i").write_text(
         """
@@ -2101,3 +2101,75 @@ def test_neml2_crystal_implicit_hardening(tmp_path):
     for _ in range(200):
         tb = 2.0 + 1.0 * 500.0 * (1 - tb / 30.0) * S(tb)
     np.testing.assert_allclose(got, tb, rtol=1e-6)
+
+def test_neml2_mixed_control_setup(tmp_path):
+    """MixedControlSetup + SR2EqualityConstraint inside ImplicitUpdate:
+    stress-controlled loading of linear elasticity recovers the
+    compliance solution (uniaxial: E_xx = s/E, E_yy = E_zz = -nu*s/E);
+    a mixed strain/stress-controlled case stores the complementary
+    stress in mixed_state."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [setup]
+    type = MixedControlSetup
+    control = '1 1 1 1 1 1'
+  []
+  [elast]
+    type = LinearIsotropicElasticity
+    strain = 'forces/E'
+    stress = 'state/S'
+    coefficients = '1000.0 0.3'
+    coefficient_types = 'YOUNGS_MODULUS POISSONS_RATIO'
+  []
+  [close]
+    type = SR2EqualityConstraint
+    variable = 'state/mixed_state'
+    a = 'state/S'
+    b = 'state/S_target'
+  []
+  [system]
+    type = ComposedModel
+    models = 'setup elast close'
+  []
+  [impl]
+    type = ImplicitUpdate
+    implicit_model = system
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "impl")
+    sigma = 100.0
+    fixed = jnp.asarray([sigma, 0.0, 0.0, 0.0, 0.0, 0.0])
+    out = m.forward({
+        "forces/fixed_values": fixed,
+        "old_state/mixed_state": jnp.zeros(6),
+    })
+    E = np.asarray(out["forces/E"])
+    np.testing.assert_allclose(
+        E, [0.1, -0.03, -0.03, 0, 0, 0], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(out["state/S"]),
+                               np.asarray(fixed), atol=1e-6)
+
+    # mixed: xx strain-controlled at 0.1, the rest stress-controlled at 0
+    (tmp_path / "mixed.i").write_text(
+        (tmp_path / "model.i").read_text().replace(
+            "control = '1 1 1 1 1 1'", "control = '0 1 1 1 1 1'")
+    )
+    m2 = load_neml2_model(str(tmp_path / "mixed.i"), "impl")
+    fixed2 = jnp.asarray([0.1, 0.0, 0.0, 0.0, 0.0, 0.0])
+    out2 = m2.forward({
+        "forces/fixed_values": fixed2,
+        "old_state/mixed_state": jnp.zeros(6),
+    })
+    np.testing.assert_allclose(np.asarray(out2["forces/E"]),
+                               [0.1, -0.03, -0.03, 0, 0, 0], atol=1e-8)
+    # mixed_state holds the complementary stress on the strain-controlled
+    # component (S_xx = 100) and the strains elsewhere
+    ms = np.asarray(out2["state/mixed_state"])
+    np.testing.assert_allclose(ms[0], sigma, rtol=1e-6)
+    np.testing.assert_allclose(ms[1:3], [-0.03, -0.03], atol=1e-8)
