@@ -1957,70 +1957,73 @@ def bench_probe():
     return {"ok": v == 1.0, "backend": jax.default_backend()}
 
 
-def _run_child(name):
-    _enable_compile_cache()
-    if name == "probe":
-        print(json.dumps(bench_probe()))
-    elif name == "1a":
-        print(json.dumps(bench_1a()))
-    elif name == "ch3d_fused":
-        print(json.dumps(bench_ch3d_fused()))
-    elif name.startswith("ch3d_"):
-        print(json.dumps(bench_ch3d(int(name.split("_")[1]))))
-    elif name == "2a":
-        print(json.dumps(bench_2a()))
-    elif name == "sh":
-        print(json.dumps(bench_sh()))
-    elif name == "sh_fused":
-        print(json.dumps(bench_sh(variant="fused")))
-    elif name == "lbm":
-        print(json.dumps(bench_lbm()))
-    elif name == "lbm_pallas":
-        print(json.dumps(bench_lbm(backend="PALLAS")))
-    elif name == "lbm_porous":
-        print(json.dumps(bench_lbm_porous(backend="PALLAS")))
-    elif name == "lbm_porous_jnp":
-        print(json.dumps(bench_lbm_porous(backend="JNP")))
-    elif name == "lbm_mixed":
-        print(json.dumps(bench_lbm_mixed(backend="PALLAS")))
-    elif name == "lbm_mixed_jnp":
-        print(json.dumps(bench_lbm_mixed(backend="JNP")))
-    elif name == "lbm_thermal":
-        print(json.dumps(bench_lbm_thermal(backend="PALLAS")))
-    elif name == "lbm_thermal_jnp":
-        print(json.dumps(bench_lbm_thermal(backend="JNP")))
-    elif name == "lbm_thermal3d":
-        print(json.dumps(bench_lbm_thermal3d(backend="PALLAS")))
-    elif name == "lbm_thermal3d_jnp":
-        print(json.dumps(bench_lbm_thermal3d(backend="JNP")))
-    elif name == "lbm_karman":
-        print(json.dumps(bench_lbm_karman(backend="PALLAS")))
-    elif name == "lbm_karman_jnp":
-        print(json.dumps(bench_lbm_karman(backend="JNP")))
-    elif name == "degeus":
-        print(json.dumps(bench_degeus()))
-    elif name == "degeus_pallas":
-        print(json.dumps(bench_degeus(fft_backend="PALLAS")))
-    elif name == "degeus64":
+def _child_result(name):
+    """Dispatch a child benchmark by name and return its result dict."""
+    fns = {
+        "probe": bench_probe,
+        "1a": bench_1a,
+        "ch3d_fused": bench_ch3d_fused,
+        "2a": bench_2a,
+        "sh": bench_sh,
+        "sh_fused": lambda: bench_sh(variant="fused"),
+        "lbm": bench_lbm,
+        "lbm_pallas": lambda: bench_lbm(backend="PALLAS"),
+        "lbm_porous": lambda: bench_lbm_porous(backend="PALLAS"),
+        "lbm_porous_jnp": lambda: bench_lbm_porous(backend="JNP"),
+        "lbm_mixed": lambda: bench_lbm_mixed(backend="PALLAS"),
+        "lbm_mixed_jnp": lambda: bench_lbm_mixed(backend="JNP"),
+        "lbm_thermal": lambda: bench_lbm_thermal(backend="PALLAS"),
+        "lbm_thermal_jnp": lambda: bench_lbm_thermal(backend="JNP"),
+        "lbm_thermal3d": lambda: bench_lbm_thermal3d(backend="PALLAS"),
+        "lbm_thermal3d_jnp": lambda: bench_lbm_thermal3d(backend="JNP"),
+        "lbm_karman": lambda: bench_lbm_karman(backend="PALLAS"),
+        "lbm_karman_jnp": lambda: bench_lbm_karman(backend="JNP"),
+        "degeus": bench_degeus,
+        "degeus_pallas": lambda: bench_degeus(fft_backend="PALLAS"),
         # 8x the reference's demonstrated RVE (not in the main suite: the
         # 64^3 Newton+CG compile alone takes ~8 min cold)
-        print(json.dumps(bench_degeus(steps=3, reps=1, n=64)))
-    elif name == "degeus64_pallas":
-        print(json.dumps(bench_degeus(steps=3, reps=1, n=64,
-                                      fft_backend="PALLAS")))
-    elif name == "degeus128":
-        # 64x the reference RVE — runs via the analytic-tangent CG operator
-        # (no rank-4 tangent; mechanics.py tangent_contract)
-        print(json.dumps(bench_degeus(steps=2, reps=1, n=128)))
-    elif name == "degeus128_pallas":
-        print(json.dumps(bench_degeus(steps=2, reps=1, n=128,
-                                      fft_backend="PALLAS")))
-    elif name == "1a_fused":
-        print(json.dumps(bench_1a_fused()))
-    elif name == "2a_tuned":
-        print(json.dumps(bench_2a(variant="tuned")))
-    else:
-        raise SystemExit(f"unknown benchmark {name}")
+        "degeus64": lambda: bench_degeus(steps=3, reps=1, n=64),
+        "degeus64_pallas": lambda: bench_degeus(steps=3, reps=1, n=64,
+                                                fft_backend="PALLAS"),
+        # 64x the reference RVE — runs via the analytic-tangent CG
+        # operator (no rank-4 tangent; mechanics.py tangent_contract)
+        "degeus128": lambda: bench_degeus(steps=2, reps=1, n=128),
+        "degeus128_pallas": lambda: bench_degeus(steps=2, reps=1, n=128,
+                                                 fft_backend="PALLAS"),
+        "1a_fused": bench_1a_fused,
+        "2a_tuned": lambda: bench_2a(variant="tuned"),
+    }
+    if name == "ch3d_fused" or not name.startswith("ch3d_"):
+        if name not in fns:
+            raise SystemExit(f"unknown benchmark {name}")
+        return fns[name]()
+    return bench_ch3d(int(name.split("_")[1]))
+
+
+def _run_child(name):
+    _enable_compile_cache()
+    print(json.dumps(_child_result(name)))
+
+
+def _run_batch(names):
+    """Run several children sequentially in ONE process (amortizes the
+    per-process backend attach, ~10-60 s each on axon; VERDICT r04 item 3).
+    Emits one `{"__batch__": name, "result": ...}` line per completed
+    child so the parent can absorb every finished child even if a later
+    one crashes or the batch is killed.  A child failure ABORTS the
+    batch (an axon failure can poison the whole process — the bogus
+    state must not masquerade as measurements for the remaining
+    children); the parent falls back to isolated spawns for the rest."""
+    _enable_compile_cache()
+    for name in names.split(","):
+        try:
+            result = _child_result(name)
+        except BaseException as e:  # SystemExit included
+            print(json.dumps({"__batch__": name, "error": repr(e)[:400]}),
+                  flush=True)
+            sys.stderr.write(f"batch aborted at {name}: {e!r}\n"[:500])
+            return
+        print(json.dumps({"__batch__": name, "result": result}), flush=True)
 
 
 def _last_json_line(text):
@@ -2077,6 +2080,46 @@ def _spawn(name, deadline, attempts=2, timeout=900):
         salvage.update({"partial": True, "error": last})
         return salvage
     return {"error": last or "skipped: budget exhausted"}
+
+
+def _batch_spawn(pairs, deadline):
+    """Run several tail children in ONE subprocess via `--batch`
+    (amortizes the per-process backend attach).  Returns {key: result}
+    for every child that emitted a result line; children missing from
+    the map (batch aborted on a poisoned process, timed out, or never
+    reached) fall back to isolated `_spawn`s in main()."""
+    remaining = deadline - time.time()
+    if remaining < 120:
+        return {}
+    env = dict(os.environ, MARLIN_TPU_BENCH_DEADLINE=str(deadline))
+    names = ",".join(child for _, child in pairs)
+    stdout = ""
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--batch", names],
+            capture_output=True, text=True, timeout=remaining, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        stdout = p.stdout
+    except subprocess.TimeoutExpired as e:
+        stdout = e.stdout if isinstance(e.stdout, str) else (
+            e.stdout.decode(errors="replace") if e.stdout else "")
+        sys.stderr.write(f"bench batch timed out after {remaining:.0f}s\n")
+    except Exception as e:
+        sys.stderr.write(f"bench batch failed: {e!r}\n")
+    got = {}
+    for line in (stdout or "").splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except ValueError:
+            continue
+        name = d.get("__batch__")
+        if name is not None and isinstance(d.get("result"), dict):
+            got[name] = d["result"]
+    return {key: got[child] for key, child in pairs if child in got}
 
 
 def _probe(deadline):
@@ -2176,6 +2219,9 @@ def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
         _run_child(sys.argv[2])
         return
+    if len(sys.argv) > 2 and sys.argv[1] == "--batch":
+        _run_batch(sys.argv[2])
+        return
 
     deadline = time.time() + BUDGET_S
     result = {"metric": "benchmark_1a_spinodal_walltime", "value": None,
@@ -2236,9 +2282,15 @@ def main():
         # above (VERDICT r04 item 1)
         ("lbm_mixed_128_pallas", "lbm_mixed", 1, 600, 120),
         ("lbm_thermal_rb_pallas", "lbm_thermal", 1, 600, 120),
-        # showcases (not in the reserve: BASELINE metrics outrank them)
-        # second chances for the headline VARIANT numbers when the primary
-        # slots' budget gates had to skip them behind slow required compiles
+    ]
+    # showcases (not in the reserve: BASELINE metrics outrank them) —
+    # second chances for the headline VARIANT numbers when the primary
+    # slots' budget gates had to skip them behind slow required compiles.
+    # These run as ONE shared-process batch first (r05: each fresh process
+    # pays a 10-60 s backend attach on axon; eight isolated tail children
+    # burn 100-500 s of budget on attaches alone), with isolated spawns
+    # as the fallback for whatever the batch did not complete.
+    tail_children = [
         ("1a_fused", "1a_fused", 1, 600, 0),
         ("ch3d_fused", "ch3d_fused", 1, 600, 0),
         ("2a_tuned", "2a_tuned", 1, 600, 0),
@@ -2254,11 +2306,21 @@ def main():
         reserves.append(tail)
         tail += est
     reserves.reverse()
+
+    def emit(key, sub):
+        # incremental emission: the FULL accumulated result line goes to
+        # BOTH stdout and stderr after every child, so even a hard parent
+        # kill (rc=124 in the r03 driver run) leaves a complete parseable
+        # JSON line wherever the driver captures output
+        _absorb(result, key, sub)
+        sys.stderr.write(f"bench done {key}: {json.dumps(sub)[:400]}\n")
+        sys.stderr.write(json.dumps(result) + "\n")
+        sys.stderr.flush()
+        print(json.dumps(result), flush=True)
+
     for (key, child, attempts, timeout, _), reserve in zip(children, reserves):
         if wedged:
             sub = {"skipped": "backend wedged"}
-        elif _second_chance_landed(result, key):
-            sub = {"skipped": "already landed in the primary slot"}
         elif deadline - time.time() < 120:
             sub = {"skipped": "budget exhausted"}
         else:
@@ -2276,15 +2338,28 @@ def main():
                 wedged = not _probe(deadline)
                 if wedged:
                     sub = dict(sub, skipped="backend wedged")
-        _absorb(result, key, sub)
-        # incremental emission: the FULL accumulated result line goes to
-        # BOTH stdout and stderr after every child, so even a hard parent
-        # kill (rc=124 in the r03 driver run) leaves a complete parseable
-        # JSON line wherever the driver captures output
-        sys.stderr.write(f"bench done {key}: {json.dumps(sub)[:400]}\n")
-        sys.stderr.write(json.dumps(result) + "\n")
-        sys.stderr.flush()
-        print(json.dumps(result), flush=True)
+        emit(key, sub)
+
+    # shared-process batch over the tail, then isolated fallbacks
+    pairs = [(key, child) for key, child, _, _, _ in tail_children
+             if not _second_chance_landed(result, key)]
+    batch_got = {}
+    if pairs and not wedged and deadline - time.time() >= 120:
+        os.environ["MARLIN_TPU_BENCH_RESERVE"] = "0"
+        batch_got = _batch_spawn(pairs, deadline)
+    for key, child, attempts, timeout, _ in tail_children:
+        if key in batch_got:
+            sub = batch_got[key]
+        elif wedged:
+            sub = {"skipped": "backend wedged"}
+        elif _second_chance_landed(result, key):
+            sub = {"skipped": "already landed in the primary slot"}
+        elif deadline - time.time() < 120:
+            sub = {"skipped": "budget exhausted"}
+        else:
+            os.environ["MARLIN_TPU_BENCH_RESERVE"] = "0"
+            sub = _spawn(child, deadline, attempts=attempts, timeout=timeout)
+        emit(key, sub)
 
     print(json.dumps(result))
 

@@ -89,3 +89,56 @@ def test_absorb_failed_second_chance_recorded_under_own_key():
     # the failure is visible, the primary skip marker is preserved
     assert result["1a_fused"] == {"error": "timeout after 600s"}
     assert result["fused_skipped"] == "budget"
+
+
+def test_batch_spawn_parses_per_child_lines(monkeypatch):
+    """_batch_spawn absorbs every child that emitted a result line, maps
+    child names back to artifact keys, and ignores error/garbage lines
+    (the abort-on-poison contract: missing children fall back to
+    isolated spawns)."""
+    import json
+    import time
+    import types
+
+    lines = [
+        json.dumps({"__batch__": "lbm_pallas", "result": {"mlups": 1700.0}}),
+        "not json",
+        json.dumps({"unrelated": True}),
+        json.dumps({"__batch__": "lbm", "error": "RuntimeError('poisoned')"}),
+    ]
+
+    def fake_run(cmd, **kw):
+        assert cmd[-2] == "--batch"
+        assert cmd[-1] == "lbm_pallas,lbm,lbm_porous"
+        return types.SimpleNamespace(stdout="\n".join(lines), returncode=0,
+                                     stderr="")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    pairs = [("lbm_channel3d_128_pallas", "lbm_pallas"),
+             ("lbm_channel3d_128", "lbm"),
+             ("lbm_porous_128_pallas", "lbm_porous")]
+    got = bench._batch_spawn(pairs, deadline=time.time() + 600)
+    assert got == {"lbm_channel3d_128_pallas": {"mlups": 1700.0}}
+
+
+def test_batch_spawn_salvages_on_timeout(monkeypatch):
+    """A batch timeout still yields every child completed before the
+    kill (the TimeoutExpired carries the partial stdout)."""
+    import json
+    import time
+
+    line = json.dumps({"__batch__": "sh_fused", "result": {"fused_value": 7.3}})
+
+    def fake_run(cmd, **kw):
+        raise bench.subprocess.TimeoutExpired(cmd, 1, output=line.encode())
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    got = bench._batch_spawn([("sh_fused", "sh_fused")],
+                             deadline=time.time() + 600)
+    assert got == {"sh_fused": {"fused_value": 7.3}}
+
+
+def test_batch_spawn_skips_without_budget():
+    import time
+
+    assert bench._batch_spawn([("k", "c")], deadline=time.time() + 60) == {}
