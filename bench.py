@@ -2095,9 +2095,11 @@ def _batch_spawn(pairs, deadline):
     names = ",".join(child for _, child in pairs)
     stdout = ""
     try:
+        # leave a 30 s window so the parent can absorb/emit the salvaged
+        # per-child lines even when the batch runs to the deadline
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--batch", names],
-            capture_output=True, text=True, timeout=remaining, env=env,
+            capture_output=True, text=True, timeout=remaining - 30, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         stdout = p.stdout

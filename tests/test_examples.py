@@ -99,6 +99,7 @@ LBM_EXAMPLES = [
     ("examples/lbm/Rayleigh-Benard/rayleigh-benard.i", []),
     ("examples/lbm/natural_convection_3D/convection.i", []),
     ("examples/lbm/Phase-field/phase.i", []),
+    ("examples/lbm/Formula1-aerodynamics/f1.i", []),
 ]
 
 
@@ -163,11 +164,34 @@ def _synth_dome_media(path):
             "Domain/zmax=%d" % nz]
 
 
+def _synth_car_media(path):
+    """Formula1-aerodynamics at reduced scale (formula_1.ipynb voxelizes
+    the car STL; here an ellipsoidal bluff body on a solid ground plane —
+    the same wall/inlet/outlet topology: D3Q27 Smagorinsky + projection,
+    Zou-He velocity inlet, zero-gradient outlet)."""
+    nx, ny, nz = 48, 20, 14
+    x, y, z = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    media = np.ones((nx, ny, nz), dtype=np.int64)
+    media[:, :, 0] = 0  # ground plane
+    body = (((x - 16) / 8.0) ** 2 + ((y - 10) / 4.0) ** 2
+            + ((z - 4) / 3.0) ** 2) <= 1.0
+    media[body] = 0
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.create_dataset("binary_media", data=media)
+    return ["Domain/nx=%d" % nx, "Domain/ny=%d" % ny, "Domain/nz=%d" % nz,
+            "Domain/xmax=%d" % nx, "Domain/ymax=%d" % ny,
+            "Domain/zmax=%d" % nz]
+
+
 # upstream generates each deck's binary_media.h5 in a sibling notebook; the
 # same geometry is synthesized here at reduced scale so the decks run
 MEDIA_SYNTH = {
     "examples/lbm/Karman-vortex/cylinder.i": _synth_cylinder_media,
     "examples/lbm/natural_convection_3D/convection.i": _synth_dome_media,
+    "examples/lbm/Formula1-aerodynamics/f1.i": _synth_car_media,
 }
 
 
