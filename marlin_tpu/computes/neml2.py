@@ -1377,6 +1377,32 @@ class PlasticDeformationRate(_NEML2Model):
         return {self.to_var: jnp.einsum("...s,si->...i", g, P)}
 
 
+class OlevskySinteringStress(_NEML2Model):
+    """Olevsky continuum-sintering stress (NEML2 OlevskySinteringStress;
+    Olevsky 1998): the capillary driving pressure of a porous body,
+
+        σ_s = 3·(γ/r0)·(1 − φ)²
+
+    with surface tension γ, characteristic particle/pore radius r0, and
+    void fraction φ.  Enters porous-plasticity systems as a hydrostatic
+    offset of the GTN pressure channel (skk → skk + 3σ_s) so free
+    sintering densifies (φ̇ < 0 through GursonCavitation) without an
+    applied load."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.gamma = params.get_float("surface_tension", required=True)
+        self.r0 = params.get_float("particle_radius", required=True)
+        self.phi = params.get_str("void_fraction", "state/internal/phi")
+        self.to_var = params.get_str("sintering_stress",
+                                     "state/internal/ss")
+        self.from_var = [self.phi]
+
+    def forward(self, env):
+        one_m = 1.0 - env[self.phi]
+        return {self.to_var: 3.0 * self.gamma / self.r0 * one_m * one_m}
+
+
 class MixedControlSetup(_NEML2Model):
     """Mixed stress/strain control, assembly half (NEML2
     MixedControlSetup): drive each Mandel component by EITHER a
@@ -1486,6 +1512,7 @@ _MODEL_TYPES = {
     "PlasticDeformationRate": PlasticDeformationRate,
     "MixedControlSetup": MixedControlSetup,
     "SR2EqualityConstraint": SR2EqualityConstraint,
+    "OlevskySinteringStress": OlevskySinteringStress,
 }
 
 

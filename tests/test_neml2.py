@@ -2173,3 +2173,40 @@ def test_neml2_mixed_control_setup(tmp_path):
     ms = np.asarray(out2["state/mixed_state"])
     np.testing.assert_allclose(ms[0], sigma, rtol=1e-6)
     np.testing.assert_allclose(ms[1:3], [-0.03, -0.03], atol=1e-8)
+
+def test_neml2_olevsky_sintering_stress(tmp_path):
+    """OlevskySinteringStress ss = 3*(gamma/r0)*(1-phi)^2 exact values,
+    and the free-sintering sign: feeding skk + 3*ss into the GTN surface
+    at zero applied stress gives f > 0 (densification driving force)."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [ss]
+    type = OlevskySinteringStress
+    surface_tension = 2.0
+    particle_radius = 0.5
+  []
+  [gtn]
+    type = GTNYieldFunction
+    yield_stress = 1.0
+    q1 = 1.0
+    q2 = 1.0
+    q3 = 1.0
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "ss")
+    phi = jnp.asarray([0.0, 0.3])
+    ss = np.asarray(m.forward({"state/internal/phi": phi})
+                    ["state/internal/ss"])
+    np.testing.assert_allclose(ss, [12.0, 12.0 * 0.49], rtol=1e-12)
+
+    gtn = load_neml2_model(str(tmp_path / "model.i"), "gtn")
+    f = gtn.forward({"state/internal/se": jnp.asarray(0.0),
+                     "state/internal/skk": jnp.asarray(3.0 * float(ss[1])),
+                     "state/internal/phi": jnp.asarray(0.3)})
+    assert float(f["state/internal/fp"]) > 0.0
