@@ -1402,7 +1402,10 @@ def bench_lbm_thermal(substeps=200, reps=5, backend="PALLAS", nx=512, ny=256):
 
 # 3-D thermal double-distribution deck: the Rayleigh-Benard pattern
 # (reference examples/lbm/Rayleigh-Benard/*.i) extended to a 3-D D3Q19 box
-# with gravity along z — the same physics chain as the reference's
+# with the convection axis along x — temperature gradient, plates, AND
+# gravity all on the x faces (the reference leaves the Zou-He front/back
+# faces unimplemented: "rotate the domain", LBMFixedZerothOrderBC.C:36-53)
+# — the same physics chain as the reference's
 # natural_convection_3D/convection.i (two coupled lattices, Boussinesq
 # buoyancy, Guo forcing) with face BCs (bounce-back plates + fixed
 # temperature) instead of its notebook-generated regional media.
@@ -2005,7 +2008,7 @@ def _run_child(name):
     print(json.dumps(_child_result(name)))
 
 
-def _run_batch(names):
+def _run_batch(names, per_child_timeout=600):
     """Run several children sequentially in ONE process (amortizes the
     per-process backend attach, ~10-60 s each on axon; VERDICT r04 item 3).
     Emits one `{"__batch__": name, "result": ...}` line per completed
@@ -2013,16 +2016,33 @@ def _run_batch(names):
     one crashes or the batch is killed.  A child failure ABORTS the
     batch (an axon failure can poison the whole process — the bogus
     state must not masquerade as measurements for the remaining
-    children); the parent falls back to isolated spawns for the rest."""
+    children); the parent falls back to isolated spawns for the rest.
+
+    Each child gets a SIGALRM watchdog matching the 600 s cap isolated
+    spawns have (r05 review: without it one stuck child starved every
+    later tail child AND the isolated fallbacks, since the batch only
+    died at the global deadline).  A fired watchdog also aborts the
+    batch — the interrupted axon op may have poisoned the process."""
+    import signal
+
     _enable_compile_cache()
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(f"batch child exceeded {per_child_timeout}s")
+
     for name in names.split(","):
+        old = signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(per_child_timeout)
         try:
             result = _child_result(name)
-        except BaseException as e:  # SystemExit included
+        except BaseException as e:  # SystemExit/TimeoutError included
             print(json.dumps({"__batch__": name, "error": repr(e)[:400]}),
                   flush=True)
             sys.stderr.write(f"batch aborted at {name}: {e!r}\n"[:500])
             return
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
         print(json.dumps({"__batch__": name, "result": result}), flush=True)
 
 
@@ -2109,7 +2129,7 @@ def _batch_spawn(pairs, deadline):
         sys.stderr.write(f"bench batch timed out after {remaining:.0f}s\n")
     except Exception as e:
         sys.stderr.write(f"bench batch failed: {e!r}\n")
-    got = {}
+    got, tail_progress = {}, None
     for line in (stdout or "").splitlines():
         line = line.strip()
         if not line.startswith("{"):
@@ -2119,9 +2139,31 @@ def _batch_spawn(pairs, deadline):
         except ValueError:
             continue
         name = d.get("__batch__")
-        if name is not None and isinstance(d.get("result"), dict):
-            got[name] = d["result"]
-    return {key: got[child] for key, child in pairs if child in got}
+        if name is not None:
+            if isinstance(d.get("result"), dict):
+                got[name] = d["result"]
+            elif tail_progress is not None:
+                # the child FAILED (watchdog/exception) after emitting
+                # incremental progress — salvage it with the partial/error
+                # annotations, exactly like _spawn's _last_json_line path
+                got[name] = dict(tail_progress, partial=True,
+                                 error=str(d.get("error"))[:400])
+            tail_progress = None  # progress lines belonged to this child
+        else:
+            # a child's own incremental _emit line (compile-inclusive
+            # walls etc.); salvageable if the child never completes
+            tail_progress = d
+    out = {key: got[child] for key, child in pairs if child in got}
+    if tail_progress is not None:
+        # children run in order, so the first pair without a result is
+        # the in-flight child the trailing progress lines belong to
+        # (the batch itself was killed mid-child, r05 review)
+        for key, child in pairs:
+            if child not in got:
+                out[key] = dict(tail_progress, partial=True,
+                                error="batch killed mid-child")
+                break
+    return out
 
 
 def _probe(deadline):

@@ -37,6 +37,18 @@ class _NEML2Model:
         raise NotImplementedError
 
 
+def _safe_pow(x, n):
+    """x**n for x >= 0 with a FINITE jvp at x = 0 (the pow's derivative
+    blows up there for n < 1, and an inf Jacobian column NaNs the whole
+    grid inside ImplicitUpdate — r04 advisor finding).  Double-where
+    construction: the primal stays exact (0**n = 0) while the pow always
+    sees a positive floor, so at x <= floor both maximum() and where()
+    route the tangent to the constant side.  Callers feeding signed
+    quantities take |x| (and re-apply the sign) or clamp first."""
+    x_safe = jnp.maximum(x, 1e-12)
+    return jnp.where(x > 0.0, x_safe ** n, 0.0)
+
+
 class ScalarMultiplication(_NEML2Model):
     """to_var = coefficient * Π from_var (NEML2 ScalarMultiplication;
     `reciprocal` flags invert individual factors)."""
@@ -859,9 +871,10 @@ class ImplicitUpdate(_NEML2Model):
             return pack_residual(self.inner.forward(unpack(u, env)), shape)
 
         r0 = res_fn(u0)
-        # NaN-excluded initial residual for the relative tolerance — a NaN
-        # tol would otherwise disable convergence grid-wide
-        r0_ok = jnp.where(jnp.isnan(r0), 0.0, jnp.abs(r0))
+        # non-finite-excluded initial residual for the relative tolerance —
+        # a NaN (or inf: overflowed cosh/sinh at an extreme point, r05
+        # review) tol would otherwise disable convergence grid-wide
+        r0_ok = jnp.where(jnp.isfinite(r0), jnp.abs(r0), 0.0)
         tol = jnp.maximum(jnp.asarray(self.abs_tol, u0.dtype),
                           self.rel_tol * jnp.max(r0_ok))
         eye = jnp.eye(n, dtype=u0.dtype)
@@ -876,14 +889,16 @@ class ImplicitUpdate(_NEML2Model):
 
         def cond(carry):
             _, r, it = carry
-            # NaN-robust convergence: the elementwise solve keeps grid
-            # points independent, so one diverged (NaN) point must not
+            # non-finite-robust convergence: the elementwise solve keeps
+            # grid points independent, so one diverged point must not
             # freeze every OTHER point at an unconverged iterate (r04
-            # advisor finding — jnp.max(NaN) > tol is False, which would
-            # exit Newton after one iteration grid-wide).  NaN points are
-            # excluded from the residual max: they can never improve, and
-            # the NaN stays in the output to surface the divergence.
-            r_ok = jnp.where(jnp.isnan(r), 0.0, jnp.abs(r))
+            # advisor finding for NaN — jnp.max(NaN) > tol is False, which
+            # would exit Newton after one iteration grid-wide; r05 review
+            # extended it to inf, where tol = inf disabled convergence the
+            # same way).  Non-finite points are excluded from the residual
+            # max: they can never improve, and the NaN/inf stays in the
+            # output to surface the divergence.
+            r_ok = jnp.where(jnp.isfinite(r), jnp.abs(r), 0.0)
             return jnp.logical_and(it < self.miter,
                                    jnp.max(r_ok) > tol)
 
@@ -961,20 +976,12 @@ class PowerLawIsotropicHardening(_NEML2Model):
         self.from_var = [self.ep]
 
     def forward(self, env):
-        # For n<1 the derivative of ep**n blows up as ep->0+, and a virgin
-        # state (ep_old = 0) seeds the ImplicitUpdate Newton exactly there —
-        # an inf Jacobian column NaNs the whole grid on the first step (r04
-        # advisor finding).  Double-where construction: the primal stays
-        # EXACT (k(0) = 0, negative Newton probes clamp to 0) while the
-        # pow always sees a positive floor, so its jvp is finite; at
-        # ep <= floor both maximum() and where() route the tangent to the
-        # constant side, giving a zero (perfect-plasticity) hardening slope
-        # at the seed — the next iterate lands at ep > 0 where the true
-        # slope takes over.
+        # a virgin state (ep_old = 0) seeds the ImplicitUpdate Newton at
+        # exactly the point where pow's jvp diverges for n < 1; _safe_pow
+        # gives a zero (perfect-plasticity) hardening slope at the seed —
+        # the next iterate lands at ep > 0 where the true slope takes over
         ep = jnp.maximum(env[self.ep], 0.0)
-        ep_safe = jnp.maximum(ep, 1e-12)
-        return {self.to_var:
-                self.K * jnp.where(ep > 0.0, ep_safe ** self.n, 0.0)}
+        return {self.to_var: self.K * _safe_pow(ep, self.n)}
 
 
 class SlopeSaturationVoceIsotropicHardening(_NEML2Model):
@@ -1025,9 +1032,7 @@ class PowerLawCreep(_NEML2Model):
 
     def forward(self, env):
         s = jnp.maximum(env[self.sm], 0.0) / self.s0
-        s_safe = jnp.maximum(s, 1e-12)
-        return {self.to_var:
-                self.A * jnp.where(s > 0.0, s_safe ** self.n, 0.0)}
+        return {self.to_var: self.A * _safe_pow(s, self.n)}
 
 
 class BlackburnCreep(_NEML2Model):
@@ -1051,9 +1056,7 @@ class BlackburnCreep(_NEML2Model):
 
     def forward(self, env):
         sh = jnp.sinh(self.beta * jnp.maximum(env[self.sm], 0.0))
-        sh_safe = jnp.maximum(sh, 1e-12)
-        return {self.to_var:
-                self.A * jnp.where(sh > 0.0, sh_safe ** self.n, 0.0)}
+        return {self.to_var: self.A * _safe_pow(sh, self.n)}
 
 
 class IsotropicDamageEffectiveStress(_NEML2Model):
@@ -1314,10 +1317,8 @@ class PowerLawSlipRule(_NEML2Model):
 
     def forward(self, env):
         x = env[self.tau] / env[self.g]
-        ax = jnp.abs(x)
-        ax_safe = jnp.maximum(ax, 1e-12)
-        mag = jnp.where(ax > 0.0, ax_safe ** self.n, 0.0)
-        return {self.to_var: self.g0 * jnp.sign(x) * mag}
+        return {self.to_var:
+                self.g0 * jnp.sign(x) * _safe_pow(jnp.abs(x), self.n)}
 
 
 class SumSlipRates(_NEML2Model):
@@ -1456,6 +1457,13 @@ class SR2EqualityConstraint(_NEML2Model):
         super().__init__(name, params)
         var = params.get_str("variable", required=True)
         self.state_var = var if "/" in var else f"state/{var}"
+        if not self.state_var.startswith("state/"):
+            # same check as ScalarBackwardEulerTimeIntegration: a non-state
+            # variable would make to_var == state_var (the replace below is
+            # a no-op) and ImplicitUpdate would silently solve a
+            # nonsensical system (r05 review)
+            params.error("variable",
+                         "implicit constraints target a state/ variable")
         self.a = params.get_str("a", required=True)
         self.b = params.get_str("b", required=True)
         self.to_var = self.state_var.replace("state/", "residual/", 1)

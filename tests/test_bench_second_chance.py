@@ -93,9 +93,10 @@ def test_absorb_failed_second_chance_recorded_under_own_key():
 
 def test_batch_spawn_parses_per_child_lines(monkeypatch):
     """_batch_spawn absorbs every child that emitted a result line, maps
-    child names back to artifact keys, and ignores error/garbage lines
-    (the abort-on-poison contract: missing children fall back to
-    isolated spawns)."""
+    child names back to artifact keys, salvages a failed child's
+    incremental progress line with partial/error annotations (the
+    _spawn parity contract), and leaves never-reached children to the
+    isolated fallback."""
     import json
     import time
     import types
@@ -103,7 +104,7 @@ def test_batch_spawn_parses_per_child_lines(monkeypatch):
     lines = [
         json.dumps({"__batch__": "lbm_pallas", "result": {"mlups": 1700.0}}),
         "not json",
-        json.dumps({"unrelated": True}),
+        json.dumps({"value": 9.9, "compile_incl": True}),  # lbm's progress
         json.dumps({"__batch__": "lbm", "error": "RuntimeError('poisoned')"}),
     ]
 
@@ -118,7 +119,14 @@ def test_batch_spawn_parses_per_child_lines(monkeypatch):
              ("lbm_channel3d_128", "lbm"),
              ("lbm_porous_128_pallas", "lbm_porous")]
     got = bench._batch_spawn(pairs, deadline=time.time() + 600)
-    assert got == {"lbm_channel3d_128_pallas": {"mlups": 1700.0}}
+    assert got["lbm_channel3d_128_pallas"] == {"mlups": 1700.0}
+    # the failed child's progress line survives, annotated like _spawn's
+    # salvage path
+    assert got["lbm_channel3d_128"]["value"] == 9.9
+    assert got["lbm_channel3d_128"]["partial"] is True
+    assert "poisoned" in got["lbm_channel3d_128"]["error"]
+    # lbm_porous never ran: left to the isolated fallback
+    assert "lbm_porous_128_pallas" not in got
 
 
 def test_batch_spawn_salvages_on_timeout(monkeypatch):

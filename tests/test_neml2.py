@@ -2210,3 +2210,73 @@ def test_neml2_olevsky_sintering_stress(tmp_path):
                      "state/internal/skk": jnp.asarray(3.0 * float(ss[1])),
                      "state/internal/phi": jnp.asarray(0.3)})
     assert float(f["state/internal/fp"]) > 0.0
+
+def test_neml2_implicit_inf_residual_point_isolated(tmp_path):
+    """One grid point whose residual overflows to +inf (BlackburnCreep
+    sinh at extreme stress) must not freeze Newton grid-wide (r05 review:
+    the NaN-robust convergence guard did not cover inf — tol became inf
+    and every point silently returned the unconverged seed)."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    E, A, beta, n = 1000.0, 1e-4, 1.0, 3.0
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [stress]
+    type = ScalarLinearCombination
+    from_var = 'forces/e state/internal/ep'
+    to_var = 'state/internal/sm'
+    coefficients = '1000.0 -1000.0'
+  []
+  [creep]
+    type = BlackburnCreep
+    coefficient = 1e-4
+    beta = 1.0
+    exponent = 3.0
+  []
+  [eprate]
+    type = ScalarLinearCombination
+    from_var = 'state/internal/gamma_rate'
+    to_var = 'state/internal/ep_rate'
+  []
+  [integ]
+    type = ScalarBackwardEulerTimeIntegration
+    variable = 'state/internal/ep'
+  []
+  [system]
+    type = ComposedModel
+    models = 'stress creep eprate integ'
+  []
+  [impl]
+    type = ImplicitUpdate
+    implicit_model = system
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "impl")
+    # point 1's stress is 1000*1e6: sinh overflows to inf at the seed
+    e = jnp.asarray([0.002, 1e6])
+    out = m.forward({
+        "forces/e": e,
+        "old_state/internal/ep": jnp.zeros_like(e),
+        "forces/t": jnp.asarray(1.0),
+        "old_forces/t": jnp.asarray(0.0),
+    })
+    ep = np.asarray(out["state/internal/ep"])
+
+    def resid(x):
+        return x - A * np.sinh(beta * E * (0.002 - x)) ** n
+
+    lo, hi = 0.0, 0.002
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        lo, hi = (lo, mid) if resid(mid) > 0 else (mid, hi)
+    # the healthy point converged to the closed form (NOT the ep=0 seed)
+    assert ep[0] > 0.0
+    np.testing.assert_allclose(ep[0], 0.5 * (lo + hi), atol=1e-10)
+    # the overflowed point surfaces non-finite state rather than a
+    # plausible-looking unconverged value
+    assert not np.isfinite(ep[1]) or not np.isfinite(
+        np.asarray(out["state/internal/sm"])[1])
