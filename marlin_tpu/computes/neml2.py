@@ -1252,24 +1252,113 @@ def _schmid_mandel(params):
                      rt2 * P[:, 0, 1]], axis=-1)  # (ns, 6) Mandel
 
 
+def _slip_geometry(params):
+    """Raw (rotated-by-euler_angles) slip directions and normals for the
+    crystal class in `params`: two (ns, 3) arrays (numpy, build-time)."""
+    import numpy as np
+
+    P6 = _schmid_mandel(params)  # validates class/angles; not used here
+    del P6
+    cls = params.get_str("crystal_class", "FCC").upper()
+    normals, dirs = [], []
+    if cls == "FCC":
+        for n in ([1, 1, 1], [-1, 1, 1], [1, -1, 1], [1, 1, -1]):
+            n = np.asarray(n, float)
+            for d in ([0, 1, -1], [1, 0, -1], [1, -1, 0],
+                      [0, 1, 1], [1, 0, 1], [1, 1, 0]):
+                d = np.asarray(d, float)
+                if abs(np.dot(n, d)) < 1e-12:
+                    normals.append(n / np.linalg.norm(n))
+                    dirs.append(d / np.linalg.norm(d))
+    else:  # BCC (validated by _schmid_mandel above)
+        for n in ([1, 1, 0], [1, -1, 0], [1, 0, 1],
+                  [1, 0, -1], [0, 1, 1], [0, 1, -1]):
+            n = np.asarray(n, float)
+            for d in ([1, 1, 1], [-1, 1, 1], [1, -1, 1], [1, 1, -1]):
+                d = np.asarray(d, float)
+                if abs(np.dot(n, d)) < 1e-12:
+                    normals.append(n / np.linalg.norm(n))
+                    dirs.append(d / np.linalg.norm(d))
+    normals, dirs = np.asarray(normals), np.asarray(dirs)
+    angles = params.get_float_vector("euler_angles", [0.0, 0.0, 0.0])
+    R = _euler_rotation(*angles)
+    return dirs @ R.T, normals @ R.T
+
+
+def _mrp_rotation(r):
+    """Modified-Rodrigues-parameter rotation matrix (NEML2's Rot
+    convention, r = tan(θ/4)·axis):
+
+        R = I + (4·(1−|r|²)·S + 8·S²)/(1+|r|²)²,  S = skew(r)
+
+    r has trailing axis 3; returns (..., 3, 3)."""
+    rr = jnp.sum(r * r, axis=-1)[..., None, None]
+    z = jnp.zeros_like(r[..., 0])
+    S = jnp.stack([
+        jnp.stack([z, -r[..., 2], r[..., 1]], axis=-1),
+        jnp.stack([r[..., 2], z, -r[..., 0]], axis=-1),
+        jnp.stack([-r[..., 1], r[..., 0], z], axis=-1),
+    ], axis=-2)
+    S2 = jnp.einsum("...ij,...jk->...ik", S, S)
+    eye = jnp.eye(3, dtype=r.dtype)
+    return eye + (4.0 * (1.0 - rr) * S + 8.0 * S2) / (1.0 + rr) ** 2
+
+
+def _rotated_schmid(dirs, normals, env, orientation):
+    """Per-point symmetric Schmid tensors as Mandel 6-vectors.
+
+    Without an orientation state the build-time (ns, 6) constants are
+    returned; with one (MRP 3-vector per grid point) the slip directions
+    and normals rotate per point: d' = R d, n' = R n."""
+    import numpy as np
+
+    rt2 = np.sqrt(2.0)
+    if orientation is None:
+        P = 0.5 * (dirs[:, :, None] * normals[:, None, :]
+                   + normals[:, :, None] * dirs[:, None, :])
+        return jnp.asarray(np.stack(
+            [P[:, 0, 0], P[:, 1, 1], P[:, 2, 2],
+             rt2 * P[:, 1, 2], rt2 * P[:, 0, 2], rt2 * P[:, 0, 1]],
+            axis=-1))
+    R = _mrp_rotation(env[orientation])  # (..., 3, 3)
+    d = jnp.einsum("...ij,sj->...si", R, jnp.asarray(dirs, R.dtype))
+    n = jnp.einsum("...ij,sj->...si", R, jnp.asarray(normals, R.dtype))
+    P = 0.5 * (d[..., :, None] * n[..., None, :]
+               + n[..., :, None] * d[..., None, :])  # (..., ns, 3, 3)
+    return jnp.stack(
+        [P[..., 0, 0], P[..., 1, 1], P[..., 2, 2],
+         rt2 * P[..., 1, 2], rt2 * P[..., 0, 2], rt2 * P[..., 0, 1]],
+        axis=-1)  # (..., ns, 6)
+
+
 class ResolvedShear(_NEML2Model):
     """Resolved shear stresses τ_a = M : P_a on every slip system (NEML2
     crystal-plasticity ResolvedShear): the Mandel dot of the stress with
     each symmetric Schmid tensor sym(d_a ⊗ n_a).  The crystal geometry
-    (class + orientation) is built once at load time and baked into the
-    program as constants."""
+    (class + euler_angles) is built at load time; an optional
+    `orientation` state variable (modified Rodrigues parameters, trailing
+    axis 3) rotates the slip systems PER POINT for texture evolution —
+    compose with PlasticVorticity + OrientationRate + a Vec time
+    integrator."""
 
     def __init__(self, name, params):
         super().__init__(name, params)
-        self.P = _schmid_mandel(params)  # (ns, 6)
+        self.dirs, self.normals = _slip_geometry(params)
+        self.orientation = params.get_str("orientation", "")
         self.stress = params.get_str("stress", "state/internal/M")
         self.to_var = params.get_str("resolved_shears",
                                      "state/internal/resolved_shears")
-        self.from_var = [self.stress]
+        self.from_var = [self.stress] + (
+            [self.orientation] if self.orientation else [])
+        self.P = None if self.orientation else _schmid_mandel(params)
 
     def forward(self, env):
         M = env[self.stress]
-        P = jnp.asarray(self.P, M.dtype)
+        P = _rotated_schmid(self.dirs, self.normals, env,
+                            self.orientation or None)
+        P = P.astype(M.dtype)
+        if self.orientation:
+            return {self.to_var: jnp.einsum("...i,...si->...s", M, P)}
         return {self.to_var: jnp.einsum("...i,si->...s", M, P)}
 
 
@@ -1362,20 +1451,113 @@ class PlasticDeformationRate(_NEML2Model):
     """Ėp = Σ_a γ̇_a·P_a (NEML2 PlasticDeformationRate, small-deformation
     form): the plastic strain rate as the slip-rate-weighted sum of the
     Schmid tensors, on the Mandel SR2 axis.  Uses the same crystal
-    geometry parameters as ResolvedShear."""
+    geometry parameters (and optional per-point `orientation`) as
+    ResolvedShear."""
 
     def __init__(self, name, params):
         super().__init__(name, params)
-        self.P = _schmid_mandel(params)  # (ns, 6)
+        self.dirs, self.normals = _slip_geometry(params)
+        self.orientation = params.get_str("orientation", "")
         self.rates = params.get_str("slip_rates", "state/internal/slip_rates")
         self.to_var = params.get_str("plastic_strain_rate",
                                      "state/internal/Ep_rate")
-        self.from_var = [self.rates]
+        self.from_var = [self.rates] + (
+            [self.orientation] if self.orientation else [])
 
     def forward(self, env):
         g = env[self.rates]
-        P = jnp.asarray(self.P, g.dtype)
+        P = _rotated_schmid(self.dirs, self.normals, env,
+                            self.orientation or None).astype(g.dtype)
+        if self.orientation:
+            return {self.to_var: jnp.einsum("...s,...si->...i", g, P)}
         return {self.to_var: jnp.einsum("...s,si->...i", g, P)}
+
+
+class PlasticVorticity(_NEML2Model):
+    """Plastic vorticity of crystal slip (NEML2 PlasticVorticity), as the
+    axial 3-vector of W_p = Σ_a γ̇_a·skew(d_a ⊗ n_a):
+
+        w_p = ½ Σ_a γ̇_a · (d_a × n_a)
+
+    (skew(d⊗n)·v = ½(d (n·v) − n (d·v)) has axial vector ½ d×n).  The
+    lattice spin is the total spin minus w_p; for quasi-static RVE
+    loading with zero imposed spin the lattice rotates at −w_p
+    (OrientationRate's default)."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.dirs, self.normals = _slip_geometry(params)
+        self.orientation = params.get_str("orientation", "")
+        self.rates = params.get_str("slip_rates", "state/internal/slip_rates")
+        self.to_var = params.get_str("plastic_vorticity",
+                                     "state/internal/plastic_vorticity")
+        self.from_var = [self.rates] + (
+            [self.orientation] if self.orientation else [])
+
+    def forward(self, env):
+        import numpy as np
+
+        g = env[self.rates]
+        if self.orientation:
+            R = _mrp_rotation(env[self.orientation])
+            d = jnp.einsum("...ij,sj->...si", R,
+                           jnp.asarray(self.dirs, R.dtype))
+            n = jnp.einsum("...ij,sj->...si", R,
+                           jnp.asarray(self.normals, R.dtype))
+            axial = 0.5 * jnp.cross(d, n)  # (..., ns, 3)
+            return {self.to_var:
+                    jnp.einsum("...s,...si->...i", g, axial.astype(g.dtype))}
+        axial = 0.5 * np.cross(self.dirs, self.normals)  # (ns, 3)
+        return {self.to_var:
+                jnp.einsum("...s,si->...i", g,
+                           jnp.asarray(axial, g.dtype))}
+
+
+class OrientationRate(_NEML2Model):
+    """Lattice-orientation evolution (NEML2 OrientationRate): the rate of
+    the modified-Rodrigues orientation state under the lattice spin
+    ω = W − w_p (imposed spin W defaults to zero — quasi-static RVE
+    loading), via the MRP kinematic relation
+
+        ṙ = ¼·[(1−|r|²)·I + 2·skew(r) + 2·r⊗r]·ω
+
+    (ṙ = ω/4 at r = 0; θ = 4·atan|r| recovers θ̇ = |ω| for a fixed
+    axis).  Integrate state/orientation with a Vec time integrator."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.orientation = params.get_str("orientation",
+                                          "state/orientation")
+        self.wp = params.get_str("plastic_vorticity",
+                                 "state/internal/plastic_vorticity")
+        self.spin = params.get_str("spin", "")  # optional imposed W axial
+        self.to_var = self.orientation + "_rate"
+        self.from_var = [self.orientation, self.wp] + (
+            [self.spin] if self.spin else [])
+
+    def forward(self, env):
+        r = env[self.orientation]
+        omega = -env[self.wp]
+        if self.spin:
+            omega = omega + env[self.spin]
+        rr = jnp.sum(r * r, axis=-1)[..., None]
+        rw = jnp.sum(r * omega, axis=-1)[..., None]
+        return {self.to_var: 0.25 * (
+            (1.0 - rr) * omega + 2.0 * jnp.cross(r, omega) + 2.0 * rw * r)}
+
+
+class VecForwardEulerTimeIntegration(SR2ForwardEulerTimeIntegration):
+    """s = s_old + ṡ·dt on trailing-axis-3 Vec variables (NEML2
+    ForwardEulerTimeIntegration<Vec>; e.g. the MRP orientation)."""
+
+    NCOMP = 3
+
+
+class VecBackwardEulerTimeIntegration(SR2BackwardEulerTimeIntegration):
+    """Implicit residual on trailing-axis-3 Vec variables (NEML2
+    BackwardEulerTimeIntegration<Vec>)."""
+
+    NCOMP = 3
 
 
 class OlevskySinteringStress(_NEML2Model):
@@ -1521,6 +1703,10 @@ _MODEL_TYPES = {
     "MixedControlSetup": MixedControlSetup,
     "SR2EqualityConstraint": SR2EqualityConstraint,
     "OlevskySinteringStress": OlevskySinteringStress,
+    "PlasticVorticity": PlasticVorticity,
+    "OrientationRate": OrientationRate,
+    "VecForwardEulerTimeIntegration": VecForwardEulerTimeIntegration,
+    "VecBackwardEulerTimeIntegration": VecBackwardEulerTimeIntegration,
 }
 
 

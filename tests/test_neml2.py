@@ -89,7 +89,7 @@ def test_neml2_unknown_model_type_errors(tmp_path):
     from marlin_tpu.executioner import run_deck
 
     (tmp_path / "model.i").write_text(
-        "[Models]\n  [m]\n    type = OrientationRate\n  []\n[]\n"
+        "[Models]\n  [m]\n    type = KocksMeckingFlowViscosity\n  []\n[]\n"
     )
     (tmp_path / "deck.i").write_text(
         """
@@ -2280,3 +2280,170 @@ def test_neml2_implicit_inf_residual_point_isolated(tmp_path):
     # plausible-looking unconverged value
     assert not np.isfinite(ep[1]) or not np.isfinite(
         np.asarray(out["state/internal/sm"])[1])
+
+def test_neml2_mrp_rotation_matrix():
+    """Modified-Rodrigues rotation: r = tan(theta/4)*axis reproduces the
+    axis-angle rotation matrix exactly."""
+    from marlin_tpu.computes.neml2 import _mrp_rotation
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        axis = rng.randn(3)
+        axis /= np.linalg.norm(axis)
+        theta = rng.uniform(-2.5, 2.5)
+        r = np.tan(theta / 4.0) * axis
+        R = np.asarray(_mrp_rotation(jnp.asarray(r)))
+        # Rodrigues axis-angle
+        K = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        R_exact = (np.eye(3) + np.sin(theta) * K
+                   + (1 - np.cos(theta)) * (K @ K))
+        np.testing.assert_allclose(R, R_exact, atol=1e-12)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+
+
+def test_neml2_resolved_shear_orientation_state(tmp_path):
+    """ResolvedShear with a per-point MRP orientation state: zero MRP
+    matches the baked geometry; MRP(theta about z) matches the
+    euler_angles=(theta,0,0) baked version at every point."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    theta = 0.6
+    (tmp_path / "model.i").write_text(
+        f"""
+[Models]
+  [baked]
+    type = ResolvedShear
+    euler_angles = '{theta} 0 0'
+  []
+  [tex]
+    type = ResolvedShear
+    orientation = 'state/orientation'
+  []
+[]
+"""
+    )
+    baked = load_neml2_model(str(tmp_path / "model.i"), "baked")
+    tex = load_neml2_model(str(tmp_path / "model.i"), "tex")
+    M = jnp.asarray([[0.0, 0.0, 100.0, 0.0, 0.0, 0.0],
+                     [30.0, -10.0, 50.0, 5.0, 2.0, 1.0]])
+
+    # zero orientation == unrotated crystal
+    zero = jnp.zeros((2, 3))
+    (tmp_path / "plain.i").write_text(
+        "[Models]\n  [rs]\n    type = ResolvedShear\n  []\n[]\n")
+    plain = load_neml2_model(str(tmp_path / "plain.i"), "rs")
+    np.testing.assert_allclose(
+        np.asarray(tex.forward({"state/internal/M": M,
+                                "state/orientation": zero})
+                   ["state/internal/resolved_shears"]),
+        np.asarray(plain.forward({"state/internal/M": M})
+                   ["state/internal/resolved_shears"]), atol=1e-12)
+
+    # MRP rotation about z == Bunge (theta, 0, 0)
+    r = jnp.asarray([0.0, 0.0, np.tan(theta / 4.0)])
+    rb = jnp.broadcast_to(r, (2, 3))
+    np.testing.assert_allclose(
+        np.asarray(tex.forward({"state/internal/M": M,
+                                "state/orientation": rb})
+                   ["state/internal/resolved_shears"]),
+        np.asarray(baked.forward({"state/internal/M": M})
+                   ["state/internal/resolved_shears"]), atol=1e-9)
+
+
+def test_neml2_plastic_vorticity_and_orientation_rate(tmp_path):
+    """PlasticVorticity w = 0.5*sum gdot*(d x n) against numpy;
+    OrientationRate: rdot = omega/4 at r=0 and the exact fixed-axis
+    radial form rdot = (1+r^2)*omega/4."""
+    from marlin_tpu.computes.neml2 import load_neml2_model, _slip_geometry
+    from marlin_tpu.params import Params
+    from marlin_tpu import hit
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [wp]
+    type = PlasticVorticity
+  []
+  [orate]
+    type = OrientationRate
+  []
+[]
+"""
+    )
+    wp = load_neml2_model(str(tmp_path / "model.i"), "wp")
+    rates = jnp.asarray(np.linspace(-1e-3, 1e-3, 12))
+    out = wp.forward({"state/internal/slip_rates": rates})
+    w = np.asarray(out["state/internal/plastic_vorticity"])
+    d, n = wp.dirs, wp.normals
+    expect = (np.asarray(rates)[:, None] * 0.5 * np.cross(d, n)).sum(0)
+    np.testing.assert_allclose(w, expect, atol=1e-12)
+
+    orate = load_neml2_model(str(tmp_path / "model.i"), "orate")
+    wvec = jnp.asarray([0.0, 0.0, 0.02])
+    # r = 0: rdot = omega/4 = -wp/4
+    out = orate.forward({"state/orientation": jnp.zeros(3),
+                         "state/internal/plastic_vorticity": wvec})
+    np.testing.assert_allclose(np.asarray(out["state/orientation_rate"]),
+                               [0, 0, -0.005], atol=1e-15)
+    # fixed axis r || omega: rdot = (1+|r|^2)*omega/4
+    r0 = jnp.asarray([0.0, 0.0, 0.3])
+    out = orate.forward({"state/orientation": r0,
+                         "state/internal/plastic_vorticity": wvec})
+    np.testing.assert_allclose(np.asarray(out["state/orientation_rate"]),
+                               [0, 0, -0.02 / 4 * (1 + 0.09)], atol=1e-12)
+
+
+def test_neml2_texture_evolution_single_slip(tmp_path):
+    """Forward-Euler texture evolution under constant single slip: the
+    lattice rotates about -(d x n) at omega = gdot/2, so after time t the
+    MRP magnitude is tan(gdot*t/8) along that axis (theta = gdot*t/2)."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [wp]
+    type = PlasticVorticity
+  []
+  [orate]
+    type = OrientationRate
+  []
+  [integ]
+    type = VecForwardEulerTimeIntegration
+    variable = 'state/orientation'
+  []
+  [chain]
+    type = ComposedModel
+    models = 'wp orate integ'
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "chain")
+    gdot = 0.02
+    rates = np.zeros(12)
+    rates[0] = gdot  # single active system
+    wp_model = load_neml2_model(str(tmp_path / "model.i"), "wp")
+    axis = -0.5 * np.cross(wp_model.dirs[0], wp_model.normals[0])
+    axis_hat = axis / np.linalg.norm(axis)
+
+    r = jnp.zeros(3)
+    dt, steps = 0.05, 200
+    for k in range(steps):
+        out = m.forward({
+            "state/internal/slip_rates": jnp.asarray(rates),
+            "old_state/orientation": r,
+            "state/orientation": r,  # rate evaluated at current state
+            "forces/t": jnp.asarray((k + 1) * dt),
+            "old_forces/t": jnp.asarray(k * dt),
+        })
+        r = out["state/orientation"]
+    theta = gdot * dt * steps / 2.0
+    expect = np.tan(theta / 4.0) * axis_hat
+    np.testing.assert_allclose(np.asarray(r), expect, rtol=2e-3)
