@@ -329,3 +329,28 @@ def test_pebbles_example_with_synthesized_media(tmp_path):
     # solids keep zero velocity
     solid = np.asarray(tr.state["buffers"]["binary_media"]) == 0
     assert np.abs(v[solid]).max() == 0.0
+
+
+def test_phase_field_fracture_showcase(tmp_path):
+    """The repo's own AT2 fracture deck (examples/phase_field_fracture):
+    damage must stay in [0, 1], grow under the shear ramp, and stay
+    LOCALIZED around the notch plane (crack physics, not uniform
+    damage diffusion)."""
+    import glob
+
+    from marlin_tpu import hit
+    from marlin_tpu.executioner import run_deck
+
+    root_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    deck = os.path.join(root_dir, "examples/phase_field_fracture/fracture.i")
+    root = hit.load(deck, ["Executioner/num_steps=10"])
+    tr = run_deck(root, output_dir=str(tmp_path), deck_dir=os.path.dirname(deck))
+    d = np.asarray(tr.state["buffers"]["d"])
+    assert np.all(d >= -1e-6) and np.all(d <= 1.0 + 1e-6)
+    # localization: mean damage on the notch row dwarfs the far field
+    ny = d.shape[1]
+    notch_band = d[:, ny // 2 - 2:ny // 2 + 3].mean()
+    far_field = d[:, : ny // 4].mean()
+    assert notch_band > 5 * far_field, (notch_band, far_field)
+    # growth: the damage integral increased from the IC
+    assert tr.pp_values["crack_area"] > 0.02
