@@ -1586,6 +1586,85 @@ class OlevskySinteringStress(_NEML2Model):
         return {self.to_var: 3.0 * self.gamma / self.r0 * one_m * one_m}
 
 
+class PowerDegradationFunction(_NEML2Model):
+    """Phase-field fracture degradation g(d) = (1−d)^p·(1−η) + η
+    (marlin_tpu extension mirroring NEML2's fracture-coupling surface;
+    p = 2, η = 1e-3 default — the AT1/AT2 stiffness degradation with a
+    residual floor that keeps fully-cracked points solvable)."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.p = params.get_float("exponent", 2.0)
+        self.eta = params.get_float("residual", 1e-3)
+        self.d = params.get_str("damage", "state/d")
+        self.to_var = params.get_str("degradation", "state/internal/g")
+        self.from_var = [self.d]
+
+    def forward(self, env):
+        one_m = jnp.clip(1.0 - env[self.d], 0.0, 1.0)
+        return {self.to_var: one_m ** self.p * (1.0 - self.eta) + self.eta}
+
+
+class StrainEnergyDensity(_NEML2Model):
+    """Elastic strain-energy density from a Mandel SR2 strain — the crack
+    driving force of phase-field fracture (marlin_tpu extension mirroring
+    NEML2's fracture-coupling surface).
+
+    `decomposition = NONE` gives ψ = λ/2·tr(E)² + µ·E:E.
+    `decomposition = SPECTRAL` gives the Miehe tension/compression split:
+    ψ± = λ/2·⟨tr E⟩±² + µ·Σᵢ⟨εᵢ⟩±² over the principal strains εᵢ
+    (batched 3×3 eigh per grid point), emitting BOTH
+    `psi` (= ψ⁺, the part damage degrades/drives) and
+    `psi_inactive` (= ψ⁻, the compressive part that never drives
+    cracks) — closure under crushing stays intact."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.lam = params.get_float("lambda", required=True)
+        self.mu = params.get_float("mu", required=True)
+        self.decomposition = params.get_str("decomposition", "NONE").upper()
+        if self.decomposition not in ("NONE", "SPECTRAL"):
+            params.error("decomposition", "NONE or SPECTRAL")
+        self.strain = params.get_str("strain", "forces/E")
+        self.psi = params.get_str("strain_energy_density",
+                                  "state/internal/psi")
+        self.psi_neg = params.get_str("inactive_strain_energy_density",
+                                      "state/internal/psi_inactive")
+        self.to_var = [self.psi] + (
+            [self.psi_neg] if self.decomposition == "SPECTRAL" else [])
+        self.from_var = [self.strain]
+
+    @staticmethod
+    def _unmandel(E):
+        """Mandel 6-vector -> symmetric 3x3 (inverse of the SR2 packing:
+        off-diagonals carry a 1/sqrt(2))."""
+        import numpy as np
+
+        s = 1.0 / np.sqrt(2.0)
+        exx, eyy, ezz = E[..., 0], E[..., 1], E[..., 2]
+        eyz, exz, exy = s * E[..., 3], s * E[..., 4], s * E[..., 5]
+        return jnp.stack([
+            jnp.stack([exx, exy, exz], axis=-1),
+            jnp.stack([exy, eyy, eyz], axis=-1),
+            jnp.stack([exz, eyz, ezz], axis=-1),
+        ], axis=-2)
+
+    def forward(self, env):
+        E = env[self.strain]
+        tr = E[..., 0] + E[..., 1] + E[..., 2]
+        if self.decomposition == "NONE":
+            psi = 0.5 * self.lam * tr * tr + self.mu * jnp.sum(E * E, -1)
+            return {self.psi: psi}
+        eig = jnp.linalg.eigvalsh(self._unmandel(E))  # (..., 3) ascending
+        tr_p, tr_n = jnp.maximum(tr, 0.0), jnp.minimum(tr, 0.0)
+        eig_p, eig_n = jnp.maximum(eig, 0.0), jnp.minimum(eig, 0.0)
+        psi_p = (0.5 * self.lam * tr_p * tr_p
+                 + self.mu * jnp.sum(eig_p * eig_p, -1))
+        psi_n = (0.5 * self.lam * tr_n * tr_n
+                 + self.mu * jnp.sum(eig_n * eig_n, -1))
+        return {self.psi: psi_p, self.psi_neg: psi_n}
+
+
 class MixedControlSetup(_NEML2Model):
     """Mixed stress/strain control, assembly half (NEML2
     MixedControlSetup): drive each Mandel component by EITHER a
@@ -1705,6 +1784,8 @@ _MODEL_TYPES = {
     "OlevskySinteringStress": OlevskySinteringStress,
     "PlasticVorticity": PlasticVorticity,
     "OrientationRate": OrientationRate,
+    "PowerDegradationFunction": PowerDegradationFunction,
+    "StrainEnergyDensity": StrainEnergyDensity,
     "VecForwardEulerTimeIntegration": VecForwardEulerTimeIntegration,
     "VecBackwardEulerTimeIntegration": VecBackwardEulerTimeIntegration,
 }

