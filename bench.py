@@ -2107,7 +2107,9 @@ def _batch_spawn(pairs, deadline):
     (amortizes the per-process backend attach).  Returns {key: result}
     for every child that emitted a result line; children missing from
     the map (batch aborted on a poisoned process, timed out, or never
-    reached) fall back to isolated `_spawn`s in main()."""
+    reached) fall back to isolated `_spawn`s in main(), and a PARTIAL
+    salvage (progress line of a killed child) is retried isolated too,
+    serving only as the fallback if the retry fails."""
     remaining = deadline - time.time()
     if remaining < 120:
         return {}
@@ -2392,17 +2394,25 @@ def main():
         os.environ["MARLIN_TPU_BENCH_RESERVE"] = "0"
         batch_got = _batch_spawn(pairs, deadline)
     for key, child, attempts, timeout, _ in tail_children:
-        if key in batch_got:
-            sub = batch_got[key]
+        sub = batch_got.get(key)
+        if sub is not None and "partial" not in sub:
+            pass  # full batch result
         elif wedged:
-            sub = {"skipped": "backend wedged"}
+            sub = sub or {"skipped": "backend wedged"}
         elif _second_chance_landed(result, key):
             sub = {"skipped": "already landed in the primary slot"}
         elif deadline - time.time() < 120:
-            sub = {"skipped": "budget exhausted"}
+            sub = sub or {"skipped": "budget exhausted"}
         else:
+            # missing OR only a partial salvage from a killed batch child:
+            # retry isolated while budget remains (r05 review — a partial
+            # must not foreclose the full re-measurement), keeping the
+            # salvage if the retry fails too
             os.environ["MARLIN_TPU_BENCH_RESERVE"] = "0"
-            sub = _spawn(child, deadline, attempts=attempts, timeout=timeout)
+            retry = _spawn(child, deadline, attempts=attempts,
+                           timeout=timeout)
+            if sub is None or "error" not in retry:
+                sub = retry
         emit(key, sub)
 
     print(json.dumps(result))

@@ -61,8 +61,6 @@ keta = 1e-3
   []
   [Nreal]
   []
-  [H0]
-  []
 []
 
 [TensorComputes]

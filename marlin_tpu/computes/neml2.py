@@ -1201,88 +1201,59 @@ def _euler_rotation(phi1, Phi, phi2):
     ])
 
 
-def _schmid_mandel(params):
-    """Build the Mandel 6-vectors of the symmetric Schmid tensors
-    P_a = sym(d_a ⊗ n_a) for the crystal class + orientation given in
-    `params` (numpy constants baked into the program).
+def _slip_geometry(params):
+    """Slip directions and normals (two (ns, 3) numpy arrays, build-time
+    constants) for the crystal class + orientation in `params`.
 
     `crystal_class` = FCC (12 octahedral {111}<110> systems, default) or
     BCC ({110}<111>, 12 systems); `euler_angles` = Bunge Z-X-Z in
-    radians rotates the crystal frame."""
+    radians rotates the crystal frame.  The single source of the slip
+    tables — _schmid_mandel derives the Mandel Schmid tensors from it
+    (r05 review deduplicated the enumeration)."""
     import numpy as np
 
     cls = params.get_str("crystal_class", "FCC").upper()
     if cls == "FCC":
-        normals, dirs = [], []
-        for n in ([1, 1, 1], [-1, 1, 1], [1, -1, 1], [1, 1, -1]):
-            n = np.asarray(n, float)
-            for d in ([0, 1, -1], [1, 0, -1], [1, -1, 0],
-                      [0, 1, 1], [1, 0, 1], [1, 1, 0]):
-                d = np.asarray(d, float)
-                if abs(np.dot(n, d)) < 1e-12:
-                    normals.append(n / np.linalg.norm(n))
-                    dirs.append(d / np.linalg.norm(d))
-        # each plane keeps its 3 in-plane <110> directions -> 12 systems
-        normals, dirs = np.asarray(normals), np.asarray(dirs)
+        # each {111} plane keeps its 3 in-plane <110> directions -> 12
+        planes = ([1, 1, 1], [-1, 1, 1], [1, -1, 1], [1, 1, -1])
+        directions = ([0, 1, -1], [1, 0, -1], [1, -1, 0],
+                      [0, 1, 1], [1, 0, 1], [1, 1, 0])
     elif cls == "BCC":
-        normals, dirs = [], []
-        for n in ([1, 1, 0], [1, -1, 0], [1, 0, 1],
-                  [1, 0, -1], [0, 1, 1], [0, 1, -1]):
-            n = np.asarray(n, float)
-            for d in ([1, 1, 1], [-1, 1, 1], [1, -1, 1], [1, 1, -1]):
-                d = np.asarray(d, float)
-                if abs(np.dot(n, d)) < 1e-12:
-                    normals.append(n / np.linalg.norm(n))
-                    dirs.append(d / np.linalg.norm(d))
-        normals, dirs = np.asarray(normals), np.asarray(dirs)
+        # each {110} plane holds 2 <111> directions -> 12
+        planes = ([1, 1, 0], [1, -1, 0], [1, 0, 1],
+                  [1, 0, -1], [0, 1, 1], [0, 1, -1])
+        directions = ([1, 1, 1], [-1, 1, 1], [1, -1, 1], [1, 1, -1])
     else:
         raise NEML2Error(f"unknown crystal_class '{cls}' (FCC or BCC)")
+    normals, dirs = [], []
+    for n in planes:
+        n = np.asarray(n, float)
+        for d in directions:
+            d = np.asarray(d, float)
+            if abs(np.dot(n, d)) < 1e-12:
+                normals.append(n / np.linalg.norm(n))
+                dirs.append(d / np.linalg.norm(d))
+    normals, dirs = np.asarray(normals), np.asarray(dirs)
 
     angles = params.get_float_vector("euler_angles", [0.0, 0.0, 0.0])
     if len(angles) != 3:
         params.error("euler_angles", "three Bunge Z-X-Z angles (radians)")
     R = _euler_rotation(*angles)
-    normals = normals @ R.T
-    dirs = dirs @ R.T
+    return dirs @ R.T, normals @ R.T
+
+
+def _schmid_mandel(params):
+    """Mandel 6-vectors of the symmetric Schmid tensors
+    P_a = sym(d_a ⊗ n_a) for the crystal geometry in `params`."""
+    import numpy as np
+
+    dirs, normals = _slip_geometry(params)
     P = 0.5 * (dirs[:, :, None] * normals[:, None, :]
                + normals[:, :, None] * dirs[:, None, :])  # (ns, 3, 3)
     rt2 = np.sqrt(2.0)
     return np.stack([P[:, 0, 0], P[:, 1, 1], P[:, 2, 2],
                      rt2 * P[:, 1, 2], rt2 * P[:, 0, 2],
                      rt2 * P[:, 0, 1]], axis=-1)  # (ns, 6) Mandel
-
-
-def _slip_geometry(params):
-    """Raw (rotated-by-euler_angles) slip directions and normals for the
-    crystal class in `params`: two (ns, 3) arrays (numpy, build-time)."""
-    import numpy as np
-
-    P6 = _schmid_mandel(params)  # validates class/angles; not used here
-    del P6
-    cls = params.get_str("crystal_class", "FCC").upper()
-    normals, dirs = [], []
-    if cls == "FCC":
-        for n in ([1, 1, 1], [-1, 1, 1], [1, -1, 1], [1, 1, -1]):
-            n = np.asarray(n, float)
-            for d in ([0, 1, -1], [1, 0, -1], [1, -1, 0],
-                      [0, 1, 1], [1, 0, 1], [1, 1, 0]):
-                d = np.asarray(d, float)
-                if abs(np.dot(n, d)) < 1e-12:
-                    normals.append(n / np.linalg.norm(n))
-                    dirs.append(d / np.linalg.norm(d))
-    else:  # BCC (validated by _schmid_mandel above)
-        for n in ([1, 1, 0], [1, -1, 0], [1, 0, 1],
-                  [1, 0, -1], [0, 1, 1], [0, 1, -1]):
-            n = np.asarray(n, float)
-            for d in ([1, 1, 1], [-1, 1, 1], [1, -1, 1], [1, 1, -1]):
-                d = np.asarray(d, float)
-                if abs(np.dot(n, d)) < 1e-12:
-                    normals.append(n / np.linalg.norm(n))
-                    dirs.append(d / np.linalg.norm(d))
-    normals, dirs = np.asarray(normals), np.asarray(dirs)
-    angles = params.get_float_vector("euler_angles", [0.0, 0.0, 0.0])
-    R = _euler_rotation(*angles)
-    return dirs @ R.T, normals @ R.T
 
 
 def _mrp_rotation(r):
@@ -1305,21 +1276,12 @@ def _mrp_rotation(r):
 
 
 def _rotated_schmid(dirs, normals, env, orientation):
-    """Per-point symmetric Schmid tensors as Mandel 6-vectors.
-
-    Without an orientation state the build-time (ns, 6) constants are
-    returned; with one (MRP 3-vector per grid point) the slip directions
-    and normals rotate per point: d' = R d, n' = R n."""
+    """Per-point symmetric Schmid tensors as Mandel 6-vectors for an MRP
+    orientation state (3-vector per grid point): the slip directions and
+    normals rotate per point, d' = R d, n' = R n."""
     import numpy as np
 
     rt2 = np.sqrt(2.0)
-    if orientation is None:
-        P = 0.5 * (dirs[:, :, None] * normals[:, None, :]
-                   + normals[:, :, None] * dirs[:, None, :])
-        return jnp.asarray(np.stack(
-            [P[:, 0, 0], P[:, 1, 1], P[:, 2, 2],
-             rt2 * P[:, 1, 2], rt2 * P[:, 0, 2], rt2 * P[:, 0, 1]],
-            axis=-1))
     R = _mrp_rotation(env[orientation])  # (..., 3, 3)
     d = jnp.einsum("...ij,sj->...si", R, jnp.asarray(dirs, R.dtype))
     n = jnp.einsum("...ij,sj->...si", R, jnp.asarray(normals, R.dtype))
@@ -1350,16 +1312,16 @@ class ResolvedShear(_NEML2Model):
                                      "state/internal/resolved_shears")
         self.from_var = [self.stress] + (
             [self.orientation] if self.orientation else [])
-        self.P = None if self.orientation else _schmid_mandel(params)
+        self.P = _schmid_mandel(params)  # (ns, 6) build-time constants
 
     def forward(self, env):
         M = env[self.stress]
-        P = _rotated_schmid(self.dirs, self.normals, env,
-                            self.orientation or None)
-        P = P.astype(M.dtype)
         if self.orientation:
+            P = _rotated_schmid(self.dirs, self.normals, env,
+                                self.orientation).astype(M.dtype)
             return {self.to_var: jnp.einsum("...i,...si->...s", M, P)}
-        return {self.to_var: jnp.einsum("...i,si->...s", M, P)}
+        return {self.to_var: jnp.einsum(
+            "...i,si->...s", M, jnp.asarray(self.P, M.dtype))}
 
 
 class SingleSlipStrengthMap(_NEML2Model):
@@ -1463,26 +1425,30 @@ class PlasticDeformationRate(_NEML2Model):
                                      "state/internal/Ep_rate")
         self.from_var = [self.rates] + (
             [self.orientation] if self.orientation else [])
+        self.P = _schmid_mandel(params)
 
     def forward(self, env):
         g = env[self.rates]
-        P = _rotated_schmid(self.dirs, self.normals, env,
-                            self.orientation or None).astype(g.dtype)
         if self.orientation:
+            P = _rotated_schmid(self.dirs, self.normals, env,
+                                self.orientation).astype(g.dtype)
             return {self.to_var: jnp.einsum("...s,...si->...i", g, P)}
-        return {self.to_var: jnp.einsum("...s,si->...i", g, P)}
+        return {self.to_var: jnp.einsum(
+            "...s,si->...i", g, jnp.asarray(self.P, g.dtype))}
 
 
 class PlasticVorticity(_NEML2Model):
     """Plastic vorticity of crystal slip (NEML2 PlasticVorticity), as the
     axial 3-vector of W_p = Σ_a γ̇_a·skew(d_a ⊗ n_a):
 
-        w_p = ½ Σ_a γ̇_a · (d_a × n_a)
+        w_p = −½ Σ_a γ̇_a · (d_a × n_a)
 
-    (skew(d⊗n)·v = ½(d (n·v) − n (d·v)) has axial vector ½ d×n).  The
-    lattice spin is the total spin minus w_p; for quasi-static RVE
-    loading with zero imposed spin the lattice rotates at −w_p
-    (OrientationRate's default)."""
+    (the axial vector ω of W, defined by W·v = ω×v, is −½ d×n for
+    skew(d⊗n): with d = x̂, n = ŷ, W·x̂ = −½ŷ = (−½ẑ)×x̂ — r05 review
+    caught the original +½ sign, which reversed every texture-evolution
+    rotation).  The lattice spin is the total spin minus w_p; for
+    quasi-static RVE loading with zero imposed spin the lattice rotates
+    at −w_p (OrientationRate's default)."""
 
     def __init__(self, name, params):
         super().__init__(name, params)
@@ -1504,10 +1470,10 @@ class PlasticVorticity(_NEML2Model):
                            jnp.asarray(self.dirs, R.dtype))
             n = jnp.einsum("...ij,sj->...si", R,
                            jnp.asarray(self.normals, R.dtype))
-            axial = 0.5 * jnp.cross(d, n)  # (..., ns, 3)
+            axial = -0.5 * jnp.cross(d, n)  # (..., ns, 3)
             return {self.to_var:
                     jnp.einsum("...s,...si->...i", g, axial.astype(g.dtype))}
-        axial = 0.5 * np.cross(self.dirs, self.normals)  # (ns, 3)
+        axial = -0.5 * np.cross(self.dirs, self.normals)  # (ns, 3)
         return {self.to_var:
                 jnp.einsum("...s,si->...i", g,
                            jnp.asarray(axial, g.dtype))}

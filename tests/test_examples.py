@@ -336,8 +336,6 @@ def test_phase_field_fracture_showcase(tmp_path):
     damage must stay in [0, 1], grow under the shear ramp, and stay
     LOCALIZED around the notch plane (crack physics, not uniform
     damage diffusion)."""
-    import glob
-
     from marlin_tpu import hit
     from marlin_tpu.executioner import run_deck
 

@@ -2380,8 +2380,21 @@ def test_neml2_plastic_vorticity_and_orientation_rate(tmp_path):
     out = wp.forward({"state/internal/slip_rates": rates})
     w = np.asarray(out["state/internal/plastic_vorticity"])
     d, n = wp.dirs, wp.normals
-    expect = (np.asarray(rates)[:, None] * 0.5 * np.cross(d, n)).sum(0)
+    # TRUE axial convention (W v = w x v): -1/2 d x n per system, checked
+    # against a direct tensor construction rather than the model's own
+    # formula (r05 review: a mirrored expected value hid a sign error)
+    expect = np.zeros(3)
+    for a in range(12):
+        W = 0.5 * (np.outer(d[a], n[a]) - np.outer(n[a], d[a]))
+        wa = np.array([W[2, 1], W[0, 2], W[1, 0]])  # axial of a skew W
+        expect += float(rates[a]) * wa
     np.testing.assert_allclose(w, expect, atol=1e-12)
+    # cross-check the identity itself on one system
+    v = np.array([0.3, -0.2, 0.7])
+    W0 = 0.5 * (np.outer(d[0], n[0]) - np.outer(n[0], d[0]))
+    np.testing.assert_allclose(W0 @ v,
+                               np.cross(-0.5 * np.cross(d[0], n[0]), v),
+                               atol=1e-12)
 
     orate = load_neml2_model(str(tmp_path / "model.i"), "orate")
     wvec = jnp.asarray([0.0, 0.0, 0.02])
@@ -2430,7 +2443,9 @@ def test_neml2_texture_evolution_single_slip(tmp_path):
     rates = np.zeros(12)
     rates[0] = gdot  # single active system
     wp_model = load_neml2_model(str(tmp_path / "model.i"), "wp")
-    axis = -0.5 * np.cross(wp_model.dirs[0], wp_model.normals[0])
+    # lattice spin omega = -w_p = +1/2 gdot (d x n): the crystal rotates
+    # ABOUT +d x n (counter-rotation against the plastic spin)
+    axis = 0.5 * np.cross(wp_model.dirs[0], wp_model.normals[0])
     axis_hat = axis / np.linalg.norm(axis)
 
     r = jnp.zeros(3)
@@ -2512,3 +2527,40 @@ def test_neml2_fracture_coupling_models(tmp_path):
     pp, pn = (float(out["state/internal/psi"]),
               float(out["state/internal/psi_inactive"]))
     assert pp > 0.0 and pn > 0.0
+
+def test_neml2_spectral_split_jvp_finite_at_degeneracy(tmp_path):
+    """StrainEnergyDensity SPECTRAL must stay differentiable at repeated
+    eigenvalues (virgin E=0 is triply degenerate, uniaxial doubly) — the
+    eigenvalue-only jvp has no 1/(lam_i - lam_j) term, unlike full eigh
+    (r05 review follow-up: pins the property so a refactor to
+    jnp.linalg.eigh would be caught)."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    import jax
+    import jax.numpy as jnp
+
+    (tmp_path / "model.i").write_text(
+        """
+[Models]
+  [psis]
+    type = StrainEnergyDensity
+    lambda = 100.0
+    mu = 50.0
+    decomposition = SPECTRAL
+  []
+[]
+"""
+    )
+    m = load_neml2_model(str(tmp_path / "model.i"), "psis")
+
+    def f(E):
+        out = m.forward({"forces/E": E})
+        return (out["state/internal/psi"]
+                + out["state/internal/psi_inactive"])
+
+    for E in ([0.0] * 6,                      # triple degeneracy
+              [0.01, 0, 0, 0, 0, 0],          # double (two zero eigs)
+              [0.01, 0.01, 0.01, 0, 0, 0]):   # triple, nonzero
+        E = jnp.asarray(E)
+        tangent = jnp.ones(6)
+        _, t = jax.jvp(f, (E,), (tangent,))
+        assert np.isfinite(float(t)), (E, t)
