@@ -2344,6 +2344,7 @@ def main():
         ("lbm_channel3d_128_pallas", "lbm_pallas", 1, 600, 0),
         ("lbm_channel3d_128", "lbm", 1, 600, 0),
         ("lbm_porous_128_pallas", "lbm_porous", 1, 600, 0),
+        ("lbm_thermal3d_128_pallas", "lbm_thermal3d", 1, 600, 0),
         ("ch3d_256", "ch3d_256", 1, 600, 0),
     ]
     reserves = []
