@@ -12,7 +12,8 @@
 #   d_t = L * [ 2(1-d) H - (Gc/ell) d + Gc*ell * lap(d) ]
 #
 # (linear part -L*(Gc/ell + Gc*ell*k^2) treated implicitly, driving
-# force explicitly).  No irreversibility constraint (monotone loading).
+# force explicitly).  Irreversibility via the RunningMaximum history
+# envelope H(x) = max_t psi(x, t), seeded by the notch IC.
 #
 
 ell = 0.04
@@ -57,7 +58,7 @@ keta = 1e-3
   []
   [H]
   []
-  [H0]
+  [psi]
   []
   [Nreal]
   []
@@ -82,10 +83,10 @@ keta = 1e-3
       buffer = F
     []
     [notch_drive]
-      # persistent driving-force floor along the notch: stands in for the
-      # AT2 history variable (H >> Gc/(2 ell) keeps d ~= 1 there)
+      # seed the history envelope with a driving-force floor along the
+      # notch (H >> Gc/(2 ell) keeps d ~= 1 there)
       type = SmoothRectangleCompute
-      buffer = H0
+      buffer = H
       x1 = -0.1
       x2 = 0.5
       y1 = ${fparse 0.5 - 0.01}
@@ -152,12 +153,19 @@ keta = 1e-3
       buffer = sV
       stress = stress
     []
-    [H]
-      # crack driving force (no history variable: monotone shear ramp)
+    [psi]
+      # instantaneous crack driving force
       type = ParsedCompute
+      buffer = psi
+      expression = 'sV^2/(2*${E0})'
+      inputs = sV
+    []
+    [H]
+      # irreversibility: H(x) = max over time of psi(x) through the
+      # solver history ring (seeded by the notch IC above)
+      type = RunningMaximum
       buffer = H
-      expression = 'max(H0, sV^2/(2*${E0}))'
-      inputs = 'sV H0'
+      input = psi
     []
     [Nreal]
       type = ParsedCompute

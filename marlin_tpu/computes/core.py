@@ -281,6 +281,25 @@ class ParsedTensor(ParsedCompute):
         super().__init__(name, params, problem)
 
 
+@computes.register("RunningMaximum")
+class RunningMaximum(TensorCompute):
+    """out = max(out, input): a monotone envelope — the history variable
+    H(x) = max_t ψ(x, t) of phase-field fracture (irreversibility),
+    peak-stress/temperature tracking, etc.  marlin_tpu extension (the
+    reference ships no history-tracking compute; see
+    examples/phase_field_fracture).  The output buffer carries the
+    envelope between substeps/steps, so its own initial condition seeds
+    it (e.g. a notch driving-force floor); reading the previous value is
+    old-state access, not a graph dependency, so no cycle is declared."""
+
+    def __init__(self, name, params: Params, problem):
+        super().__init__(name, params, problem)
+        self.input = self.input_buffer("input")
+
+    def apply(self, state, ctx):
+        return {self.out: jnp.maximum(state[self.out], state[self.input])}
+
+
 @computes.register("ForwardFFT")
 class ForwardFFT(TensorCompute):
     """ū = fft(u) (reference: src/tensor_computes/PerformFFT.C, forward)."""

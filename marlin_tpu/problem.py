@@ -977,7 +977,8 @@ class TensorProblem:
             # no solver: run all solve computes once per step (reference
             # TensorProblem::execute else-branch, :185-188)
             buffers = dict(state["buffers"])
-            ctx = {"t": t}
+            ctx = {"t": t, "old": state["old"],
+                   "n_advances": state["n_advances"]}
             if self._solverless_group is not None:  # batch_fft fusion
                 buffers.update(self._solverless_group.apply(buffers, ctx))
             else:

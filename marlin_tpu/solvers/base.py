@@ -117,9 +117,14 @@ class TensorSolver:
     # -- execution helpers -------------------------------------------------
     def _run_group(self, state: Dict, t) -> Dict:
         """Evaluate the root compute and apply buffer forwarding
-        (reference TensorSolver::forwardBuffers :86-91)."""
+        (reference TensorSolver::forwardBuffers :86-91).  The ctx carries
+        the history ring like the LBM substep path does, so
+        history-consuming computes (RunningMaximum, any op reading
+        ctx["old"]) work on the spectral solver path too."""
         buffers = dict(state["buffers"])
-        updates = self.compute.apply(buffers, {"t": t})
+        updates = self.compute.apply(
+            buffers, {"t": t, "old": state["old"],
+                      "n_advances": state["n_advances"]})
         buffers.update(updates)
         for fwd, fwd_new in self.forwarded_buffers:
             buffers[fwd] = buffers[fwd_new]

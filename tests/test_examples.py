@@ -352,3 +352,81 @@ def test_phase_field_fracture_showcase(tmp_path):
     assert notch_band > 5 * far_field, (notch_band, far_field)
     # growth: the damage integral increased from the IC
     assert tr.pp_values["crack_area"] > 0.02
+
+
+def test_running_maximum_envelope(tmp_path):
+    """RunningMaximum holds the peak of a DECAYING input (irreversibility
+    contract of the fracture history variable), seeded by the buffer IC."""
+    from marlin_tpu import hit
+    from marlin_tpu.executioner import run_deck
+
+    (tmp_path / "deck.i").write_text(
+        """
+[Domain]
+  dim = 1
+  nx = 8
+  xmax = 8
+  mesh_mode = DUMMY
+[]
+[TensorBuffers]
+  [H]
+  []
+  [src]
+  []
+[]
+[TensorComputes]
+  [Initialize]
+    [seed]
+      type = ParsedCompute
+      buffer = H
+      expression = '(x < 2) * 5.0'
+      extra_symbols = true
+    []
+  []
+  [Solve]
+    [src]
+      type = ParsedCompute
+      buffer = src
+      expression = '2.0*exp(-t)'
+      extra_symbols = true
+    []
+    [H]
+      type = RunningMaximum
+      buffer = H
+      input = src
+    []
+  []
+[]
+[Postprocessors]
+  [max_H]
+    type = TensorExtremeValuePostprocessor
+    buffer = H
+    value_type = MAX
+    execute_on = 'TIMESTEP_END'
+  []
+  [min_H]
+    type = TensorExtremeValuePostprocessor
+    buffer = H
+    value_type = MIN
+    execute_on = 'TIMESTEP_END'
+  []
+[]
+[Problem]
+  type = TensorProblem
+[]
+[Executioner]
+  type = Transient
+  num_steps = 4
+  dt = 1.0
+[]
+"""
+    )
+    tr = run_deck(hit.load(str(tmp_path / "deck.i")),
+                  output_dir=str(tmp_path), deck_dir=str(tmp_path))
+    H = np.asarray(tr.state["buffers"]["H"])
+    # the IC seed (5.0) survives the decaying source everywhere it was set
+    assert H.max() == 5.0
+    # outside the seed the envelope is the source's PEAK over the run
+    # (first evaluation at sub_time = 0): 2.0, NOT its final decayed
+    # value 2 exp(-3)
+    np.testing.assert_allclose(H.min(), 2.0, rtol=1e-6)
