@@ -1889,7 +1889,7 @@ _MECH_DECK = """
 """
 
 
-def bench_degeus(steps=10, reps=2, n=None, fft_backend=None):
+def bench_degeus(steps=10, reps=2, n=None, fft_backend=None, precond=None):
     """deGeus FFT-micromechanics RVE wall-clock (BASELINE.json metric #2):
     the shipped 32^3 hyperelastic RVE (reference
     examples/degeus_mechanics/mech.i — Newton + matrix-free CG per substep,
@@ -1907,6 +1907,11 @@ def bench_degeus(steps=10, reps=2, n=None, fft_backend=None):
                                  f"Domain/nz={n}"]
     if fft_backend:
         over.append(f"Domain/fft_backend={fft_backend}")
+    if precond:
+        # opt-in CG preconditioning (r05): reference-medium inverse per
+        # CG iteration — see PERF.md deGeus section
+        over.append("TensorComputes/Solve/root/mech/preconditioner="
+                    + precond)
     root = _load_deck("examples/degeus_mechanics/mech.i", over,
                       fallback=_MECH_DECK)
     problem = TensorProblem(root)
@@ -1922,6 +1927,7 @@ def bench_degeus(steps=10, reps=2, n=None, fft_backend=None):
         "rve": f"{n or 32}^3 hyperelastic (mech.i)",
         "steps": steps,
         "fft_backend": fft_backend or "DEFAULT",
+        "preconditioner": precond or "NONE",
         "compile_s": round(first, 1),
     }
     # salvage point (r03 post-mortem: this child emitted NOTHING between
@@ -1993,6 +1999,9 @@ def _child_result(name):
         "degeus128": lambda: bench_degeus(steps=2, reps=1, n=128),
         "degeus128_pallas": lambda: bench_degeus(steps=2, reps=1, n=128,
                                                  fft_backend="PALLAS"),
+        "degeus_pcg": lambda: bench_degeus(precond="REFERENCE_MEDIUM"),
+        "degeus128_pcg": lambda: bench_degeus(steps=2, reps=1, n=128,
+                                              precond="REFERENCE_MEDIUM"),
         "1a_fused": bench_1a_fused,
         "2a_tuned": lambda: bench_2a(variant="tuned"),
     }
@@ -2259,7 +2268,8 @@ def main():
                      "lbm_thermal_jnp", "lbm_thermal3d", "lbm_thermal3d_jnp",
                      "lbm_karman", "lbm_karman_jnp",
                      "degeus", "degeus_pallas", "degeus64", "degeus64_pallas",
-                     "degeus128", "degeus128_pallas"):
+                     "degeus128", "degeus128_pallas", "degeus_pcg",
+                     "degeus128_pcg"):
             print(" ", name)
         return
     if len(sys.argv) > 2 and sys.argv[1] == "--child":

@@ -146,6 +146,57 @@ def conjugate_gradient(A, b, x0, tol, maxiter):
             jnp.where(blown, res_best, res_norm))
 
 
+def preconditioned_conjugate_gradient(A, Minv, b, x0, tol, maxiter):
+    """Left-preconditioned CG (z = M⁻¹r) with the same breakdown guards
+    as `conjugate_gradient`.  Convergence stays on the TRUE residual
+    relative to |b| so a preconditioned solve stops at the same physical
+    accuracy as the unpreconditioned one."""
+    import jax
+
+    b_norm = jnp.linalg.norm(b)
+    x = x0
+    r = b - A(x)
+    z = Minv(r)
+    p = z
+    rz0 = jnp.sum(r * z)
+    r0_norm = jnp.linalg.norm(r)
+    growth_cap = 100.0 * jnp.maximum(b_norm, r0_norm)
+
+    def cond(carry):
+        (x, r, z, p, rz_old, k, res_norm, done,
+         x_best, res_best, blown) = carry
+        return (~done) & (k < maxiter)
+
+    def body(carry):
+        (x, r, z, p, rz_old, k, res_norm, done,
+         x_best, res_best, blown) = carry
+        Ap = A(p)
+        pAp = jnp.sum(p * Ap)
+        broke = (pAp <= 0.0) | (rz_old <= 0.0)
+        alpha = jnp.where(broke, 0.0, rz_old / jnp.where(broke, 1.0, pAp))
+        x = x + alpha * p
+        r = r - alpha * Ap
+        res_norm = jnp.linalg.norm(r)
+        improved = res_norm < res_best
+        x_best = jnp.where(improved, x, x_best)
+        res_best = jnp.minimum(res_norm, res_best)
+        diverged = broke | jnp.isnan(res_norm) | (res_norm > growth_cap)
+        done = (res_norm <= tol * b_norm) | diverged
+        z = Minv(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(rz_old == 0.0, 1.0, rz_old)
+        p = jnp.where(done, p, z + beta * p)
+        return (x, r, z, p, rz_new, k + 1, res_norm, done,
+                x_best, res_best, blown | diverged)
+
+    init = (x, r, z, p, rz0, jnp.zeros((), jnp.int32), r0_norm,
+            b_norm == 0.0, x, r0_norm, jnp.asarray(False))
+    (x, r, z, p, rz, k, res_norm, done,
+     x_best, res_best, blown) = jax.lax.while_loop(cond, body, init)
+    return (jnp.where(blown, x_best, x), k,
+            jnp.where(blown, res_best, res_norm))
+
+
 def _identity_tensors(dim, dtype):
     ti = jnp.eye(dim, dtype=dtype)
     tI4 = jnp.einsum("il,jk->ijkl", ti, ti)
@@ -327,6 +378,16 @@ class FFTMechanics(TensorCompute):
             "analytic_tangent", ["auto", "true", "false"], "auto"
         )
         self.analytic_tangent = False  # resolved in check()
+        # CG preconditioning (marlin_tpu extension; the reference's CG is
+        # unpreconditioned, include/utils/MarlinUtils.h:55-131):
+        # REFERENCE_MEDIUM applies the inverse of the homogeneous
+        # Green-projected isotropic tangent built from the volume-average
+        # moduli — the classic Moulinec-Suquet reference medium, a
+        # closed-form per-k 3x3 solve costing one extra FFT pair per CG
+        # iteration and cutting iteration counts with the phase contrast.
+        # Default NONE keeps the reference-exact iteration (gold parity).
+        self.precond = params.get_enum(
+            "preconditioner", ["NONE", "REFERENCE_MEDIUM"], "NONE")
 
     def _tangent_referenced_in_deck(self) -> bool:
         """True if any deck parameter other than a `tangent_operator`
@@ -426,6 +487,38 @@ class FFTMechanics(TensorCompute):
             out = s[..., :, None] * qn[..., None, :]
             return dom.ifft(out).reshape(-1)
 
+        Minv = None
+        if self.precond == "REFERENCE_MEDIUM":
+            if self.mu is None:
+                raise ComputeError(
+                    f"FFTMechanics '{self.name}': preconditioner = "
+                    "REFERENCE_MEDIUM needs the `mu` buffer (isotropic "
+                    "reference moduli come from the K/mu volume averages)")
+            # volume-average isotropic reference medium: lam0 = K - 2mu/3
+            # (3-D convention; preconditioner quality only — any SPD
+            # constant-coefficient medium is admissible)
+            mu0 = jnp.mean(state[self.mu]).astype(dom.dtype)
+            lam0 = (jnp.mean(state[self.K]) - 2.0 * mu0 / 3.0).astype(
+                dom.dtype)
+            # Every CG residual lies in range(G), i.e. r̂_ij = rho_i q_j/|q|²
+            # with rho_i = Σ_j r̂_ij q_j.  On that range the homogeneous
+            # operator A0 dF = G(K0 : dF) reduces per k-point to
+            #   A0(w ⊗ q/|q|²) = [mu0·w + (lam0+mu0)(w·q) q/|q|²] ⊗ q/|q|²
+            # whose closed-form inverse is
+            #   w = rho/mu0 − (lam0+mu0)/((lam0+2mu0)·mu0) · (rho·q) q/|q|²
+            # — an elementwise VPU solve, no linear algebra custom calls.
+            cfac = (lam0 + mu0) / ((lam0 + 2.0 * mu0) * mu0)
+
+            def Minv(rm):
+                Rh = dom.fft(rm.reshape(r2_shape))  # (*recip, dim, dim)
+                rho = jnp.stack(
+                    [sum(Rh[..., i, j] * qvec[..., j] for j in range(dim))
+                     for i in range(dim)], axis=-1)  # (*recip, dim)
+                rho_q = sum(rho[..., k] * qvec[..., k] for k in range(dim))
+                w = rho / mu0 - (cfac * rho_q * inv_k2)[..., None] * qvec
+                zh = w[..., :, None] * qn[..., None, :]
+                return dom.ifft(zh).reshape(-1)
+
         if self.analytic_tangent:
             # the S/B/c component fields are loop-invariant inside CG:
             # build them once per scope (Newton iteration) and close the
@@ -476,9 +569,14 @@ class FFTMechanics(TensorCompute):
         def body(carry):
             iiter, dFm, b, cscope, done = carry
             s = unpack(cscope)
-            dFm, k, lnorm = conjugate_gradient(
-                make_op(s), b, dFm, self.l_tol, l_max
-            )
+            if Minv is not None:
+                dFm, k, lnorm = preconditioned_conjugate_gradient(
+                    make_op(s), Minv, b, dFm, self.l_tol, l_max
+                )
+            else:
+                dFm, k, lnorm = conjugate_gradient(
+                    make_op(s), b, dFm, self.l_tol, l_max
+                )
             s[self.out] = s[self.out] + dFm.reshape(r2_shape)
             s = run_constitutive(s)
             b = -G(s[self.stress])

@@ -64,3 +64,75 @@ def test_spectral_gradient_unit_parity():
     gy = np.asarray(dom.ifft(abar * dom.reciprocal_axis(1) * 1j))
     np.testing.assert_allclose(gx, dadx, atol=1e-12)
     np.testing.assert_allclose(gy, dady, atol=1e-12)
+
+
+def test_preconditioned_cg_small_spd():
+    """PCG on a small SPD system: matches the direct solve; with the exact
+    inverse as preconditioner it converges in one iteration; with a
+    Jacobi preconditioner it needs no more iterations than plain CG."""
+    from marlin_tpu.computes.mechanics import (
+        conjugate_gradient, preconditioned_conjugate_gradient)
+
+    rng = np.random.RandomState(7)
+    n = 24
+    Q = rng.randn(n, n)
+    # ill-conditioned SPD matrix (condition ~1e4)
+    M = Q @ np.diag(np.logspace(0, 4, n)) @ Q.T
+    M = 0.5 * (M + M.T)
+    Mj = jnp.asarray(M)
+    b = jnp.asarray(rng.randn(n))
+    x_direct = np.linalg.solve(M, np.asarray(b))
+
+    A = lambda v: Mj @ v
+    x0 = jnp.zeros(n)
+    x_cg, k_cg, _ = conjugate_gradient(A, b, x0, 1e-10, 500)
+    np.testing.assert_allclose(np.asarray(x_cg), x_direct, rtol=1e-5,
+                               atol=1e-7)
+
+    Minv_exact = jnp.asarray(np.linalg.inv(M))
+    x_p, k_p, _ = preconditioned_conjugate_gradient(
+        A, lambda r: Minv_exact @ r, b, x0, 1e-10, 500)
+    np.testing.assert_allclose(np.asarray(x_p), x_direct, rtol=1e-5,
+                               atol=1e-7)
+    assert int(k_p) <= 2  # exact preconditioner: one productive step
+
+    d = jnp.asarray(1.0 / np.diag(M))
+    x_j, k_j, _ = preconditioned_conjugate_gradient(
+        A, lambda r: d * r, b, x0, 1e-10, 500)
+    np.testing.assert_allclose(np.asarray(x_j), x_direct, rtol=1e-5,
+                               atol=1e-7)
+    # Jacobi on a dense random SPD system is not guaranteed to beat
+    # plain CG — only correctness is asserted here; the exact-inverse
+    # case above demonstrates the iteration-count mechanism
+
+
+def test_fftmechanics_reference_medium_preconditioner():
+    """FFTMechanics with preconditioner = REFERENCE_MEDIUM converges to
+    the same solution as the reference-exact unpreconditioned path on the
+    two-phase mech deck (tightened tolerances isolate solver-path
+    differences from stopping noise)."""
+    import os
+
+    from .gold import REF, run_ref_deck
+
+    deck = "test/tests/mechanics/mech.i"
+    if not os.path.exists(os.path.join(REF, deck)):
+        import pytest
+
+        pytest.skip("deck not shipped")
+    tight = ["Executioner/num_steps=3",
+             "TensorComputes/Solve/root/mech/l_tol=1e-8",
+             "TensorComputes/Solve/root/mech/nl_rel_tol=1e-8",
+             "TensorComputes/Solve/root/mech/nl_abs_tol=1e-10"]
+    tr0, _ = run_ref_deck(deck, tight, tmpdir="/tmp/mech_pcg_a")
+    tr1, _ = run_ref_deck(
+        deck,
+        tight + ["TensorComputes/Solve/root/mech/preconditioner"
+                 "=REFERENCE_MEDIUM"],
+        tmpdir="/tmp/mech_pcg_b")
+    F0 = np.asarray(tr0.state["buffers"]["F"])
+    F1 = np.asarray(tr1.state["buffers"]["F"])
+    np.testing.assert_allclose(F1, F0, atol=2e-6)
+    s0 = np.asarray(tr0.state["buffers"]["stress"])
+    s1 = np.asarray(tr1.state["buffers"]["stress"])
+    np.testing.assert_allclose(s1, s0, atol=2e-5)
