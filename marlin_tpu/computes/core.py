@@ -290,14 +290,40 @@ class RunningMaximum(TensorCompute):
     examples/phase_field_fracture).  The output buffer carries the
     envelope between substeps/steps, so its own initial condition seeds
     it (e.g. a notch driving-force floor); reading the previous value is
-    old-state access, not a graph dependency, so no cycle is declared."""
+    old-state access, not a graph dependency, so no cycle is declared.
+
+    Restriction: the envelope absorbs every evaluation, so under
+    solvers that evaluate the compute graph on TRIAL iterates
+    (Secant/Broyden nonlinear iterations) a rejected overshoot would
+    contaminate the history permanently — those solvers are refused at
+    build time.  With AdamsBashforthMoulton, `corrector_steps > 0`
+    additionally folds predictor-state evaluations into the envelope
+    (bounded by the accepted trajectory's neighborhood; documented, not
+    refused)."""
 
     def __init__(self, name, params: Params, problem):
         super().__init__(name, params, problem)
         self.input = self.input_buffer("input")
 
+    def check(self):
+        solver = getattr(self.problem, "solver", None)
+        if type(solver).__name__ in ("SecantSolver", "BroydenSolver"):
+            raise ComputeError(
+                f"RunningMaximum '{self.name}': iterative solvers evaluate "
+                "the compute graph on trial iterates, which would be "
+                "absorbed into the envelope permanently — use a "
+                "non-iterative solver (ABM/ForwardEuler) for "
+                "history-tracked decks")
+
     def apply(self, state, ctx):
-        return {self.out: jnp.maximum(state[self.out], state[self.input])}
+        # .get with a zeros fallback: an undeclared output buffer is
+        # auto-created from this compute's result like any other output
+        # (r05 review — a bare state[self.out] KeyError'd the shape pass)
+        prev = state.get(self.out)
+        cur = state[self.input]
+        if prev is None:
+            return {self.out: cur}
+        return {self.out: jnp.maximum(prev, cur)}
 
 
 @computes.register("ForwardFFT")

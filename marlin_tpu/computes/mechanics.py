@@ -89,10 +89,18 @@ def dyad22(A2, B2):
     return jnp.einsum("...ij,...kl->...ijkl", A2, B2)
 
 
-def conjugate_gradient(A, b, x0, tol, maxiter):
+def conjugate_gradient(A, b, x0, tol, maxiter, Minv=None):
     """Matrix-free CG with relative-to-|b| convergence
     (reference conjugateGradientSolve, include/utils/MarlinUtils.h:55-131).
     Runs as a lax.while_loop; returns (x, iterations, residual_norm).
+
+    `Minv` enables left preconditioning (z = M⁻¹r); None is plain CG.
+    One body serves both (r05 review: two drifting copies): with the
+    identity preconditioner z aliases r, so sum(r*z) is the same HLO as
+    sum(r*r) and the iteration stays BIT-IDENTICAL to the reference
+    (gold parity tests pin it).  Convergence is on the TRUE residual
+    relative to |b| either way, so a preconditioned solve stops at the
+    same physical accuracy.
 
     Breakdown guard (beyond the reference, which returns whatever iterate
     maxiter lands on): the Green-projected tangent is positive
@@ -100,15 +108,18 @@ def conjugate_gradient(A, b, x0, tol, maxiter):
     iterating, roundoff (amplified under sharded-FFT reduction ordering)
     injects null-space components until p·Ap ≈ 0 and the iterates explode
     — measured |F| ~ 2e6 on the tight-tolerance mech3d deck at 4 slab
-    ranks.  The guard skips the update on a non-positive p·Ap, stops on
-    NaN or a 100× residual-growth, and returns the best iterate seen (a
-    truncated inexact-Newton step).  In the convergent regime none of
-    this triggers and the iteration is bit-identical to the reference."""
+    ranks.  The guard skips the update on a non-positive p·Ap (or a
+    non-positive r·z under an indefinite-roundoff preconditioner), stops
+    on NaN or a 100× residual-growth, and returns the best iterate seen
+    (a truncated inexact-Newton step).  In the convergent regime none of
+    this triggers."""
+    apply_Minv = Minv if Minv is not None else (lambda r: r)
     b_norm = jnp.linalg.norm(b)
     x = x0
     r = b - A(x)
-    p = r
-    rz0 = jnp.sum(r * r)
+    z0 = apply_Minv(r)
+    p = z0
+    rz0 = jnp.sum(r * z0)
     r0_norm = jnp.linalg.norm(r)
     growth_cap = 100.0 * jnp.maximum(b_norm, r0_norm)
 
@@ -120,7 +131,7 @@ def conjugate_gradient(A, b, x0, tol, maxiter):
         x, r, p, rz_old, k, res_norm, done, x_best, res_best, blown = carry
         Ap = A(p)
         pAp = jnp.sum(p * Ap)
-        broke = pAp <= 0.0
+        broke = (pAp <= 0.0) | (rz_old <= 0.0)
         alpha = jnp.where(broke, 0.0, rz_old / jnp.where(broke, 1.0, pAp))
         x = x + alpha * p
         r = r - alpha * Ap
@@ -130,9 +141,10 @@ def conjugate_gradient(A, b, x0, tol, maxiter):
         res_best = jnp.minimum(res_norm, res_best)
         diverged = broke | jnp.isnan(res_norm) | (res_norm > growth_cap)
         done = (res_norm <= tol * b_norm) | diverged
-        rz_new = jnp.sum(r * r)
-        beta = rz_new / rz_old
-        p = jnp.where(done, p, r + beta * p)
+        z = apply_Minv(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(rz_old == 0.0, 1.0, rz_old)
+        p = jnp.where(done, p, z + beta * p)
         return (x, r, p, rz_new, k + 1, res_norm, done,
                 x_best, res_best, blown | diverged)
 
@@ -147,54 +159,8 @@ def conjugate_gradient(A, b, x0, tol, maxiter):
 
 
 def preconditioned_conjugate_gradient(A, Minv, b, x0, tol, maxiter):
-    """Left-preconditioned CG (z = M⁻¹r) with the same breakdown guards
-    as `conjugate_gradient`.  Convergence stays on the TRUE residual
-    relative to |b| so a preconditioned solve stops at the same physical
-    accuracy as the unpreconditioned one."""
-    import jax
-
-    b_norm = jnp.linalg.norm(b)
-    x = x0
-    r = b - A(x)
-    z = Minv(r)
-    p = z
-    rz0 = jnp.sum(r * z)
-    r0_norm = jnp.linalg.norm(r)
-    growth_cap = 100.0 * jnp.maximum(b_norm, r0_norm)
-
-    def cond(carry):
-        (x, r, z, p, rz_old, k, res_norm, done,
-         x_best, res_best, blown) = carry
-        return (~done) & (k < maxiter)
-
-    def body(carry):
-        (x, r, z, p, rz_old, k, res_norm, done,
-         x_best, res_best, blown) = carry
-        Ap = A(p)
-        pAp = jnp.sum(p * Ap)
-        broke = (pAp <= 0.0) | (rz_old <= 0.0)
-        alpha = jnp.where(broke, 0.0, rz_old / jnp.where(broke, 1.0, pAp))
-        x = x + alpha * p
-        r = r - alpha * Ap
-        res_norm = jnp.linalg.norm(r)
-        improved = res_norm < res_best
-        x_best = jnp.where(improved, x, x_best)
-        res_best = jnp.minimum(res_norm, res_best)
-        diverged = broke | jnp.isnan(res_norm) | (res_norm > growth_cap)
-        done = (res_norm <= tol * b_norm) | diverged
-        z = Minv(r)
-        rz_new = jnp.sum(r * z)
-        beta = rz_new / jnp.where(rz_old == 0.0, 1.0, rz_old)
-        p = jnp.where(done, p, z + beta * p)
-        return (x, r, z, p, rz_new, k + 1, res_norm, done,
-                x_best, res_best, blown | diverged)
-
-    init = (x, r, z, p, rz0, jnp.zeros((), jnp.int32), r0_norm,
-            b_norm == 0.0, x, r0_norm, jnp.asarray(False))
-    (x, r, z, p, rz, k, res_norm, done,
-     x_best, res_best, blown) = jax.lax.while_loop(cond, body, init)
-    return (jnp.where(blown, x_best, x), k,
-            jnp.where(blown, res_best, res_norm))
+    """Left-preconditioned CG — `conjugate_gradient` with Minv bound."""
+    return conjugate_gradient(A, b, x0, tol, maxiter, Minv=Minv)
 
 
 def _identity_tensors(dim, dtype):

@@ -118,9 +118,10 @@ class TensorSolver:
     def _run_group(self, state: Dict, t) -> Dict:
         """Evaluate the root compute and apply buffer forwarding
         (reference TensorSolver::forwardBuffers :86-91).  The ctx carries
-        the history ring like the LBM substep path does, so
-        history-consuming computes (RunningMaximum, any op reading
-        ctx["old"]) work on the spectral solver path too."""
+        the history ring like the LBM substep path does, so any
+        old-state-consuming compute (the LBM-BC ctx["old"] pattern) can
+        run on the spectral solver path too (RunningMaximum itself is
+        buffer-carried and does not need it)."""
         buffers = dict(state["buffers"])
         updates = self.compute.apply(
             buffers, {"t": t, "old": state["old"],

@@ -106,7 +106,7 @@ def test_preconditioned_cg_small_spd():
     # case above demonstrates the iteration-count mechanism
 
 
-def test_fftmechanics_reference_medium_preconditioner():
+def test_fftmechanics_reference_medium_preconditioner(tmp_path):
     """FFTMechanics with preconditioner = REFERENCE_MEDIUM converges to
     the same solution as the reference-exact unpreconditioned path on the
     two-phase mech deck (tightened tolerances isolate solver-path
@@ -124,12 +124,12 @@ def test_fftmechanics_reference_medium_preconditioner():
              "TensorComputes/Solve/root/mech/l_tol=1e-8",
              "TensorComputes/Solve/root/mech/nl_rel_tol=1e-8",
              "TensorComputes/Solve/root/mech/nl_abs_tol=1e-10"]
-    tr0, _ = run_ref_deck(deck, tight, tmpdir="/tmp/mech_pcg_a")
+    tr0, _ = run_ref_deck(deck, tight, tmpdir=str(tmp_path / "a"))
     tr1, _ = run_ref_deck(
         deck,
         tight + ["TensorComputes/Solve/root/mech/preconditioner"
                  "=REFERENCE_MEDIUM"],
-        tmpdir="/tmp/mech_pcg_b")
+        tmpdir=str(tmp_path / "b"))
     F0 = np.asarray(tr0.state["buffers"]["F"])
     F1 = np.asarray(tr1.state["buffers"]["F"])
     np.testing.assert_allclose(F1, F0, atol=2e-6)

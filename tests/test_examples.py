@@ -430,3 +430,73 @@ def test_running_maximum_envelope(tmp_path):
     # (first evaluation at sub_time = 0): 2.0, NOT its final decayed
     # value 2 exp(-3)
     np.testing.assert_allclose(H.min(), 2.0, rtol=1e-6)
+
+
+def test_running_maximum_undeclared_buffer_and_solver_guard(tmp_path):
+    """An undeclared RunningMaximum output buffer is auto-created like any
+    other compute output (r05 review: previously a raw KeyError in the
+    shape pass), and iterative solvers are refused with a named error."""
+    import pytest
+
+    from marlin_tpu import hit
+    from marlin_tpu.computes.base import ComputeError
+    from marlin_tpu.executioner import run_deck
+
+    base = """
+[Domain]
+  dim = 1
+  nx = 8
+  xmax = 8
+  mesh_mode = DUMMY
+[]
+[TensorBuffers]
+  [src]
+  []
+{extra_buffers}
+[]
+[TensorComputes]
+  [Solve]
+    [src]
+      type = ParsedCompute
+      buffer = src
+      expression = '1.0 + 0*x'
+      extra_symbols = true
+    []
+    [H]
+      type = RunningMaximum
+      buffer = H
+      input = src
+    []
+  []
+[]
+{solver}
+[Problem]
+  type = TensorProblem
+[]
+[Executioner]
+  type = Transient
+  num_steps = 2
+  dt = 1.0
+[]
+"""
+    # undeclared H buffer: auto-created, envelope works
+    (tmp_path / "a.i").write_text(base.format(extra_buffers="", solver=""))
+    tr = run_deck(hit.load(str(tmp_path / "a.i")),
+                  output_dir=str(tmp_path), deck_dir=str(tmp_path))
+    assert float(np.asarray(tr.state["buffers"]["H"]).max()) == 1.0
+
+    # iterative solver: named refusal
+    solver = """
+[TensorSolver]
+  type = SecantSolver
+  buffer = src
+  reciprocal_buffer = srcbar
+  linear_reciprocal = '0'
+  nonlinear_reciprocal = nl
+[]
+"""
+    (tmp_path / "b.i").write_text(base.format(
+        extra_buffers="  [srcbar]\n  []\n  [nl]\n  []\n", solver=solver))
+    with pytest.raises(ComputeError, match="trial iterates"):
+        run_deck(hit.load(str(tmp_path / "b.i")),
+                 output_dir=str(tmp_path), deck_dir=str(tmp_path))
