@@ -500,3 +500,27 @@ def test_running_maximum_undeclared_buffer_and_solver_guard(tmp_path):
     with pytest.raises(ComputeError, match="trial iterates"):
         run_deck(hit.load(str(tmp_path / "b.i")),
                  output_dir=str(tmp_path), deck_dir=str(tmp_path))
+
+
+def test_neml2_creep_showcase(tmp_path):
+    """examples/neml2_creep: thermally-activated Norton creep through the
+    NEML2 deck surface — stress relaxes, hot relaxes faster than cold."""
+    from marlin_tpu import hit
+    from marlin_tpu.executioner import run_deck
+
+    root_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    deck = os.path.join(root_dir, "examples/neml2_creep/creep.i")
+    root = hit.load(deck, ["Executioner/num_steps=10"])
+    tr = run_deck(root, output_dir=str(tmp_path),
+                  deck_dir=os.path.dirname(deck))
+    sm = np.asarray(tr.state["buffers"]["sm"])
+    ep = np.asarray(tr.state["buffers"]["ep"])
+    e = np.broadcast_to(np.asarray(tr.state["buffers"]["e"]), sm.shape)
+    # stress stays below the elastic (unrelaxed) value and ep in [0, e]
+    assert np.all(sm <= 1000.0 * e + 1e-6)
+    assert np.all(ep >= -1e-12) and np.all(ep <= e + 1e-9)
+    nx = sm.shape[0]
+    # the hot half (right) relaxed much further than the cold half (left)
+    cold = (1000.0 * e - sm)[: nx // 4].mean()
+    hot = (1000.0 * e - sm)[-nx // 4:].mean()
+    assert hot > 10 * max(cold, 1e-9), (hot, cold)
