@@ -161,3 +161,42 @@ def test_mechanics_sharded_newton_flag_rides_state():
     keys = [k for k in pstate["buffers"] if k.startswith("__converged_")]
     assert keys, "converged pseudo-buffer missing from sharded state"
     assert not bool(jnp.all(pstate["buffers"][keys[0]]))
+
+
+def test_fracture_multiphysics_sharded_pcg_matches_serial():
+    """The AT2 fracture showcase (FFTMechanics with (1-d)^2-degraded
+    moduli, contrast ~1/keta = 1000 once the notch develops) under
+    FFT_SLAB@4: plain CG stalls in this regime (sharded-FFT reduction
+    ordering amplifies roundoff until the Newton budget exhausts —
+    raising nl_max_its to 300 does NOT recover it, measured r05), and
+    the REFERENCE_MEDIUM preconditioner recovers serial-grade
+    convergence: max_d matches the serial run at 1e-8-class agreement
+    on the full 6-step deck (recorded r05); this leaner config asserts
+    field parity."""
+    import jax
+    import numpy as np
+
+    from marlin_tpu import hit, parallel
+    from marlin_tpu.domain import ParallelMode
+    from marlin_tpu.executioner import run_deck
+
+    root_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    deck = os.path.join(root_dir, "examples/phase_field_fracture/fracture.i")
+    dd = os.path.dirname(deck)
+    over = ["Executioner/num_steps=2", "Domain/nx=48", "Domain/ny=48",
+            "Domain/floating_precision=DOUBLE",
+            "TensorComputes/Solve/mech/preconditioner=REFERENCE_MEDIUM"]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ser = run_deck(hit.load(deck, over), output_dir=tmp + "/s",
+                       deck_dir=dd)
+        mesh = parallel.make_mesh(ParallelMode.FFT_SLAB,
+                                  devices=jax.devices()[:4])
+        par = run_deck(hit.load(deck, over + [
+            "Domain/parallel_mode=FFT_SLAB"]), output_dir=tmp + "/p",
+            mesh=mesh, deck_dir=dd)
+    for k in ("d", "H"):
+        a = np.asarray(ser.state["buffers"][k])
+        b = np.asarray(par.state["buffers"][k])
+        np.testing.assert_allclose(b, a, atol=5e-7, err_msg=k)
