@@ -524,3 +524,33 @@ def test_neml2_creep_showcase(tmp_path):
     cold = (1000.0 * e - sm)[: nx // 4].mean()
     hot = (1000.0 * e - sm)[-nx // 4:].mean()
     assert hot > 10 * max(cold, 1e-9), (hot, cold)
+
+
+def test_neml2_creep_showcase_sharded_matches_serial():
+    """The creep showcase's field-wide implicit Newton (NEML2 deck
+    surface) under FFT_SLAB@4 matches the serial run bit-for-bit-class
+    (elementwise constitutive solve: decomposition must be invisible)."""
+    import jax
+
+    from marlin_tpu import hit, parallel
+    from marlin_tpu.domain import ParallelMode
+    from marlin_tpu.executioner import run_deck
+
+    root_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    deck = os.path.join(root_dir, "examples/neml2_creep/creep.i")
+    dd = os.path.dirname(deck)
+    over = ["Executioner/num_steps=4", "Domain/floating_precision=DOUBLE"]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ser = run_deck(hit.load(deck, over), output_dir=tmp + "/s",
+                       deck_dir=dd)
+        mesh = parallel.make_mesh(ParallelMode.FFT_SLAB,
+                                  devices=jax.devices()[:4])
+        par = run_deck(hit.load(deck, over + [
+            "Domain/parallel_mode=FFT_SLAB"]), output_dir=tmp + "/p",
+            mesh=mesh, deck_dir=dd)
+    for k in ("ep", "sm"):
+        a = np.asarray(ser.state["buffers"][k])
+        b = np.asarray(par.state["buffers"][k])
+        np.testing.assert_allclose(b, a, atol=1e-12, err_msg=k)
