@@ -189,15 +189,19 @@ def main():
             doc = doc.split("\n\n")[0].replace("\n", " ")
             alias = f" (alias: {', '.join(names[1:])})" if len(names) > 1 else ""
             out.append(f"### {names[0]}{alias}\n")
+            # a type's OWN page (under any of its names) outranks a
+            # family page routed via GROUP_PAGES (r05 review)
             page_file = None
             for n in names:
                 if os.path.exists(os.path.join(
                         os.path.dirname(__file__), "types", f"{n}.md")):
                     page_file = f"{n}.md"
                     break
-                if n in GROUP_PAGES:
-                    page_file = GROUP_PAGES[n]
-                    break
+            if page_file is None:
+                for n in names:
+                    if n in GROUP_PAGES:
+                        page_file = GROUP_PAGES[n]
+                        break
             if page_file is not None:
                 doc += f"  [Prose page →](types/{page_file})"
             out.append(doc)

@@ -307,7 +307,9 @@ class RunningMaximum(TensorCompute):
 
     def check(self):
         solver = getattr(self.problem, "solver", None)
-        if type(solver).__name__ in ("SecantSolver", "BroydenSolver"):
+        # iterative solvers (Secant/Broyden, via their existing
+        # `iterative` trait) evaluate the compute graph on TRIAL iterates
+        if getattr(solver, "iterative", False):
             raise ComputeError(
                 f"RunningMaximum '{self.name}': iterative solvers evaluate "
                 "the compute graph on trial iterates, which would be "

@@ -159,7 +159,8 @@ def conjugate_gradient(A, b, x0, tol, maxiter, Minv=None):
 
 
 def preconditioned_conjugate_gradient(A, Minv, b, x0, tol, maxiter):
-    """Left-preconditioned CG — `conjugate_gradient` with Minv bound."""
+    """Left-preconditioned CG — `conjugate_gradient` with Minv bound
+    (kept as a named entry point for tests/direct callers)."""
     return conjugate_gradient(A, b, x0, tol, maxiter, Minv=Minv)
 
 
@@ -535,14 +536,9 @@ class FFTMechanics(TensorCompute):
         def body(carry):
             iiter, dFm, b, cscope, done = carry
             s = unpack(cscope)
-            if Minv is not None:
-                dFm, k, lnorm = preconditioned_conjugate_gradient(
-                    make_op(s), Minv, b, dFm, self.l_tol, l_max
-                )
-            else:
-                dFm, k, lnorm = conjugate_gradient(
-                    make_op(s), b, dFm, self.l_tol, l_max
-                )
+            dFm, k, lnorm = conjugate_gradient(
+                make_op(s), b, dFm, self.l_tol, l_max, Minv=Minv
+            )
             s[self.out] = s[self.out] + dFm.reshape(r2_shape)
             s = run_constitutive(s)
             b = -G(s[self.stress])

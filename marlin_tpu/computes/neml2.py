@@ -1242,12 +1242,11 @@ def _slip_geometry(params):
     return dirs @ R.T, normals @ R.T
 
 
-def _schmid_mandel(params):
+def _schmid_mandel(dirs, normals):
     """Mandel 6-vectors of the symmetric Schmid tensors
-    P_a = sym(d_a ⊗ n_a) for the crystal geometry in `params`."""
+    P_a = sym(d_a ⊗ n_a) for an already-built slip geometry."""
     import numpy as np
 
-    dirs, normals = _slip_geometry(params)
     P = 0.5 * (dirs[:, :, None] * normals[:, None, :]
                + normals[:, :, None] * dirs[:, None, :])  # (ns, 3, 3)
     rt2 = np.sqrt(2.0)
@@ -1312,7 +1311,7 @@ class ResolvedShear(_NEML2Model):
                                      "state/internal/resolved_shears")
         self.from_var = [self.stress] + (
             [self.orientation] if self.orientation else [])
-        self.P = _schmid_mandel(params)  # (ns, 6) build-time constants
+        self.P = _schmid_mandel(self.dirs, self.normals)  # (ns, 6)
 
     def forward(self, env):
         M = env[self.stress]
@@ -1425,7 +1424,7 @@ class PlasticDeformationRate(_NEML2Model):
                                      "state/internal/Ep_rate")
         self.from_var = [self.rates] + (
             [self.orientation] if self.orientation else [])
-        self.P = _schmid_mandel(params)
+        self.P = _schmid_mandel(self.dirs, self.normals)
 
     def forward(self, env):
         g = env[self.rates]
