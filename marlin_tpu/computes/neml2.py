@@ -1700,6 +1700,175 @@ class SR2EqualityConstraint(_NEML2Model):
         return {self.to_var: env[self.a] - env[self.b]}
 
 
+def _mu_input(params):
+    """The Kocks-Mecking models scale by the shear modulus µ, which is
+    temperature-dependent in real use.  `shear_modulus` accepts either a
+    float literal (constant µ) or a variable name (compose a µ(T) model
+    — e.g. ScalarLinearCombination over forces/T — upstream).  Returns
+    (mu_var_or_None, mu_const_or_None)."""
+    mu = params.get_str("shear_modulus", required=True)
+    try:
+        return None, float(mu)
+    except ValueError:
+        return mu, None
+
+
+class KocksMeckingActivationEnergy(_NEML2Model):
+    """Normalized activation energy of the Kocks-Mecking flow framework
+    (NEML2 KocksMeckingActivationEnergy; Kocks & Mecking 2003):
+
+        g = k·T/(µ·b³) · ln(ε̇0/ε̇)
+
+    with Boltzmann constant k, Burgers vector b, shear modulus µ,
+    reference strain rate ε̇0 and the current effective strain rate ε̇
+    (e.g. a ScalarVariableRate of the equivalent plastic strain).  g is
+    the master coordinate of the KM diagram: the rate-dependent flow
+    stress follows ln(σf/µ) = A·g + B, the rate-independent yield sits
+    at ln(σy/µ) = C, and the regimes cross at g0 = (C−B)/A
+    (KocksMeckingFlowSwitch).  |ε̇| is floored at `rate_floor` so a
+    virgin state (ε̇ = 0) gives a large FINITE g — the logarithm's pole
+    would otherwise inf the value and NaN every jvp through it inside
+    ImplicitUpdate (the r04 advisor failure mode)."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.mu_var, self.mu = _mu_input(params)
+        self.k = params.get_float("boltzmann_constant", 1.380649e-23)
+        self.b = params.get_float("burgers_vector", required=True)
+        self.eps0 = params.get_float("reference_strain_rate", required=True)
+        self.rate_floor = params.get_float("rate_floor", 1e-20)
+        self.T = params.get_str("temperature", "forces/T")
+        self.rate = params.get_str("strain_rate",
+                                   "state/internal/ep_rate")
+        self.to_var = params.get_str("activation_energy",
+                                     "state/internal/g")
+        self.from_var = [self.T, self.rate] + (
+            [self.mu_var] if self.mu_var else [])
+
+    def forward(self, env):
+        mu = env[self.mu_var] if self.mu_var else self.mu
+        rate = jnp.maximum(jnp.abs(env[self.rate]), self.rate_floor)
+        scale = self.k * env[self.T] / (mu * self.b ** 3)
+        return {self.to_var: scale * jnp.log(self.eps0 / rate)}
+
+
+class KocksMeckingRateSensitivity(_NEML2Model):
+    """Power-law rate-sensitivity exponent implied by the Kocks-Mecking
+    slope A (NEML2 KocksMeckingRateSensitivity):
+
+        n = −µ·b³/(k·T·A)        (A < 0, so n > 0)
+
+    — eliminating g between ln(σf/µ) = A·g + B and the definition of g
+    gives σf = µ·e^B·(ε̇/ε̇0)^(1/n) with exactly this n, i.e. the KM
+    line IS a Perzyna power law with temperature-dependent exponent.
+    Feed n into PerzynaPlasticFlowRate/PowerLawSlipRule via their
+    variable-exponent inputs or use KocksMeckingFlowViscosity for the
+    prefactor."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.mu_var, self.mu = _mu_input(params)
+        self.A = params.get_float("A", required=True)
+        self.k = params.get_float("boltzmann_constant", 1.380649e-23)
+        self.b = params.get_float("burgers_vector", required=True)
+        self.T = params.get_str("temperature", "forces/T")
+        self.to_var = params.get_str("rate_sensitivity",
+                                     "state/internal/n")
+        self.from_var = [self.T] + ([self.mu_var] if self.mu_var else [])
+
+    def forward(self, env):
+        mu = env[self.mu_var] if self.mu_var else self.mu
+        return {self.to_var: -mu * self.b ** 3 / (self.k * env[self.T]
+                                                  * self.A)}
+
+
+class KocksMeckingFlowViscosity(_NEML2Model):
+    """Power-law flow viscosity implied by the Kocks-Mecking intercept B
+    (NEML2 KocksMeckingFlowViscosity):
+
+        η = e^B · µ · ε̇0^(−1/n),   n = −µ·b³/(k·T·A)
+
+    so that σf = η·ε̇^(1/n) reproduces the KM rate-dependent branch
+    ln(σf/µ) = A·g + B identically (the closed-form consistency is
+    pinned in tests/test_neml2.py).  Compose with
+    KocksMeckingRateSensitivity for the matching exponent."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.mu_var, self.mu = _mu_input(params)
+        self.A = params.get_float("A", required=True)
+        self.B = params.get_float("B", required=True)
+        self.k = params.get_float("boltzmann_constant", 1.380649e-23)
+        self.b = params.get_float("burgers_vector", required=True)
+        self.eps0 = params.get_float("reference_strain_rate", required=True)
+        self.T = params.get_str("temperature", "forces/T")
+        self.to_var = params.get_str("flow_viscosity",
+                                     "state/internal/eta")
+        self.from_var = [self.T] + ([self.mu_var] if self.mu_var else [])
+
+    def forward(self, env):
+        mu = env[self.mu_var] if self.mu_var else self.mu
+        n = -mu * self.b ** 3 / (self.k * env[self.T] * self.A)
+        return {self.to_var:
+                jnp.exp(self.B) * mu * self.eps0 ** (-1.0 / n)}
+
+
+class KocksMeckingYieldStress(_NEML2Model):
+    """Rate-independent yield stress of the Kocks-Mecking diagram (NEML2
+    KocksMeckingYieldStress): σy = e^C·µ — the athermal plateau the flow
+    stress saturates to below the critical activation energy g0."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.mu_var, self.mu = _mu_input(params)
+        self.C = params.get_float("C", required=True)
+        self.to_var = params.get_str("yield_stress",
+                                     "state/internal/sy")
+        self.from_var = [self.mu_var] if self.mu_var else []
+
+    def forward(self, env):
+        import math
+
+        mu = env[self.mu_var] if self.mu_var else jnp.asarray(self.mu)
+        return {self.to_var: math.exp(self.C) * mu}
+
+
+class KocksMeckingFlowSwitch(_NEML2Model):
+    """Blend rate-independent and rate-dependent flow rates across the
+    Kocks-Mecking regime boundary (NEML2 KocksMeckingFlowSwitch):
+
+        γ̇ = γ̇_RI·(1 − s) + γ̇_RD·s,
+        s  = (1 + tanh(sharpness·(g − g0)))/2,   g0 = (C − B)/A
+
+    g0 is where the KM rate-dependent line A·g + B crosses the athermal
+    plateau C; below it (low T / fast loading) the response is
+    rate-independent plasticity, above it rate-dependent creep/
+    viscoplasticity.  The tanh blend (width ~1/sharpness in g) keeps the
+    switch differentiable for ImplicitUpdate Jacobians — a hard select
+    would put a kink exactly at the operating point of decks tuned to
+    the transition."""
+
+    def __init__(self, name, params):
+        super().__init__(name, params)
+        self.A = params.get_float("A", required=True)
+        self.B = params.get_float("B", required=True)
+        self.C = params.get_float("C", required=True)
+        self.sharpness = params.get_float("sharpness", 1.0)
+        self.g = params.get_str("activation_energy", "state/internal/g")
+        self.ri = params.get_str("rate_independent_flow_rate",
+                                 "state/internal/gamma_rate_ri")
+        self.rd = params.get_str("rate_dependent_flow_rate",
+                                 "state/internal/gamma_rate_rd")
+        self.to_var = params.get_str("flow_rate",
+                                     "state/internal/gamma_rate")
+        self.from_var = [self.g, self.ri, self.rd]
+
+    def forward(self, env):
+        g0 = (self.C - self.B) / self.A
+        s = 0.5 * (1.0 + jnp.tanh(self.sharpness * (env[self.g] - g0)))
+        return {self.to_var: (1.0 - s) * env[self.ri] + s * env[self.rd]}
+
+
 _MODEL_TYPES = {
     "ScalarMultiplication": ScalarMultiplication,
     "ScalarLinearCombination": ScalarLinearCombination,
@@ -1753,6 +1922,11 @@ _MODEL_TYPES = {
     "StrainEnergyDensity": StrainEnergyDensity,
     "VecForwardEulerTimeIntegration": VecForwardEulerTimeIntegration,
     "VecBackwardEulerTimeIntegration": VecBackwardEulerTimeIntegration,
+    "KocksMeckingActivationEnergy": KocksMeckingActivationEnergy,
+    "KocksMeckingRateSensitivity": KocksMeckingRateSensitivity,
+    "KocksMeckingFlowViscosity": KocksMeckingFlowViscosity,
+    "KocksMeckingYieldStress": KocksMeckingYieldStress,
+    "KocksMeckingFlowSwitch": KocksMeckingFlowSwitch,
 }
 
 

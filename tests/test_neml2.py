@@ -89,7 +89,7 @@ def test_neml2_unknown_model_type_errors(tmp_path):
     from marlin_tpu.executioner import run_deck
 
     (tmp_path / "model.i").write_text(
-        "[Models]\n  [m]\n    type = KocksMeckingFlowViscosity\n  []\n[]\n"
+        "[Models]\n  [m]\n    type = GreenLagrangeStrain\n  []\n[]\n"
     )
     (tmp_path / "deck.i").write_text(
         """
@@ -2564,3 +2564,133 @@ def test_neml2_spectral_split_jvp_finite_at_degeneracy(tmp_path):
         tangent = jnp.ones(6)
         _, t = jax.jvp(f, (E,), (tangent,))
         assert np.isfinite(float(t)), (E, t)
+
+
+def test_neml2_kocks_mecking_closed_form(tmp_path):
+    """Kocks-Mecking family: each output against its closed form, plus
+    the defining consistency of the framework — the FlowViscosity /
+    RateSensitivity pair must reproduce the KM rate-dependent line
+    sigma_f = mu*exp(A*g + B) exactly when fed the ActivationEnergy
+    output (the three formulas are one diagram)."""
+    import jax.numpy as jnp
+    from marlin_tpu.computes.neml2 import load_neml2_model
+
+    k, b, eps0 = 1.380649e-23, 2.5e-10, 1e10
+    A, B = -0.4, -3.0
+    mu = 60.0e9
+    (tmp_path / "model.i").write_text(f"""
+[Models]
+  [g]
+    type = KocksMeckingActivationEnergy
+    shear_modulus = {mu}
+    burgers_vector = {b}
+    reference_strain_rate = {eps0}
+  []
+  [n]
+    type = KocksMeckingRateSensitivity
+    shear_modulus = {mu}
+    burgers_vector = {b}
+    A = {A}
+  []
+  [eta]
+    type = KocksMeckingFlowViscosity
+    shear_modulus = {mu}
+    burgers_vector = {b}
+    reference_strain_rate = {eps0}
+    A = {A}
+    B = {B}
+  []
+  [sy]
+    type = KocksMeckingYieldStress
+    shear_modulus = {mu}
+    C = -4.0
+  []
+[]
+""")
+    path = str(tmp_path / "model.i")
+    T = jnp.asarray([300.0, 600.0])
+    rate = jnp.asarray([1e-3, 1e-5])
+
+    g = load_neml2_model(path, "g").forward(
+        {"forces/T": T, "state/internal/ep_rate": rate}
+    )["state/internal/g"]
+    g_exp = k * T / (mu * b**3) * np.log(eps0 / rate)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_exp), rtol=1e-6)
+
+    n = load_neml2_model(path, "n").forward(
+        {"forces/T": T})["state/internal/n"]
+    np.testing.assert_allclose(
+        np.asarray(n), -mu * b**3 / (k * np.asarray(T) * A), rtol=1e-6)
+
+    eta = load_neml2_model(path, "eta").forward(
+        {"forces/T": T})["state/internal/eta"]
+    np.testing.assert_allclose(
+        np.asarray(eta),
+        np.exp(B) * mu * eps0 ** (-1.0 / np.asarray(n)), rtol=1e-6)
+
+    sy = load_neml2_model(path, "sy").forward({})["state/internal/sy"]
+    np.testing.assert_allclose(float(sy), np.exp(-4.0) * mu, rtol=1e-12)
+
+    # the diagram closes: eta * rate^(1/n) == mu * exp(A*g + B)
+    sigma_f = np.asarray(eta) * np.asarray(rate) ** (1.0 / np.asarray(n))
+    np.testing.assert_allclose(
+        sigma_f, mu * np.exp(A * np.asarray(g) + B), rtol=1e-5)
+
+    # virgin state: rate = 0 floors to rate_floor -> finite g, finite jvp
+    import jax
+
+    mdl = load_neml2_model(path, "g")
+
+    def g_of_rate(r):
+        return mdl.forward({"forces/T": T[:1],
+                            "state/internal/ep_rate": r})["state/internal/g"]
+
+    val, tan = jax.jvp(g_of_rate, (jnp.zeros(1),), (jnp.ones(1),))
+    assert np.all(np.isfinite(np.asarray(val)))
+    assert np.all(np.isfinite(np.asarray(tan)))
+
+
+def test_neml2_kocks_mecking_flow_switch(tmp_path):
+    """FlowSwitch blends the two regimes across g0 = (C-B)/A: deep in
+    each regime it returns that regime's rate, at g0 exactly the
+    average; a variable shear modulus exercises the mu-as-input path of
+    the companion models."""
+    import jax.numpy as jnp
+    from marlin_tpu.computes.neml2 import load_neml2_model
+
+    A, B, C = -0.5, -3.0, -4.5
+    g0 = (C - B) / A  # = 3.0
+    (tmp_path / "model.i").write_text(f"""
+[Models]
+  [switch]
+    type = KocksMeckingFlowSwitch
+    A = {A}
+    B = {B}
+    C = {C}
+    sharpness = 500
+  []
+  [sy_var_mu]
+    type = KocksMeckingYieldStress
+    shear_modulus = state/mu
+    C = {C}
+  []
+[]
+""")
+    path = str(tmp_path / "model.i")
+    sw = load_neml2_model(path, "switch")
+    g = jnp.asarray([g0 - 1.0, g0, g0 + 1.0])
+    ri = jnp.full(3, 2.0)
+    rd = jnp.full(3, 10.0)
+    out = sw.forward({"state/internal/g": g,
+                      "state/internal/gamma_rate_ri": ri,
+                      "state/internal/gamma_rate_rd": rd}
+                     )["state/internal/gamma_rate"]
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[0], 2.0, atol=1e-6)   # rate-independent
+    np.testing.assert_allclose(out[1], 6.0, atol=1e-6)   # exact crossover
+    np.testing.assert_allclose(out[2], 10.0, atol=1e-6)  # rate-dependent
+
+    sy = load_neml2_model(path, "sy_var_mu").forward(
+        {"state/mu": jnp.asarray([50.0e9, 40.0e9])})["state/internal/sy"]
+    np.testing.assert_allclose(
+        np.asarray(sy), np.exp(C) * np.asarray([50.0e9, 40.0e9]), rtol=1e-6)
