@@ -37,6 +37,17 @@ class _NEML2Model:
         raise NotImplementedError
 
 
+def _float_or_var(params, key, required=True):
+    """Parameters that accept a float literal OR a variable name (e.g. a
+    temperature-dependent quantity produced by a sibling model).  Returns
+    (var_name_or_None, float_or_None)."""
+    raw = params.get_str(key, required=required)
+    try:
+        return None, float(raw)
+    except ValueError:
+        return raw, None
+
+
 def _safe_pow(x, n):
     """x**n for x >= 0 with a FINITE jvp at x = 0 (the pow's derivative
     blows up there for n < 1, and an inf Jacobian column NaNs the whole
@@ -283,20 +294,32 @@ class PerzynaPlasticFlowRate(_NEML2Model):
     f = stress_measure − yield (NEML2 PerzynaPlasticFlowRate); ⟨.⟩ is the
     Macaulay bracket.  Combine with SR2Invariant (von Mises), a hardening
     model, and ScalarForwardEulerTimeIntegration to build the standard
-    rate-form chain."""
+    rate-form chain.  `reference_stress` and `exponent` accept a float
+    literal OR a variable name, so the Kocks-Mecking pair
+    (KocksMeckingFlowViscosity η, KocksMeckingRateSensitivity n) drives
+    temperature-dependent viscoplasticity without a new model type.  The
+    pow uses a safe floor at ⟨f⟩ = 0 when n is a VARIABLE: a variable
+    exponent can sit below 1 somewhere on the grid, where 0^n has an
+    infinite jvp that would NaN ImplicitUpdate Jacobians (constant
+    n ≥ 1, the common case, keeps the exact primal-and-tangent pow)."""
 
     def __init__(self, name, params):
         super().__init__(name, params)
-        self.eta = params.get_float("reference_stress", required=True)
-        self.n = params.get_float("exponent", required=True)
+        self.eta_var, self.eta = _float_or_var(params, "reference_stress")
+        self.n_var, self.n = _float_or_var(params, "exponent")
         self.f = params.get_str("flow_function", "state/internal/fp")
         self.to_var = params.get_str("flow_rate",
                                      "state/internal/gamma_rate")
-        self.from_var = [self.f]
+        self.from_var = [self.f] + [v for v in (self.eta_var, self.n_var)
+                                    if v]
 
     def forward(self, env):
-        over = jnp.maximum(env[self.f], 0.0) / self.eta
-        return {self.to_var: over ** self.n}
+        eta = env[self.eta_var] if self.eta_var else self.eta
+        n = env[self.n_var] if self.n_var else self.n
+        over = jnp.maximum(env[self.f], 0.0) / eta
+        if self.n_var is None:
+            return {self.to_var: over ** n}
+        return {self.to_var: _safe_pow(over, n)}
 
 
 class YieldFunction(_NEML2Model):
@@ -1704,13 +1727,8 @@ def _mu_input(params):
     """The Kocks-Mecking models scale by the shear modulus µ, which is
     temperature-dependent in real use.  `shear_modulus` accepts either a
     float literal (constant µ) or a variable name (compose a µ(T) model
-    — e.g. ScalarLinearCombination over forces/T — upstream).  Returns
-    (mu_var_or_None, mu_const_or_None)."""
-    mu = params.get_str("shear_modulus", required=True)
-    try:
-        return None, float(mu)
-    except ValueError:
-        return mu, None
+    — e.g. ScalarLinearCombination over forces/T — upstream)."""
+    return _float_or_var(params, "shear_modulus")
 
 
 class KocksMeckingActivationEnergy(_NEML2Model):
@@ -1761,9 +1779,8 @@ class KocksMeckingRateSensitivity(_NEML2Model):
     — eliminating g between ln(σf/µ) = A·g + B and the definition of g
     gives σf = µ·e^B·(ε̇/ε̇0)^(1/n) with exactly this n, i.e. the KM
     line IS a Perzyna power law with temperature-dependent exponent.
-    Feed n into PerzynaPlasticFlowRate/PowerLawSlipRule via their
-    variable-exponent inputs or use KocksMeckingFlowViscosity for the
-    prefactor."""
+    Feed n into PerzynaPlasticFlowRate's variable `exponent` (with
+    KocksMeckingFlowViscosity as the variable `reference_stress`)."""
 
     def __init__(self, name, params):
         super().__init__(name, params)

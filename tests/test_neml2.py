@@ -2694,3 +2694,57 @@ def test_neml2_kocks_mecking_flow_switch(tmp_path):
         {"state/mu": jnp.asarray([50.0e9, 40.0e9])})["state/internal/sy"]
     np.testing.assert_allclose(
         np.asarray(sy), np.exp(C) * np.asarray([50.0e9, 40.0e9]), rtol=1e-6)
+
+
+def test_neml2_kocks_mecking_perzyna_chain(tmp_path):
+    """The KM pair drives Perzyna viscoplasticity: reference_stress and
+    exponent as VARIABLES (eta(T) from KocksMeckingFlowViscosity, n(T)
+    from KocksMeckingRateSensitivity) inside one ComposedModel —
+    gamma_rate == (f/eta(T))^n(T) closed-form at two temperatures."""
+    import jax.numpy as jnp
+    from marlin_tpu.computes.neml2 import load_neml2_model
+
+    k, b, eps0 = 1.380649e-23, 2.5e-10, 1e6
+    A, B = -1.0, -2.0
+    mu = 10.0e9
+    (tmp_path / "model.i").write_text(f"""
+[Models]
+  [n]
+    type = KocksMeckingRateSensitivity
+    shear_modulus = {mu}
+    burgers_vector = {b}
+    A = {A}
+    rate_sensitivity = 'state/internal/n'
+  []
+  [eta]
+    type = KocksMeckingFlowViscosity
+    shear_modulus = {mu}
+    burgers_vector = {b}
+    reference_strain_rate = {eps0}
+    A = {A}
+    B = {B}
+    flow_viscosity = 'state/internal/eta'
+  []
+  [flow]
+    type = PerzynaPlasticFlowRate
+    reference_stress = 'state/internal/eta'
+    exponent = 'state/internal/n'
+  []
+  [chain]
+    type = ComposedModel
+    models = 'n eta flow'
+  []
+[]
+""")
+    m = load_neml2_model(str(tmp_path / "model.i"), "chain")
+    T = jnp.asarray([800.0, 1200.0])
+    f = jnp.asarray([2.0e8, 2.0e8])
+    out = m.forward({"forces/T": T, "state/internal/fp": f})
+    n = -mu * b**3 / (k * np.asarray(T) * A)
+    eta = np.exp(B) * mu * eps0 ** (-1.0 / n)
+    np.testing.assert_allclose(
+        np.asarray(out["state/internal/gamma_rate"]),
+        (np.asarray(f) / eta) ** n, rtol=1e-5)
+    # hotter -> lower n, lower eta -> faster flow at equal overstress
+    rates = np.asarray(out["state/internal/gamma_rate"])
+    assert rates[1] > rates[0]
