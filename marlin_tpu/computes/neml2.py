@@ -1786,6 +1786,9 @@ class KocksMeckingRateSensitivity(_NEML2Model):
         super().__init__(name, params)
         self.mu_var, self.mu = _mu_input(params)
         self.A = params.get_float("A", required=True)
+        if self.A == 0.0:
+            params.error("A", "the Kocks-Mecking slope must be nonzero "
+                              "(it divides the rate sensitivity)")
         self.k = params.get_float("boltzmann_constant", 1.380649e-23)
         self.b = params.get_float("burgers_vector", required=True)
         self.T = params.get_str("temperature", "forces/T")
@@ -1814,6 +1817,9 @@ class KocksMeckingFlowViscosity(_NEML2Model):
         super().__init__(name, params)
         self.mu_var, self.mu = _mu_input(params)
         self.A = params.get_float("A", required=True)
+        if self.A == 0.0:
+            params.error("A", "the Kocks-Mecking slope must be nonzero "
+                              "(it divides the rate sensitivity)")
         self.B = params.get_float("B", required=True)
         self.k = params.get_float("boltzmann_constant", 1.380649e-23)
         self.b = params.get_float("burgers_vector", required=True)
@@ -1868,6 +1874,9 @@ class KocksMeckingFlowSwitch(_NEML2Model):
     def __init__(self, name, params):
         super().__init__(name, params)
         self.A = params.get_float("A", required=True)
+        if self.A == 0.0:
+            params.error("A", "the Kocks-Mecking slope must be nonzero "
+                              "(it locates the regime boundary g0)")
         self.B = params.get_float("B", required=True)
         self.C = params.get_float("C", required=True)
         self.sharpness = params.get_float("sharpness", 1.0)

@@ -2748,3 +2748,23 @@ def test_neml2_kocks_mecking_perzyna_chain(tmp_path):
     # hotter -> lower n, lower eta -> faster flow at equal overstress
     rates = np.asarray(out["state/internal/gamma_rate"])
     assert rates[1] > rates[0]
+
+
+def test_neml2_kocks_mecking_zero_slope_errors(tmp_path):
+    """A = 0 (divides the rate sensitivity / locates g0) is a named
+    load-time error, not a runtime inf."""
+    from marlin_tpu.computes.neml2 import load_neml2_model
+    from marlin_tpu.params import ParamError
+
+    (tmp_path / "model.i").write_text("""
+[Models]
+  [n]
+    type = KocksMeckingRateSensitivity
+    shear_modulus = 1e9
+    burgers_vector = 2.5e-10
+    A = 0
+  []
+[]
+""")
+    with pytest.raises(ParamError, match="nonzero"):
+        load_neml2_model(str(tmp_path / "model.i"), "n")
